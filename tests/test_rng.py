@@ -1,0 +1,39 @@
+import numpy as np
+
+from rayrl import rng
+
+
+def test_deterministic_and_stream_independent():
+    ids = np.arange(10_000, dtype=np.int64)
+    a = rng.uniform(ids, 42, rng.tag_for("x"))
+    b = rng.uniform(ids, 42, rng.tag_for("x"))
+    c = rng.uniform(ids, 42, rng.tag_for("y"))
+    d = rng.uniform(ids, 43, rng.tag_for("x"))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert not np.array_equal(a, d)
+
+
+def test_uniformity_and_bernoulli_rate():
+    ids = np.arange(100_000, dtype=np.int64)
+    u = rng.uniform(ids, 7, rng.tag_for("rate"))
+    assert 0.49 < u.mean() < 0.51
+    for p in (0.01, 0.1, 0.3):
+        m = rng.bernoulli(ids, p, 7, rng.tag_for(f"b{p}"))
+        assert abs(m.mean() - p) < 0.05 * p + 0.002
+
+
+def test_partition_independence():
+    ids = np.arange(1000, dtype=np.int64)
+    whole = rng.uniform(ids, 1, 5)
+    parts = np.concatenate([rng.uniform(ids[:300], 1, 5), rng.uniform(ids[300:], 1, 5)])
+    assert np.array_equal(whole, parts)
+
+
+def test_randint_bounds():
+    ids = np.arange(10_000, dtype=np.int64)
+    r = rng.randint(ids, 7, 3, rng.tag_for("ri"))
+    assert r.min() >= 0 and r.max() < 7
+    lens = np.full(10_000, 3)
+    r2 = rng.randint(ids, lens, 3, rng.tag_for("ri2"))
+    assert r2.max() < 3
