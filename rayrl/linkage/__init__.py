@@ -1,0 +1,9 @@
+"""Record-linkage pipeline: blocking → in-block pairwise scoring →
+transitive clustering → pairwise metrics (SURVEY.md §2.3, §7.3 steps
+4-8)."""
+
+from .blocking import LinkageConfig, band_rows  # noqa: F401
+from .scoring import score_blocks  # noqa: F401
+from .clustering import cluster_edges  # noqa: F401
+from .metrics import pairwise_f1  # noqa: F401
+from .pipeline import link_datasets  # noqa: F401

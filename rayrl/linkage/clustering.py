@@ -1,0 +1,122 @@
+"""Transitive clustering over match edges — distributed union-find via
+iterative min-label propagation (north_rule), with a driver-side
+union-find fast path for small edge sets.
+
+The reference never clusters transitively (its 1-to-1 resolution,
+/root/reference/benchmarking/utils.R:368-389,457-470, is a per-id
+grouped filter); transitive closure is required here because duplicate
+rows reach the clean original only through the dirty original. Web
+duplicate clusters are shallow (star-shaped through the clean record),
+so label propagation converges in ~2-3 rounds; rounds are capped and
+each round is a checkpointable label table (SURVEY.md §7.5(6)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(edges_df: pd.DataFrame) -> pd.DataFrame:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["node_a"], edges_df["node_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = pd.unique(pd.concat([edges_df["node_a"], edges_df["node_b"]]))
+    return pd.DataFrame({"node": nodes.astype(np.int64), "label": [find(int(n)) for n in nodes]})
+
+
+def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":
+    """Min-label propagation: labels(node) = min(label of node, labels of
+    neighbors); iterate to fixpoint. Each round is two map_batches + one
+    groupby — all shuffles keyed on ``node``."""
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        a = batch.column("node_a").to_numpy()
+        b = batch.column("node_b").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b, a, b]), pa.int64()),
+                "label": pa.array(np.concatenate([b, a, a, b]), pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    bidir = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([t.column("node_a").to_numpy(), t.column("node_b").to_numpy()]),
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate([t.column("node_b").to_numpy(), t.column("node_a").to_numpy()]),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # neighbor messages: join labels onto edge sources
+        msgs = bidir.join(
+            labels.map_batches(lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=max(2, bidir.num_blocks()),
+            on=("src",),
+        ).select_columns(["dst", "label"]).map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = labels.sum("label")
+        if prev_sum is not None and s == prev_sum:
+            break  # labels are non-increasing ⇒ equal sum = fixpoint
+        prev_sum = s
+    return labels
+
+
+def cluster_edges(edges, max_rounds: int = 10) -> "ray.data.Dataset":
+    """edges Dataset (node_a, node_b, ...) → labels Dataset
+    (node, label); label = min node id of the connected component."""
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"), "label": pd.Series([], dtype="int64")})
+        )
+    if n_edges <= DRIVER_UNION_FIND_MAX_EDGES:
+        df = edges.select_columns(["node_a", "node_b"]).to_pandas()
+        return ray.data.from_pandas(_driver_union_find(df))
+    return _propagate_distributed(edges.select_columns(["node_a", "node_b"]), max_rounds)

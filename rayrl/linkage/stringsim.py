@@ -1,0 +1,137 @@
+"""String-similarity kernels for pairwise scoring.
+
+Ports of the reference's stringdist metrics (Jaro-Winkler and
+Damerau-Levenshtein via the stringdist package,
+/root/reference/benchmarking/utils.R:180-187; max-length normalization
+at utils.R:168-174) in pure Python/numpy (no third-party string libs in
+the sandbox). The Levenshtein is banded with an early-exit cutoff so
+per-pair cost is O(len · k), not O(len²) — pairs more than ``k`` edits
+apart only ever need "> k" as an answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import rng
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Standard Jaro-Winkler similarity in [0, 1]."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags1 = [False] * n1
+    flags2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions
+    t = 0
+    j = 0
+    for i in range(n1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+    # winkler prefix boost (standard cap of 4)
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def levenshtein_banded(s1: str, s2: str, k: int) -> int:
+    """Levenshtein distance, or k+1 if the distance exceeds ``k``."""
+    n1, n2 = len(s1), len(s2)
+    if abs(n1 - n2) > k:
+        return k + 1
+    if n1 == 0:
+        return n2
+    if n2 == 0:
+        return n1
+    if n1 > n2:  # keep the band centered
+        s1, s2, n1, n2 = s2, s1, n2, n1
+    prev = list(range(n2 + 1))
+    for i in range(1, n1 + 1):
+        lo = max(1, i - k)
+        hi = min(n2, i + k)
+        cur = [k + 1] * (n2 + 1)
+        cur[0] = i if i <= k else k + 1
+        c1 = s1[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if c1 == s2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo : hi + 1]) > k:
+            return k + 1
+        prev = cur
+    return min(prev[n2], k + 1)
+
+
+def lev_norm(s1: str, s2: str, k: int = 16) -> float:
+    """Banded distance normalized by max length (utils.R:168-174);
+    saturates at (k+1)/maxlen when the cutoff trips."""
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 0.0
+    return levenshtein_banded(s1, s2, k) / m
+
+
+def char_shingles(s: str, n: int = 3) -> set:
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# --- MinHash over character 3-shingles (blocking key family) ---
+
+_SHINGLE_N = 3
+
+
+def shingle_codes(s: str) -> np.ndarray:
+    """Rolling 3-gram integer codes of the utf-8 bytes (vectorized)."""
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < _SHINGLE_N:
+        b = np.pad(b, (0, _SHINGLE_N - len(b)), constant_values=1)
+    return (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+
+
+def minhash_signature(s: str, tags: np.ndarray) -> np.ndarray:
+    """k-permutation MinHash: for each hash tag, min over shingles of
+    splitmix64(code ^ tag). ``tags`` shape (k,) uint64."""
+    codes = np.unique(shingle_codes(s))
+    mixed = rng._splitmix64(codes[None, :] ^ tags[:, None])
+    return mixed.min(axis=1)
+
+
+def minhash_tags(k: int, seed: int = 0) -> np.ndarray:
+    return rng.hash_u64(np.arange(k, dtype=np.int64), seed, rng.tag_for("minhash"))

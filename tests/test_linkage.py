@@ -1,0 +1,69 @@
+"""Linkage pipeline tests: clustering correctness, metrics math, and
+the end-to-end F1 ≥ 0.99 gate (FIXTURES.md F5.4)."""
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from rayrl import pipeline, synth
+from rayrl.linkage import LinkageConfig, cluster_edges, link_datasets, pairwise_f1
+from rayrl.linkage.clustering import _propagate_distributed
+
+
+def _edges_ds(pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node_a": [a for a, b in pairs],
+                "node_b": [b for a, b in pairs],
+                "truth_a": [0] * len(pairs),
+                "truth_b": [0] * len(pairs),
+                "score": [1.0] * len(pairs),
+            }
+        )
+    )
+
+
+def _labels_map(labels_ds):
+    df = labels_ds.to_pandas()
+    return dict(zip(df["node"], df["label"]))
+
+
+def test_cluster_edges_union_find(ray_session):
+    # chain 1-2-3, pair 10-11, self-contained 20
+    labels = _labels_map(cluster_edges(_edges_ds([(1, 2), (2, 3), (10, 11)])))
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[10] == labels[11]
+    assert labels[1] != labels[10]
+
+
+def test_cluster_edges_distributed_matches_driver(ray_session):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (50, 51)]
+    drv = _labels_map(cluster_edges(_edges_ds(pairs)))
+    dist = _labels_map(_propagate_distributed(_edges_ds(pairs).select_columns(["node_a", "node_b"]), 10))
+    # same partition into components, same min-label representative
+    assert drv == dist
+
+
+def test_pairwise_f1_math(ray_session):
+    # truth: {1,2,3} share truth 100; {4} truth 200
+    all_nodes = ray.data.from_pandas(
+        pd.DataFrame({"node": [1, 2, 3, 4], "truth": [100, 100, 100, 200]})
+    )
+    # predicted: cluster {1,2} found, 3 and 4 unclustered
+    labels = ray.data.from_pandas(
+        pd.DataFrame({"node": [1, 2], "label": [1, 1], "truth": [100, 100]})
+    )
+    m = pairwise_f1(labels, all_nodes)
+    assert m["truth_pairs"] == 3.0 and m["predicted_pairs"] == 1.0 and m["tp_pairs"] == 1.0
+    assert m["precision"] == 1.0 and m["recall"] == pytest.approx(1 / 3)
+
+
+@pytest.mark.parametrize("rate", [0.01, 0.30])
+def test_e2e_f1_gate(ray_session, rate):
+    N = 2500
+    clean = synth.pages_dataset(N, override_num_blocks=2).materialize()
+    dirty = pipeline.mess_dataset(clean, pipeline.benchmark_specs(rate), seed=7).dirty.materialize()
+    m = link_datasets(clean, dirty, LinkageConfig(num_buckets=16))["metrics"]
+    assert m["f1"] >= 0.99, (rate, m)
