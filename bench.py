@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on a fresh ray session with
+num_cpus=$RAY_GRAFT_CPUS (default 32) and print ONE JSON line.
+
+--scaling: run the headline job twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs + scaling efficiency = (t8/t32)/4 (the sandbox stand-in for
+N vs 4N nodes — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from rayrl import pipeline, synth
+    from rayrl.linkage import LinkageConfig, link_datasets
+    from rayrl.linkage.blocking import band_rows
+    import __ray_entry__ as entry_mod
+
+    n_pages = entry_mod._n_pages(sf_dir)
+
+    # warm the OS page cache (untimed) so we measure compute, not cold reads
+    ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- headline 1: error injection throughput ---
+    t0 = time.perf_counter()
+    clean = synth.pages_dataset(n_pages).materialize()
+    timings["synth"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    combined = pipeline.mess_dataset(
+        clean, pipeline.benchmark_specs(0.10), seed=7, batch_size=8192
+    ).combined.materialize()
+    timings["inject"] = round(time.perf_counter() - t0, 3)
+    extras["inject_rows_per_sec"] = round(n_pages / timings["inject"], 1)
+
+    from rayrl.errors import strip_ledger
+
+    dirty = strip_ledger(combined).materialize()
+
+    # --- headline 2: linkage (block + score + cluster + metrics) ---
+    cfg = LinkageConfig(num_buckets=max(64, num_cpus * 4))
+    t0 = time.perf_counter()
+    res = link_datasets(clean, dirty, cfg)
+    timings["linkage"] = round(time.perf_counter() - t0, 3)
+    f1 = res["metrics"]["f1"]
+
+    # candidate pairs actually scored: Σ_blocks |clean|×|dirty| (before dedup)
+    bands = band_rows(clean, cfg, side=0).union(band_rows(dirty, cfg, side=1))
+
+    def sides(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = batch.column("side").to_numpy()
+        return pa.table(
+            {
+                "block_key": batch.column("block_key"),
+                "c": pa.array((s == 0).astype("int64"), pa.int64()),
+                "d": pa.array((s == 1).astype("int64"), pa.int64()),
+            }
+        )
+
+    per_block = (
+        bands.map_batches(sides, batch_format="pyarrow")
+        .groupby("block_key")
+        .aggregate(Sum("c", alias_name="nc"), Sum("d", alias_name="nd"))
+    )
+
+    def prod(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nc = batch.column("nc").to_numpy()
+        nd = batch.column("nd").to_numpy()
+        return pa.table({"pairs": pa.array(nc * nd, pa.int64())})
+
+    pairs_scored = per_block.map_batches(prod, batch_format="pyarrow").sum("pairs") or 0
+    extras["pairs_scored"] = int(pairs_scored)
+    extras["pairs_scored_per_sec"] = round(pairs_scored / timings["linkage"], 1)
+    extras["f1"] = round(float(f1), 5)
+
+    # --- operator queries over the sf tables ---
+    for qname in ("pricing_summary", "token_frequencies", "dedup_exact", "events_hourly", "ann_topk"):
+        fn = entry_mod.queries()[qname]
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        if hasattr(out, "materialize"):
+            out.materialize()
+        timings[qname] = round(time.perf_counter() - t0, 3)
+
+    total = timings["inject"] + timings["linkage"]
+    result = {
+        "metric": "e2e_inject_plus_linkage_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pairs_per_sec_8": r_lo["pairs_scored_per_sec"],
+        "pairs_per_sec_32": r_hi["pairs_scored_per_sec"],
+        "inject_rows_per_sec_8": r_lo["inject_rows_per_sec"],
+        "inject_rows_per_sec_32": r_hi["inject_rows_per_sec"],
+        "sf": r_hi["sf"],
+        "n_pages": r_hi["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

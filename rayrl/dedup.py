@@ -86,16 +86,24 @@ def minhash_candidate_pairs(sf_dir: str, k: int = 64, bands: int = 16, seed: int
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     band_ds = ds.map_batches(_MinHashBands(k, bands, seed), batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # salt cap for degenerate buckets
+    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, idx in bucket_df.groupby(["band", "band_hash"], sort=False).indices.items():
+            ids = np.sort(bucket_df["doc_id"].to_numpy()[idx])
+            if len(ids) < 2 or len(ids) > 1000:  # salt cap for degenerate buckets
+                continue
+            a, b = np.meshgrid(ids, ids)
+            m = a < b
+            out_a.append(a[m])
+            out_b.append(b[m])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        a, b = np.meshgrid(ids, ids)
-        m = a < b
-        return pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
-    cands = band_ds.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    from .shuffle import bucketed_group_apply, group_agg
+
+    cands = bucketed_group_apply(band_ds, ["band", "band_hash"], pairs)
+    return group_agg(cands, ["doc_a", "doc_b"], {"n_bands": ("doc_a", "size")})
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int = 16):
@@ -185,30 +193,37 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["doc_id"].to_numpy()
-        hs = group["simhash"].to_numpy()
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
+    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        all_ids = bucket_df["doc_id"].to_numpy()
+        all_hs = bucket_df["simhash"].to_numpy()
         out_a, out_b, out_d = [], [], []
-        n = len(ids)
-        if n < 2 or n > 1000:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")})
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if d <= max_hamming:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_d.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
+        for _, idx in bucket_df.groupby(["seg", "val"], sort=False).indices.items():
+            order = idx[np.argsort(all_ids[idx])]
+            ids, hs = all_ids[order], all_hs[order]
+            n = len(ids)
+            if n < 2 or n > 1000:
+                continue
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if ids[i] == ids[j]:
+                        continue
+                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                    if d <= max_hamming:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_d.append(d)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "hamming": pd.Series(out_d, dtype="int64"),
+            }
+        )
 
-    cand = fps.map_batches(emit, batch_format="pyarrow").groupby(["seg", "val"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    from .shuffle import bucketed_group_apply, group_agg
+
+    cand = bucketed_group_apply(fps.map_batches(emit, batch_format="pyarrow"), ["seg", "val"], pairs)
+    return group_agg(cand, ["doc_a", "doc_b"], {"hamming": ("hamming", "min")})
 
 
 # -------------------------------------------------- n-gram Jaccard

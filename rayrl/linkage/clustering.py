@@ -61,12 +61,13 @@ def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":
             }
         )
 
-    labels = (
-        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    from ..shuffle import group_agg
+
+    labels = group_agg(
+        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        {"label": ("label", "min")},
+    ).materialize()
     bidir = edges.map_batches(
         lambda t: pa.table(
             {
@@ -95,12 +96,9 @@ def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":
         ).select_columns(["dst", "label"]).map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
-        labels = (
-            labels.union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = group_agg(
+            labels.union(msgs), ["node"], {"label": ("label", "min")}
+        ).materialize()
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
             break  # labels are non-increasing ⇒ equal sum = fixpoint

@@ -62,10 +62,10 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
             }
         )
 
-    node_truth = (
-        edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(Max("truth", alias_name="truth"))
+    from ..shuffle import distinct_rows
+
+    node_truth = distinct_rows(
+        edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True), ["node"]
     )
     labels_with_truth = labels.join(
         node_truth,

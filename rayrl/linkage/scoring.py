@@ -120,12 +120,16 @@ def score_bucket(group: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
 
 
 def score_blocks(band_ds, cfg: LinkageConfig):
-    """bucket-grouped scoring → cross-band edge dedup."""
+    """bucket-grouped scoring → cross-band edge dedup.
+
+    The dedup is a bucketed DISTINCT (rayrl.shuffle), not a Ray
+    ``groupby(...).aggregate`` — edge keys have unbounded cardinality
+    (one group per pair) and per-group dispatch would dominate the whole
+    pipeline. Scores are deterministic functions of the pair, so any
+    duplicate row is identical and drop-first semantics are exact."""
+    from ..shuffle import distinct_rows
+
     edges = band_ds.groupby("bucket").map_groups(
         lambda g: score_bucket(g, cfg), batch_format="pandas"
     )
-    return edges.groupby(["node_a", "node_b"]).aggregate(
-        Max("score", alias_name="score"),
-        Max("truth_a", alias_name="truth_a"),
-        Max("truth_b", alias_name="truth_b"),
-    )
+    return distinct_rows(edges, ["node_a", "node_b"], num_buckets=cfg.num_buckets)

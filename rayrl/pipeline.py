@@ -115,9 +115,11 @@ def mess_dataset(
 
 
 def calc_perc_id_err(ledger: "ray.data.Dataset", n_rows: int) -> float:
-    """Distinct erred ids / nrow (utils.R:648-661) — a distributed
-    unique-count over the ledger (≪ data)."""
-    distinct = ledger.select_columns(["record_id"]).groupby("record_id").count().count()
+    """Distinct erred ids / nrow (utils.R:648-661) — a bucketed
+    distributed unique-count over the ledger (≪ data)."""
+    from .shuffle import distinct_count
+
+    distinct = distinct_count(ledger.select_columns(["record_id"]), ["record_id"])
     return distinct / max(1, n_rows)
 
 

@@ -1,0 +1,107 @@
+"""Bucketed shuffle helpers.
+
+Ray Data's ``groupby(keys).aggregate(...)`` / ``map_groups`` pay
+per-GROUP dispatch overhead — pathological when the key cardinality is
+unbounded (millions of 2-row groups). The scalable pattern (and the one
+this engine uses for every unbounded-cardinality shuffle): hash the key
+into a BOUNDED number of buckets, shuffle by bucket, and do the real
+per-key work with a vectorized pandas groupby inside each bucket. One
+Ray group = one heavyweight vectorized task; skew is capped by bucket
+count and salt-able by raising it.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
+    """Stable per-row bucket from the key columns (process-independent:
+    splitmix on ints, crc32 on strings)."""
+    from . import rng
+
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for key in keys:
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        else:
+            vals = np.array(
+                [zlib.crc32(str(v).encode()) for v in col.to_pylist()], dtype=np.uint64
+            )
+        acc = rng._splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) ^ vals)
+    return (acc % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucketed_group_apply(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """groupby-by-bucket → ``fn`` on each bucket's pandas frame.
+    ``fn`` sees ALL rows of every key that hashes into the bucket (keys
+    never straddle buckets) and is expected to do its own per-key
+    vectorized groupby. The ``_bucket`` column is gone by the time
+    ``fn``'s output is returned."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_bucket", pa.array(_bucket_of(batch, keys, num_buckets)))
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        return fn(group.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(apply, batch_format="pandas")
+    )
+
+
+def distinct_rows(ds, keys: list[str], num_buckets: int = 64):
+    """Global DISTINCT on ``keys`` (first row per key wins)."""
+    return bucketed_group_apply(
+        ds, keys, lambda df: df.drop_duplicates(subset=keys), num_buckets
+    )
+
+
+def group_agg(ds, keys: list[str], agg: dict[str, tuple[str, str]], num_buckets: int = 64):
+    """Grouped aggregate with unbounded key cardinality.
+    ``agg``: output_col → (input_col, pandas agg name), e.g.
+    {"n": ("x", "size"), "total": ("x", "sum")}."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        named = {out: pd.NamedAgg(column=src, aggfunc=how) for out, (src, how) in agg.items()}
+        return df.groupby(keys, sort=False, as_index=False).agg(**named)
+
+    return bucketed_group_apply(ds, keys, run, num_buckets)
+
+
+def group_sizes_pair_sum(ds, keys: list[str], num_buckets: int = 64) -> float:
+    """Σ over groups of C(n,2) — computed as per-bucket partial sums so
+    only ``num_buckets`` scalars reach the final reduction (the metric
+    kernel for pairwise P/R/F1)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby(keys, sort=False).size().to_numpy().astype("float64")
+        return pd.DataFrame({"p": [float((n * (n - 1) / 2.0).sum())]})
+
+    out = bucketed_group_apply(ds, keys, partial, num_buckets).sum("p")
+    return float(out or 0.0)
+
+
+def distinct_count(ds, keys: list[str], num_buckets: int = 64) -> int:
+    """COUNT(DISTINCT keys) via per-bucket partial nunique sums."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(len(df.drop_duplicates(subset=keys)))]})
+
+    out = bucketed_group_apply(ds, keys, partial, num_buckets).sum("n")
+    return int(out or 0)
