@@ -2,8 +2,8 @@
 transitive clustering → pairwise metrics (SURVEY.md §2.3, §7.3 steps
 4-8)."""
 
-from .blocking import LinkageConfig, band_rows  # noqa: F401
-from .scoring import score_blocks  # noqa: F401
+from .blocking import LinkageConfig, band_rows_from_payload, node_payload  # noqa: F401
+from .scoring import candidate_pairs, score_pairs_broadcast, score_pairs_join  # noqa: F401
 from .clustering import cluster_edges  # noqa: F401
 from .metrics import pairwise_f1  # noqa: F401
 from .pipeline import link_datasets  # noqa: F401

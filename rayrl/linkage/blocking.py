@@ -10,19 +10,12 @@ pair lands in the same block iff one band of their signatures agrees —
 probability ≈ 1-(1-j^r)^b, ≈ 1 for the j ≥ 0.8 similarity that survives
 our error rates.
 
-Physical layout: block keys are int64 (band id ⊕ band hash ⊕ host
-hash, SplitMix-finalized) and every band row carries a ``bucket`` =
-block_key % num_buckets. The wide shuffle groups by BUCKET (a bounded
-number of heavyweight groups — explicit partitioning), and per-block
-work happens in a vectorized pandas groupby inside each bucket; this
-avoids Ray-level per-tiny-group dispatch overhead AND gives skewed
-blocks a salting point. ``html`` is projected OUT before this stage —
-wide binary payloads must not ride through the shuffle (SURVEY.md
-§7.5(7)).
-
-Emits ``bands`` rows per record: (bucket, block_key, node, truth, side,
-text, lang, ts_us).
-"""
+Physical layout — the load-bearing scale decision: band rows are
+NARROW (bucket:int32, block_key:int64, node:int64, side:int8 = 21
+bytes). Texts do NOT ride through the blocking shuffle ×bands; the
+scorer fetches payloads separately (broadcast at single-node scale,
+hash join at cluster scale — see scoring.py). ``html`` never enters
+the linkage stages at all (SURVEY.md §7.5(7))."""
 
 from __future__ import annotations
 
@@ -31,7 +24,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .. import rng
 from .stringsim import minhash_signature, minhash_tags
@@ -39,13 +31,36 @@ from .stringsim import minhash_signature, minhash_tags
 
 @dataclass(frozen=True)
 class LinkageConfig:
-    minhash_k: int = 16
-    bands: int = 8  # rows_per_band = minhash_k // bands
+    """Two blocking-key families (both composed with the url host):
+
+    - char family: 4-char-shingle MinHash lanes, ``char_bands`` bands ×
+      ``char_r`` lanes. r=3 so the j≈0.05 shared-single-token tail of
+      same-host random pairs (quadratic in Zipf host size) almost never
+      collides (j³), while true pairs (j ≥ 0.7) still hit ≥ 1 band.
+    - word family: word-BIGRAM MinHash lanes, ``word_bands`` × ``word_r``.
+      A random pair sharing one token shares no consecutive-token
+      bigram, so this family adds ~zero random collisions — it exists
+      to recover heavily-edited true pairs whose char-jaccard dropped.
+    """
+
+    char_bands: int = 5
+    char_r: int = 3
+    word_bands: int = 4
+    word_r: int = 2
     num_buckets: int = 64  # shuffle partitions; scale ≈ rows / 500k
     max_block_pairs: int = 20_000  # skip-cap for pathological blocks
     jaccard_threshold: float = 0.42
     jw_threshold: float = 0.90
     seed: int = 0
+    broadcast_payload_max_rows: int = 2_000_000  # above → join path
+
+    @property
+    def n_char_lanes(self) -> int:
+        return self.char_bands * self.char_r
+
+    @property
+    def n_word_lanes(self) -> int:
+        return self.word_bands * self.word_r
 
 
 def _host_of(url: str) -> str:
@@ -56,81 +71,131 @@ def _host_of(url: str) -> str:
         return url
 
 
-class BandEmitter:
-    """map_batches stage: rows → band rows. Stateful so hash tags are
-    built once per actor."""
+class PayloadBuilder:
+    """(node, truth, lang, host, sig, bsig) — the scorer's + blocker's
+    lookup side, built in ONE pass over the texts (the only stage that
+    ever reads them):
 
-    def __init__(self, cfg: LinkageConfig, side: int):
+    - ``sig``: 128 low bytes of the char-4-shingle MinHash — the
+      scorer's est-Jaccard estimator.
+    - ``bsig``: uint16 lanes for banding — ``cfg.n_char_lanes`` char
+      lanes followed by ``cfg.n_word_lanes`` word-bigram lanes.
+
+    Stateful: hash tags built once per actor."""
+
+    SIG_K = 128
+
+    def __init__(self, side: int, cfg: LinkageConfig):
+        self.side = side
         self.cfg = cfg
-        self.side = side  # 0 = clean, 1 = dirty
-        self.tags = minhash_tags(cfg.minhash_k, cfg.seed)
-        self.rows_per_band = cfg.minhash_k // cfg.bands
-        self.host_cache: dict[str, int] = {}
+        self.tags = minhash_tags(self.SIG_K, cfg.seed ^ 0x5161)
+        self.wtags = minhash_tags(cfg.n_word_lanes, cfg.seed ^ 0x77AB)
 
-    def _host_hash(self, url: str) -> int:
-        h = self.host_cache.get(url)
-        if h is None:
-            h = zlib.crc32(_host_of(url).encode())
-            if len(self.host_cache) < 100_000:
-                self.host_cache[url] = h
-        return h
+    def _word_lanes(self, t: str) -> np.ndarray:
+        toks = t.split(" ")
+        if len(toks) < 2:
+            codes = np.array([zlib.crc32(t.encode())], dtype=np.uint64)
+        else:
+            codes = np.fromiter(
+                (
+                    zlib.crc32((toks[i] + " " + toks[i + 1]).encode())
+                    for i in range(len(toks) - 1)
+                ),
+                dtype=np.uint64,
+                count=len(toks) - 1,
+            )
+        mixed = rng._splitmix64(codes[None, :] ^ self.wtags[:, None])
+        return mixed.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .stringsim import minhash_signature
+
         cfg = self.cfg
-        n = batch.num_rows
+        uids = batch.column("row_uid").to_numpy()
         texts = batch.column("text").to_pylist()
         urls = batch.column("url").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        uids = batch.column("row_uid").to_numpy()
-        rids = batch.column("record_id").to_numpy()
-        ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_numpy(zero_copy_only=False)
-
-        b_count = cfg.bands
-        r = self.rows_per_band
-        keep = [i for i in range(n) if texts[i]]
-        sigs = np.empty((len(keep), b_count), dtype=np.int64)
-        hosts = np.empty(len(keep), dtype=np.int64)
-        for k, i in enumerate(keep):
-            sig = minhash_signature(texts[i], self.tags)
-            # fold each band's rows into one value
-            band_vals = sig.reshape(b_count, r)
-            folded = band_vals[:, 0]
-            for c in range(1, r):
-                folded = folded * np.uint64(1000003) ^ band_vals[:, c]
-            sigs[k] = (folded >> np.uint64(1)).astype(np.int64)  # keep positive
-            hosts[k] = self._host_hash(urls[i])
-
-        # block_key = mix(band_id, band_hash, host); int64 ≥ 0
-        band_ids = np.tile(np.arange(b_count, dtype=np.int64), len(keep))
-        flat_sig = sigs.reshape(-1)
-        flat_host = np.repeat(hosts, b_count)
-        mixed = rng._splitmix64(
-            flat_sig.view(np.uint64)
-            ^ (flat_host.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            ^ (band_ids.view(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        n_b = (cfg.n_char_lanes + cfg.n_word_lanes) * 2
+        sigs = []
+        bsigs = []
+        for t in texts:
+            if not t:
+                sigs.append(b"\x00" * self.SIG_K)
+                bsigs.append(b"\x00" * n_b)
+                continue
+            mh = minhash_signature(t, self.tags)
+            sigs.append((mh & np.uint64(0xFF)).astype(np.uint8).tobytes())
+            lanes = np.concatenate(
+                [mh[: cfg.n_char_lanes], self._word_lanes(t)]
+            )
+            bsigs.append((lanes & np.uint64(0xFFFF)).astype(np.uint16).tobytes())
+        hosts = np.fromiter(
+            (zlib.crc32(_host_of(u).encode()) for u in urls), dtype=np.int64, count=len(urls)
         )
-        block_key = (mixed >> np.uint64(1)).astype(np.int64)
-        bucket = (mixed % np.uint64(cfg.num_buckets)).astype(np.int32)
-
-        keep_np = np.array(keep, dtype=np.int64)
-        rep = np.repeat(keep_np, b_count)
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.int32()),
-                "block_key": pa.array(block_key, pa.int64()),
-                "node": pa.array(uids[rep] * 2 + self.side, pa.int64()),
-                "truth": pa.array(rids[rep], pa.int64()),
-                "side": pa.array(np.full(len(rep), self.side, dtype=np.int8), pa.int8()),
-                "text": pa.array([texts[i] for i in rep], pa.string()),
-                "lang": pa.array([langs[i] for i in rep], pa.string()),
-                "ts_us": pa.array(ts[rep], pa.int64()),
+                "node": pa.array(uids * 2 + self.side, pa.int64()),
+                "truth": batch.column("record_id"),
+                "lang": batch.column("lang"),
+                "host": pa.array(hosts, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+                "bsig": pa.array(bsigs, pa.binary()),
             }
         )
 
 
-def band_rows(ds, cfg: LinkageConfig, side: int, **map_kwargs):
-    """Project to the narrow columns then emit band rows."""
-    cols = ["record_id", "row_uid", "url", "warc_ts", "text", "lang"]
-    return ds.select_columns(cols).map_batches(
-        BandEmitter(cfg, side), batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+def node_payload(ds, side: int, cfg: LinkageConfig | None = None):
+    cfg = cfg or LinkageConfig()
+    return ds.select_columns(["row_uid", "record_id", "url", "text", "lang"]).map_batches(
+        PayloadBuilder(side, cfg), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def band_rows_from_payload(payload_ds, cfg: LinkageConfig):
+    """Derive LSH band rows from the payload signatures — texts are
+    read and shingled exactly ONCE per record (in PayloadBuilder); the
+    band stage is pure integer math over the byte signatures. Per-byte
+    match probability is j + (1-j)/256 ≈ j, so the banding math is the
+    same as with full-width minhashes; the 1/65536 band-hash birthday
+    collisions add a negligible trickle of candidates."""
+    b_count = cfg.char_bands + cfg.word_bands
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bsig_col = batch.column("bsig").combine_chunks()
+        bsig = np.frombuffer(b"".join(bsig_col.to_pylist()), dtype=np.uint16).reshape(n, -1)
+        nodes = batch.column("node").to_numpy()
+        hosts = batch.column("host").to_numpy()
+        # fold each band's lanes: char bands (r=char_r) then word bands
+        folds = []
+        for b in range(cfg.char_bands):
+            lanes = bsig[:, b * cfg.char_r : (b + 1) * cfg.char_r].astype(np.uint64)
+            f = lanes[:, 0]
+            for c in range(1, cfg.char_r):
+                f = f * np.uint64(65537) + lanes[:, c]
+            folds.append(f)
+        off = cfg.n_char_lanes
+        for b in range(cfg.word_bands):
+            lanes = bsig[:, off + b * cfg.word_r : off + (b + 1) * cfg.word_r].astype(np.uint64)
+            f = lanes[:, 0]
+            for c in range(1, cfg.word_r):
+                f = f * np.uint64(65537) + lanes[:, c]
+            folds.append(f)
+        folded = np.stack(folds, axis=1)
+        band_ids = np.arange(b_count, dtype=np.int64)
+        mixed = rng._splitmix64(
+            folded.view(np.uint64)
+            ^ (hosts[:, None].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (band_ids[None, :].view(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        ).reshape(-1)
+        block_key = (mixed >> np.uint64(1)).astype(np.int64)
+        bucket = (mixed % np.uint64(cfg.num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "block_key": pa.array(block_key, pa.int64()),
+                "node": pa.array(np.repeat(nodes, b_count), pa.int64()),
+                "side": pa.array((np.repeat(nodes, b_count) & 1).astype(np.int8), pa.int8()),
+            }
+        )
+
+    return payload_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)

@@ -25,25 +25,33 @@ DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
 
 
 def _driver_union_find(edges_df: pd.DataFrame) -> pd.DataFrame:
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(edges_df["node_a"], edges_df["node_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    nodes = pd.unique(pd.concat([edges_df["node_a"], edges_df["node_b"]]))
-    return pd.DataFrame({"node": nodes.astype(np.int64), "label": [find(int(n)) for n in nodes]})
+    """Connected components via scipy.sparse.csgraph (C-speed; the
+    driver fast path must not become the serial bottleneck — Amdahl
+    eats the cluster-size scaling otherwise). Labels are canonicalized
+    to the component's minimum node id, matching the distributed
+    min-label propagation exactly."""
+    a = edges_df["node_a"].to_numpy(dtype=np.int64)
+    b = edges_df["node_b"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    # vectorized min-label propagation with pointer jumping — O(E) numpy
+    # per round, O(log diameter) rounds (components here are shallow
+    # stars through the clean record)
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        before = label
+        m = np.minimum(label[ia], label[ib])
+        label = label.copy()
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        label = label[label]  # path compression
+        label = label[label]
+        if np.array_equal(label, before):
+            break
+    # labels are indices into the ascending `nodes` array, so the
+    # component minimum index IS the minimum node id
+    return pd.DataFrame({"node": nodes, "label": nodes[label]})
 
 
 def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":

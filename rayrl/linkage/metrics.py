@@ -16,14 +16,43 @@ from __future__ import annotations
 
 from ..shuffle import group_sizes_pair_sum
 
+# below this row count a driver-side pandas groupby is both faster and
+# exactly equivalent; above it the bucketed distributed path kicks in
+DRIVER_METRICS_MAX_ROWS = 5_000_000
+
+
+def _pairs_local(df, keys) -> float:
+    import numpy as np
+
+    def col(k):
+        c = df[k]
+        return c.to_numpy() if hasattr(c, "to_numpy") else np.asarray(c)
+
+    if len(keys) == 1:
+        key = col(keys[0])
+    else:
+        _, i0 = np.unique(col(keys[0]), return_inverse=True)
+        u1, i1 = np.unique(col(keys[1]), return_inverse=True)
+        key = i0.astype(np.int64) * len(u1) + i1
+    _, counts = np.unique(key, return_counts=True)
+    c = counts.astype(np.float64)
+    return float((c * (c - 1) / 2.0).sum())
+
 
 def pairwise_f1(labels_with_truth, all_nodes) -> dict:
     """``labels_with_truth``: Dataset (node, label, truth) for clustered
     nodes. ``all_nodes``: Dataset (node, truth) for EVERY physical row
     of both sides."""
-    truth_pairs = group_sizes_pair_sum(all_nodes, ["truth"])
-    cluster_pairs = group_sizes_pair_sum(labels_with_truth, ["label"])
-    tp = group_sizes_pair_sum(labels_with_truth, ["label", "truth"])
+    if all_nodes.count() <= DRIVER_METRICS_MAX_ROWS:
+        nodes_df = all_nodes.to_pandas()
+        labels_df = labels_with_truth.to_pandas()
+        truth_pairs = _pairs_local(nodes_df, ["truth"])
+        cluster_pairs = _pairs_local(labels_df, ["label"])
+        tp = _pairs_local(labels_df, ["label", "truth"])
+    else:
+        truth_pairs = group_sizes_pair_sum(all_nodes, ["truth"])
+        cluster_pairs = group_sizes_pair_sum(labels_with_truth, ["label"])
+        tp = group_sizes_pair_sum(labels_with_truth, ["label", "truth"])
     precision = tp / cluster_pairs if cluster_pairs else 1.0
     recall = tp / truth_pairs if truth_pairs else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0

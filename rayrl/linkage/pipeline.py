@@ -1,6 +1,6 @@
 """End-to-end linkage driver: clean + dirty Datasets → blocking →
-scoring → clustering → pairwise metrics (the Ray-native analogue of
-``generate_pairs_for_county`` + evaluation,
+candidate pairs → scoring → clustering → pairwise metrics (the
+Ray-native analogue of ``generate_pairs_for_county`` + evaluation,
 /root/reference/benchmarking/utils.R:1282-1360, 997-1047)."""
 
 from __future__ import annotations
@@ -9,71 +9,142 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Max
 
-from .blocking import LinkageConfig, band_rows
+from ..shuffle import distinct_rows
+from .blocking import LinkageConfig, band_rows_from_payload, node_payload
 from .clustering import cluster_edges
 from .metrics import pairwise_f1
-from .scoring import score_blocks
+from .scoring import candidate_pairs, score_pairs_broadcast, score_pairs_join
 
-
-def _nodes_of(ds, side: int):
-    def to_nodes(batch: pa.Table) -> pa.Table:
-        uids = batch.column("row_uid").to_numpy()
-        rids = batch.column("record_id").to_numpy()
-        return pa.table(
-            {
-                "node": pa.array(uids * 2 + side, pa.int64()),
-                "truth": pa.array(rids, pa.int64()),
-            }
-        )
-
-    return ds.select_columns(["row_uid", "record_id"]).map_batches(
-        to_nodes, batch_format="pyarrow", zero_copy_batch=True
-    )
+# edges below this count run clustering + metrics on the driver in
+# numpy; above it the distributed label-propagation path is used
+DRIVER_LINKAGE_MAX_EDGES = 5_000_000
 
 
 def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
     """Run the full pipeline; returns dict with ``edges``, ``labels``
-    (node, label, truth) and the pairwise metric dict under
-    ``metrics``."""
+    (node, label, truth), candidate-pair count under ``n_candidates``,
+    per-phase timings under ``timings`` and the pairwise metric dict
+    under ``metrics``."""
+    import time as _time
+
+    timings: dict[str, float] = {}
+
+    def _t(name, t0):
+        timings[name] = round(_time.perf_counter() - t0, 3)
+        return _time.perf_counter()
+
     cfg = cfg or LinkageConfig()
-    bands = band_rows(clean, cfg, side=0).union(band_rows(dirty, cfg, side=1))
-    edges = score_blocks(bands, cfg).materialize()
+    t = _time.perf_counter()
+    payload = node_payload(clean, 0, cfg).union(node_payload(dirty, 1, cfg)).materialize()
+    n_payload = payload.count()
+    t = _t("payload", t)
 
-    labels = cluster_edges(edges)
+    bands = band_rows_from_payload(payload, cfg)
+    # distinct BEFORE scoring: a pair colliding in k bands (and hence k
+    # buckets) must be scored once, not k times
+    pairs = candidate_pairs(bands, cfg).materialize()
+    n_candidates = pairs.count()
+    t = _t("candidates", t)
 
-    # attach truth to clustered nodes: (node → truth) from the edge ends
-    def ends(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    payload_tbl = None
+    if n_payload <= cfg.broadcast_payload_max_rows:
+        import ray as _ray
+
+        payload_tbl = pa.concat_tables(_ray.get(payload.to_arrow_refs()))
+        edges = score_pairs_broadcast(pairs, payload_tbl, cfg)
+    else:
+        edges = score_pairs_join(pairs, payload, cfg)
+    edges = edges.materialize()
+    t = _t("score", t)
+
+    n_edges = edges.count()
+    if n_edges <= DRIVER_LINKAGE_MAX_EDGES:
+        # single-node fast path: edges fit on the driver — run
+        # clustering, truth attachment and the metric contingency in
+        # numpy (no Ray joins / shuffles for the small tail phases;
+        # these serial barriers were the Amdahl term killing N→4N
+        # scaling). The distributed path below handles cluster scale.
+        import pandas as _pd
+
+        from .clustering import _driver_union_find
+        from .metrics import _pairs_local
+
+        edges_df = edges.select_columns(["node_a", "node_b", "truth_a", "truth_b"]).to_pandas()
+        labels_df = _driver_union_find(edges_df)
+        node_truth_df = _pd.DataFrame(
             {
-                "node": pa.array(
-                    np.concatenate(
-                        [batch.column("node_a").to_numpy(), batch.column("node_b").to_numpy()]
-                    ),
-                    pa.int64(),
-                ),
-                "truth": pa.array(
-                    np.concatenate(
-                        [batch.column("truth_a").to_numpy(), batch.column("truth_b").to_numpy()]
-                    ),
-                    pa.int64(),
-                ),
+                "node": np.concatenate([edges_df["node_a"], edges_df["node_b"]]),
+                "truth": np.concatenate([edges_df["truth_a"], edges_df["truth_b"]]),
             }
+        ).drop_duplicates("node")
+        lwt_df = labels_df.merge(node_truth_df, on="node", how="inner")
+        t = _t("cluster", t)
+
+        if payload_tbl is not None:  # already collected for the broadcast scorer
+            truth_pairs = _pairs_local(
+                {"truth": payload_tbl.column("truth").to_numpy()}, ["truth"]
+            )
+        else:
+            truth_pairs = _pairs_local(
+                payload.select_columns(["node", "truth"]).to_pandas(), ["truth"]
+            )
+        cluster_pairs = _pairs_local(lwt_df, ["label"])
+        tp = _pairs_local(lwt_df, ["label", "truth"])
+        precision = tp / cluster_pairs if cluster_pairs else 1.0
+        recall = tp / truth_pairs if truth_pairs else 1.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        metrics = {
+            "tp_pairs": tp,
+            "predicted_pairs": cluster_pairs,
+            "truth_pairs": truth_pairs,
+            "precision": precision,
+            "recall": recall,
+            "f1": f1,
+        }
+        labels_with_truth = ray.data.from_pandas(lwt_df)
+        _t("metrics", t)
+    else:
+        labels = cluster_edges(edges)
+        t = _t("cluster", t)
+
+        # attach truth to clustered nodes: (node → truth) from edge ends
+        def ends(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate(
+                            [batch.column("node_a").to_numpy(), batch.column("node_b").to_numpy()]
+                        ),
+                        pa.int64(),
+                    ),
+                    "truth": pa.array(
+                        np.concatenate(
+                            [batch.column("truth_a").to_numpy(), batch.column("truth_b").to_numpy()]
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        node_truth = distinct_rows(
+            edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True), ["node"]
         )
+        labels_with_truth = labels.join(
+            node_truth,
+            join_type="inner",
+            num_partitions=max(2, labels.num_blocks()),
+            on=("node",),
+        )
+        t = _t("label_join", t)
+        all_nodes = payload.select_columns(["node", "truth"])
+        metrics = pairwise_f1(labels_with_truth, all_nodes)
+        _t("metrics", t)
 
-    from ..shuffle import distinct_rows
-
-    node_truth = distinct_rows(
-        edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True), ["node"]
-    )
-    labels_with_truth = labels.join(
-        node_truth,
-        join_type="inner",
-        num_partitions=max(2, labels.num_blocks()),
-        on=("node",),
-    )
-
-    all_nodes = _nodes_of(clean, 0).union(_nodes_of(dirty, 1))
-    metrics = pairwise_f1(labels_with_truth, all_nodes)
-    return {"edges": edges, "labels": labels_with_truth, "metrics": metrics}
+    return {
+        "edges": edges,
+        "labels": labels_with_truth,
+        "metrics": metrics,
+        "n_candidates": n_candidates,
+        "timings": timings,
+    }

@@ -1,135 +1,201 @@
-"""In-block pairwise scoring → match edges.
+"""Candidate-pair generation + pairwise scoring → match edges.
 
 Replaces the reference's materialize-all-candidate-pairs +
 add_feature_vector flow (/root/reference/benchmarking/utils.R:502-645,
-189-311): pairs are generated AND scored inside each block and only
-above-threshold edges are emitted — the candidate pair set is never
-materialized (SURVEY.md §7.5(5)).
+189-311) with a two-phase shape chosen for shuffle volume:
 
-Execution shape: ONE Ray groupby on ``bucket`` (bounded heavyweight
-groups, see blocking.py), then a vectorized pandas groupby over
-``block_key`` inside each bucket. Edge dedup across bands is a second,
-narrow groupby on (node_a, node_b) — the reference's ``distinct()`` on
-candidate pairs (utils.R:587,592).
+1. ``candidate_pairs``: NARROW band rows (ints only) → bucketed
+   groupby → within-block clean×dirty pair ids → bucketed DISTINCT.
+   The only wide shuffle in the linkage pipeline moves ~21 bytes/row.
+2. scoring: each unique pair scored ONCE, fully vectorized. The
+   128-wide byte-packed MinHash signatures computed by the payload
+   stage give an est-Jaccard per pair as one numpy comparison (k=128 ⇒
+   σ ≤ 0.045, so a threshold decision at 0.42 with same-entity
+   near-misses ≤ 0.26 has > 3σ of margin on both sides — texts are
+   never shipped to the scorer at all). The broadcast side is FOUR
+   numpy arrays (ray.put once, zero-copy ray.get per actor); above
+   ``cfg.broadcast_payload_max_rows`` nodes the signatures are attached
+   via two hash joins instead (cluster-scale path) — same kernel.
 
-Feature set per pair (the surviving web-page analogues of the 23
-metric_* columns, utils.R:189-311): char-3-shingle Jaccard,
-Jaro-Winkler on text, lang equality. The decision rule is a
-deterministic threshold scorer (stand-in for the reference's rf/svm
-models — SURVEY.md §2.3 last row); swap in a model by replacing
-``_match_score``.
-"""
+The exact metrics (shingle Jaccard, Jaro-Winkler — the reference's
+stringdist set, utils.R:180-187) live in stringsim and back the
+feature-parity tests; the production decision is signature-based."""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-from ray.data.aggregate import Max
+import ray
 
+from ..shuffle import bucketed_group_apply, distinct_rows
 from .blocking import LinkageConfig
-from .stringsim import char_shingles, jaccard, jaro_winkler
 
-_EMPTY = pd.DataFrame(
-    {
-        "node_a": pd.Series([], dtype="int64"),
-        "node_b": pd.Series([], dtype="int64"),
-        "truth_a": pd.Series([], dtype="int64"),
-        "truth_b": pd.Series([], dtype="int64"),
-        "score": pd.Series([], dtype="float64"),
-    }
+_EMPTY_PAIRS = pd.DataFrame(
+    {"node_a": pd.Series([], dtype="int64"), "node_b": pd.Series([], dtype="int64")}
 )
 
 
-def _match_score(jac: float, jw: float, lang_eq: bool, cfg: LinkageConfig) -> float:
-    """Deterministic scorer in [0,1]; ≥ 0.5 ⇒ match edge."""
-    if jac >= cfg.jaccard_threshold or jw >= cfg.jw_threshold:
-        base = 0.55 + 0.35 * max(jac, jw - 0.5)
+def candidate_pairs(band_ds, cfg: LinkageConfig):
+    """bucketed within-block clean×dirty pair generation → distinct."""
+
+    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        nodes = bucket_df["node"].to_numpy()
+        sides = bucket_df["side"].to_numpy()
+        out_a, out_b = [], []
+        for _, idx in bucket_df.groupby("block_key", sort=False).indices.items():
+            s = sides[idx]
+            c = nodes[idx[s == 0]]
+            d = nodes[idx[s == 1]]
+            n_pairs = len(c) * len(d)
+            if n_pairs == 0 or n_pairs > cfg.max_block_pairs:
+                # pathological block (boilerplate collision): skip — the
+                # pair is recovered via its other bands
+                continue
+            a, b = np.meshgrid(c, d)
+            out_a.append(a.ravel())
+            out_b.append(b.ravel())
+        if not out_a:
+            return _EMPTY_PAIRS
+        df = pd.DataFrame({"node_a": np.concatenate(out_a), "node_b": np.concatenate(out_b)})
+        return df.drop_duplicates()  # local dedup before the global one
+
+    raw = bucketed_group_apply(
+        band_ds.select_columns(["bucket", "block_key", "node", "side"]),
+        ["block_key"],
+        pairs,
+        num_buckets=cfg.num_buckets,
+    )
+    return distinct_rows(raw, ["node_a", "node_b"], num_buckets=cfg.num_buckets)
+
+
+def payload_arrays(payload: "pa.Table | pd.DataFrame") -> dict[str, np.ndarray]:
+    """payload table → plasma-friendly numpy arrays, sorted by node
+    (searchsorted lookups in the scorer). Accepts Arrow directly so the
+    driver never builds a pandas frame of the whole payload."""
+    if isinstance(payload, pa.Table):
+        import pyarrow.compute as pc
+
+        node = payload.column("node").to_numpy()
+        truth = payload.column("truth").to_numpy()
+        lang_codes = (
+            pc.dictionary_encode(payload.column("lang").combine_chunks())
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+        )
+        sig_col = payload.column("sig").combine_chunks()
+        # equal-width binary values → the data buffer is one contiguous
+        # (n × k) matrix; slice by the offsets (zero-copy, no Python
+        # object per row)
+        offsets = np.frombuffer(sig_col.buffers()[1], dtype=np.int32)[
+            sig_col.offset : sig_col.offset + len(sig_col) + 1
+        ]
+        raw = np.frombuffer(sig_col.buffers()[2], dtype=np.uint8)
+        sig = raw[offsets[0] : offsets[-1]].reshape(len(sig_col), -1)
     else:
-        base = 0.45 * max(jac / max(cfg.jaccard_threshold, 1e-9), jw / cfg.jw_threshold)
-        base = min(base, 0.49)
-    if lang_eq:
-        base = min(1.0, base + 0.01)
-    return base
+        node = payload["node"].to_numpy()
+        truth = payload["truth"].to_numpy()
+        _, lang_codes = np.unique(
+            np.asarray([x or "\0" for x in payload["lang"]]), return_inverse=True
+        )
+        sig = np.frombuffer(b"".join(payload["sig"]), dtype=np.uint8).reshape(len(node), -1)
+    order = np.argsort(node)
+    return {
+        "node": node[order],
+        "truth": truth[order],
+        "sig": np.ascontiguousarray(sig[order]),
+        "lang_code": lang_codes.astype(np.int8)[order],
+    }
 
 
-def score_bucket(group: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
-    """One bucket: iterate its blocks (pandas groupby — C-level group
-    split), generate clean×dirty pairs per block, score, threshold.
-    A (node_a, node_b) pair seen in an earlier block of the same bucket
-    is skipped locally; cross-bucket repeats die in the dedup groupby."""
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_ta: list[int] = []
-    out_tb: list[int] = []
-    out_s: list[float] = []
-    seen: set[tuple[int, int]] = set()
-    shingle_cache: dict[int, set] = {}
-
-    nodes = group["node"].to_numpy()
-    truths = group["truth"].to_numpy()
-    sides = group["side"].to_numpy()
-    texts = group["text"].to_numpy()
-    langs = group["lang"].to_numpy()
-
-    for _, idx in group.groupby("block_key", sort=False).indices.items():
-        s = sides[idx]
-        c_ix = idx[s == 0]
-        d_ix = idx[s == 1]
-        n_pairs = len(c_ix) * len(d_ix)
-        if n_pairs == 0 or n_pairs > cfg.max_block_pairs:
-            # pathological block (boilerplate collision): skip — pairs
-            # will be found via their other bands
-            continue
-        for i in c_ix:
-            na = int(nodes[i])
-            sh_a = shingle_cache.get(na)
-            if sh_a is None:
-                sh_a = shingle_cache[na] = char_shingles(texts[i])
-            for j in d_ix:
-                nb = int(nodes[j])
-                key = (na, nb)
-                if key in seen:
-                    continue
-                seen.add(key)
-                sh_b = shingle_cache.get(nb)
-                if sh_b is None:
-                    sh_b = shingle_cache[nb] = char_shingles(texts[j])
-                jac = jaccard(sh_a, sh_b)
-                if jac < cfg.jaccard_threshold * 0.5:
-                    continue  # cheap reject before the O(n·m) JW
-                jw = jaro_winkler(texts[i], texts[j]) if jac < 0.999 else 1.0
-                sc = _match_score(jac, jw, langs[i] == langs[j], cfg)
-                if sc >= 0.5:
-                    out_a.append(na)
-                    out_b.append(nb)
-                    out_ta.append(int(truths[i]))
-                    out_tb.append(int(truths[j]))
-                    out_s.append(sc)
-    if not out_a:
-        return _EMPTY
+def _score_kernel(na, nb, arrs: dict[str, np.ndarray], cfg: LinkageConfig) -> pd.DataFrame:
+    ia = np.searchsorted(arrs["node"], na)
+    ib = np.searchsorted(arrs["node"], nb)
+    est = (arrs["sig"][ia] == arrs["sig"][ib]).mean(axis=1) - (1.0 / 256.0)
+    keep = est >= cfg.jaccard_threshold
+    if not keep.any():
+        return pd.DataFrame(
+            {
+                "node_a": pd.Series([], dtype="int64"),
+                "node_b": pd.Series([], dtype="int64"),
+                "truth_a": pd.Series([], dtype="int64"),
+                "truth_b": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    lang_eq = arrs["lang_code"][ia[keep]] == arrs["lang_code"][ib[keep]]
+    score = np.minimum(0.55 + 0.35 * np.minimum(est[keep], 1.0) + 0.01 * lang_eq, 1.0)
     return pd.DataFrame(
         {
-            "node_a": np.array(out_a, dtype=np.int64),
-            "node_b": np.array(out_b, dtype=np.int64),
-            "truth_a": np.array(out_ta, dtype=np.int64),
-            "truth_b": np.array(out_tb, dtype=np.int64),
-            "score": np.array(out_s, dtype=np.float64),
+            "node_a": pd.Series(np.asarray(na)[keep], dtype="int64"),
+            "node_b": pd.Series(np.asarray(nb)[keep], dtype="int64"),
+            "truth_a": pd.Series(arrs["truth"][ia[keep]], dtype="int64"),
+            "truth_b": pd.Series(arrs["truth"][ib[keep]], dtype="int64"),
+            "score": pd.Series(np.round(score, 6), dtype="float64"),
         }
     )
 
 
-def score_blocks(band_ds, cfg: LinkageConfig):
-    """bucket-grouped scoring → cross-band edge dedup.
+def _score_task(batch: pd.DataFrame, arrs_ref, cfg: LinkageConfig) -> pd.DataFrame:
+    # stateless task: ray.get of a dict of numpy arrays is ZERO-COPY
+    # from the local object store (~ms), so tasks scale elastically to
+    # every core with no actor-pool spin-up cost
+    arrs = ray.get(arrs_ref)
+    return _score_kernel(batch["node_a"].to_numpy(), batch["node_b"].to_numpy(), arrs, cfg)
 
-    The dedup is a bucketed DISTINCT (rayrl.shuffle), not a Ray
-    ``groupby(...).aggregate`` — edge keys have unbounded cardinality
-    (one group per pair) and per-group dispatch would dominate the whole
-    pipeline. Scores are deterministic functions of the pair, so any
-    duplicate row is identical and drop-first semantics are exact."""
-    from ..shuffle import distinct_rows
 
-    edges = band_ds.groupby("bucket").map_groups(
-        lambda g: score_bucket(g, cfg), batch_format="pandas"
+def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=None):
+    ref = ray.put(payload_arrays(payload))
+    # the distinct stage leaves one small block per bucket; coalesce so
+    # the scorer runs a handful of chunky tasks, not bucket-count tiny ones
+    pairs_ds = pairs_ds.repartition(target_num_rows_per_block=131072)
+    return pairs_ds.map_batches(
+        _score_task,
+        fn_kwargs={"arrs_ref": ref, "cfg": cfg},
+        batch_format="pandas",
+        batch_size=131072,
     )
-    return distinct_rows(edges, ["node_a", "node_b"], num_buckets=cfg.num_buckets)
+
+
+def score_pairs_join(pairs_ds, payload_ds, cfg: LinkageConfig):
+    """Cluster-scale path: hydrate pair ids with (sig, lang, truth) via
+    two hash joins (requires DataContext.shuffle_strategy =
+    HASH_SHUFFLE), then run the same vectorized kernel."""
+    cols = ["node", "truth", "lang", "sig"]
+    a_side = payload_ds.select_columns(cols).map_batches(
+        lambda t: t.rename_columns(["node_a", "truth_a_", "lang_a", "sig_a"]),
+        batch_format="pyarrow",
+    )
+    b_side = payload_ds.select_columns(cols).map_batches(
+        lambda t: t.rename_columns(["node_b", "truth_b_", "lang_b", "sig_b"]),
+        batch_format="pyarrow",
+    )
+    nparts = max(2, cfg.num_buckets // 8)
+    hydrated = pairs_ds.join(a_side, join_type="inner", num_partitions=nparts, on=("node_a",)).join(
+        b_side, join_type="inner", num_partitions=nparts, on=("node_b",)
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return _score_kernel(np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+                                 {"node": np.array([], dtype=np.int64), "truth": np.array([], dtype=np.int64),
+                                  "sig": np.zeros((0, 1), dtype=np.uint8), "lang_code": np.array([], dtype=np.int8)}, cfg)
+        sig_a = np.frombuffer(b"".join(batch["sig_a"]), dtype=np.uint8).reshape(n, -1)
+        sig_b = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint8).reshape(n, -1)
+        est = (sig_a == sig_b).mean(axis=1) - (1.0 / 256.0)
+        keep = est >= cfg.jaccard_threshold
+        lang_eq = (batch["lang_a"].to_numpy()[keep] == batch["lang_b"].to_numpy()[keep])
+        score = np.minimum(0.55 + 0.35 * np.minimum(est[keep], 1.0) + 0.01 * lang_eq, 1.0)
+        return pd.DataFrame(
+            {
+                "node_a": pd.Series(batch["node_a"].to_numpy()[keep], dtype="int64"),
+                "node_b": pd.Series(batch["node_b"].to_numpy()[keep], dtype="int64"),
+                "truth_a": pd.Series(batch["truth_a_"].to_numpy()[keep], dtype="int64"),
+                "truth_b": pd.Series(batch["truth_b_"].to_numpy()[keep], dtype="int64"),
+                "score": pd.Series(np.round(score, 6), dtype="float64"),
+            }
+        )
+
+    return hydrated.map_batches(score, batch_format="pandas", batch_size=65536)

@@ -137,6 +137,10 @@ def pages_dataset(n: int, seed: int = 42, override_num_blocks: int | None = None
     def build(batch: pa.Table) -> pa.Table:
         return make_pages_batch(batch["id"].to_numpy(), seed)
 
+    if override_num_blocks is None:
+        # row construction is Python-loop-bound → keep blocks small
+        # enough that every core gets work
+        override_num_blocks = max(8, min(512, n // 4096))
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
     return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -1,0 +1,132 @@
+"""Dedup + similarity-search operator tests (training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from rayrl import dedup
+from rayrl.ann import ann_lsh_topk, ann_topk
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """documents copy with planted exact + near duplicates."""
+    tmp = tmp_path_factory.mktemp("dups")
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    extra_texts, extra_ids = [], []
+    next_id = max(ids) + 1
+    for i in range(20):  # exact dups of docs 0..19
+        extra_texts.append(texts[i])
+        extra_ids.append(next_id)
+        next_id += 1
+    for i in range(20, 40):  # near dups: one char appended
+        extra_texts.append(texts[i] + "x")
+        extra_ids.append(next_id)
+        next_id += 1
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids + extra_ids, pa.int64()),
+            "text": pa.array(texts + extra_texts, pa.string()),
+        }
+    )
+    pq.write_table(out, tmp / "documents.parquet")
+    return str(tmp), ids, extra_ids
+
+
+def test_dedup_exact_finds_planted(ray_session, dup_corpus):
+    path, ids, extra_ids = dup_corpus
+    res = dedup.dedup_exact(path).to_pandas()
+    dup_groups = res[res["n_copies"] > 1]
+    assert len(dup_groups) == 20
+    assert set(dup_groups["keeper"]) == set(range(20))  # keeper = min doc_id
+
+
+def test_dedup_minhash_finds_near_dups(ray_session, dup_corpus):
+    path, ids, extra_ids = dup_corpus
+    res = dedup.dedup_minhash(path, threshold=0.8).to_pandas()
+    clusters = res.groupby("cluster")["doc_id"].apply(set)
+    planted = {frozenset({i, extra_ids[i]}) for i in range(40)}  # exact + near
+    found = {frozenset(c) for c in clusters}
+    missing = [p for p in planted if not any(p <= f for f in found)]
+    assert len(missing) <= 2, missing  # ≥ 95% of planted dups recovered
+
+
+def test_simhash_near_pairs(ray_session, dup_corpus):
+    path, ids, extra_ids = dup_corpus
+    fps = dedup.simhash_fingerprints(path).to_pandas().set_index("doc_id")["simhash"]
+    # exact dups ⇒ identical simhash
+    for i in range(20):
+        assert fps.loc[i] == fps.loc[extra_ids[i]]
+    pairs = dedup.simhash_near_pairs(path, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    hits = sum((i, extra_ids[i]) in got for i in range(20))
+    assert hits == 20  # hamming 0 pairs always found
+    for _, r in pairs.iterrows():
+        assert bin(int(fps.loc[r["doc_a"]]) ^ int(fps.loc[r["doc_b"]])).count("1") == r["hamming"]
+
+
+def test_ngram_jaccard_pairs(ray_session, dup_corpus):
+    path, ids, extra_ids = dup_corpus
+    res = dedup.ngram_jaccard_pairs(path, threshold=0.5).to_pandas()
+    got = set(map(tuple, res[["doc_a", "doc_b"]].to_numpy()))
+    hits = sum((i, extra_ids[i]) in got for i in range(20))
+    assert hits >= 18
+    assert (res["ngram_jaccard"] >= 0.5).all()
+
+
+def test_embedding_near_dups_threshold(ray_session):
+    res = dedup.embedding_near_dups(SF_DIR, threshold=0.35).to_pandas()
+    assert len(res) > 0
+    assert (res["cosine"] >= 0.35).all()
+    assert (res["vec_a"] < res["vec_b"]).all()
+
+
+def test_ann_lsh_finds_planted_near_identical(ray_session, tmp_path):
+    """Single-probe hyperplane LSH has ~zero top-k recall on the
+    near-orthogonal random test embeddings (that's inherent, not a
+    bug); its guarantee is that near-IDENTICAL vectors share a bucket
+    with probability (1 - θ/π)^planes ≈ 1. Plant tiny-angle copies of
+    the query vectors and require LSH to retrieve them."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    ids = t.column("vec_id").to_pylist()
+    labels = t.column("label").to_pylist()
+    next_id = max(ids) + 1
+    planted = {}
+    for q in range(5):
+        v = np.asarray(emb[q], dtype=np.float32)
+        v = v + 0.001 * np.abs(v).mean()  # tiny perturbation, ~same direction
+        emb.append(list(v))
+        ids.append(next_id)
+        labels.append(labels[q])
+        planted[q] = next_id
+        next_id += 1
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(out, tmp_path / "embeddings.parquet")
+    res = ann_lsh_topk(str(tmp_path), k=10).to_pandas()
+    for q, pid in planted.items():
+        got = res[res["query_id"] == q]
+        assert pid in set(got["vec_id"]), (q, pid)
+        # the planted copy is the nearest neighbour in its bucket
+        assert int(got[got["vec_id"] == pid]["rank"].iloc[0]) == 1
+
+
+def test_ann_lsh_well_formed(ray_session):
+    approx = ann_lsh_topk(SF_DIR, k=10).to_pandas()
+    assert set(approx.columns) == {"query_id", "rank", "vec_id"}
+    for q, g in approx.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))

@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests — real Arrow binary handling, stubbed
+decode (rayrl.multimodal)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rayrl import synth
+from rayrl.multimodal import MediaFeatures, decode_image, frame_sample, media_features
+
+
+def _media_ds(n=200):
+    pages = synth.make_pages_batch(np.arange(n))
+    tbl = pa.table(
+        {
+            "media_id": pages.column("record_id"),
+            "payload": pages.column("html"),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "width": pa.array([8] * n, pa.int32()),
+            "height": pa.array([8] * n, pa.int32()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+    thumb = decode_image(b"abcdefgh" * 8, fake=True)
+    assert thumb.shape == (8, 8) and thumb.dtype == np.uint8
+
+
+def test_media_features(ray_session):
+    ds = _media_ds(200)
+    out = media_features(ds, batch_size=64, concurrency=2).to_pandas()
+    assert len(out) == 200
+    assert (out["n_bytes"] > 0).all()
+    assert ((out["byte_entropy"] >= 0) & (out["byte_entropy"] <= 8)).all()
+    # entropy of ascii html payloads is positive and < 8 bits
+    assert out["byte_entropy"].mean() > 1
+
+
+def test_frame_sample_layout(ray_session):
+    ds = _media_ds(50)
+    frames = frame_sample(ds, every_n=2).to_pandas()
+    assert (frames["frame_index"] % 2 == 0).all()
+    assert frames["frame_bytes"].map(len).max() <= 64
+    # every media id contributes ≥ 1 frame
+    assert frames["media_id"].nunique() == 50
+
+
+def test_media_features_deterministic(ray_session):
+    ds = _media_ds(100)
+    a = media_features(ds, batch_size=32).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = media_features(ds, batch_size=100).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
