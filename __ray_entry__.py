@@ -70,6 +70,54 @@ def er_linkage_metrics(sf_dir: str):
     return pd.DataFrame([{k: round(float(v), 6) for k, v in m.items()}])
 
 
+def _small_linkage(sf_dir: str):
+    from rayrl import pipeline, synth
+    from rayrl.linkage import LinkageConfig, link_datasets
+
+    n = max(2000, _n_pages(sf_dir) // 4)
+    clean = synth.pages_dataset(n).materialize()
+    dirty = pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).dirty.materialize()
+    return link_datasets(clean, dirty, LinkageConfig())
+
+
+def er_pair_metrics(sf_dir: str):
+    """Extended pair metric set over scored edges (accuracy, precision,
+    recall, F1, Brier — calculate_metrics reduction, utils.R:997-1047)."""
+    from rayrl.linkage.resolve import pair_metrics
+
+    res = _small_linkage(sf_dir)
+    return pd.DataFrame([{k: round(float(v), 6) for k, v in pair_metrics(res["edges"]).items()}])
+
+
+def er_best_links(sf_dir: str):
+    """Gap-based best-link resolution over match edges
+    (find_best_links, utils.R:457-470)."""
+    from rayrl.linkage.resolve import find_best_links
+
+    res = _small_linkage(sf_dir)
+    return find_best_links(res["edges"], odds_threshold=0.1)
+
+
+def er_links_1to1(sf_dir: str):
+    """Strict 1-to-1 links (links_1to1, utils.R:368-389)."""
+    from rayrl.linkage.resolve import links_1to1
+
+    res = _small_linkage(sf_dir)
+    return links_1to1(res["edges"])
+
+
+def er_perturb_flow(sf_dir: str):
+    """The per-row error-assignment flow (perturb_data + add_error,
+    R/duplicate_add_errors.R:24-99): 2 corrupted copies per record."""
+    from rayrl import synth
+    from rayrl.errors.flow import perturb_dataset
+    from rayrl.errors.injector import strip_ledger
+
+    n = max(2000, _n_pages(sf_dir) // 10)
+    clean = synth.pages_dataset(n)
+    return strip_ledger(perturb_dataset(clean, ["indel", "repl", "tpose"], n_dup=2, seed=7))
+
+
 def multimodal_features(sf_dir: str):
     """Byte-level media features over the pages html payload (decode
     stubbed — see rayrl.multimodal)."""
@@ -100,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_ledger": er_ledger,
             "er_error_rate": er_error_rate,
             "er_linkage_metrics": er_linkage_metrics,
+            "er_pair_metrics": er_pair_metrics,
+            "er_best_links": er_best_links,
+            "er_links_1to1": er_links_1to1,
+            "er_perturb_flow": er_perturb_flow,
             "multimodal_features": multimodal_features,
         }
     )

@@ -204,7 +204,51 @@ def lang_profile(sf_dir: str):
     return out.map_batches(rounder, batch_format="pyarrow")
 
 
+def best_event_per_user(sf_dir: str, gap: float = 5.0):
+    """Per user: the top event by value, kept only when it beats the
+    runner-up by > ``gap`` — the find_best_links odds filter
+    (utils.R:457-470) re-expressed over the events table so a SQL
+    oracle can check it. Bucketed per-user groupby; tie-break on
+    event_id."""
+    from .shuffle import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+        g = df.groupby("user_id", sort=False)
+        top = g.head(1).set_index("user_id")
+        second = g.nth(1)
+        if len(second):
+            sec = second.set_index("user_id")["value"].reindex(top.index)
+        else:
+            sec = pd.Series(np.nan, index=top.index)
+        keep = top[sec.isna() | (top["value"] - sec > gap)]
+        out = keep.reset_index()[["user_id", "event_id", "value"]].copy()
+        out["value"] = out["value"].round(2)
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], best)
+
+
 ORACLES = {
+    "best_event_per_user": """
+        WITH r AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id ASC) AS rn
+            FROM events
+        ), t AS (
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN value END) AS v1,
+                   max(CASE WHEN rn = 2 THEN value END) AS v2,
+                   max(CASE WHEN rn = 1 THEN event_id END) AS best_event
+            FROM r GROUP BY user_id
+        )
+        SELECT user_id, CAST(best_event AS BIGINT) AS event_id,
+               round(v1, 2) AS value
+        FROM t WHERE v2 IS NULL OR v1 - v2 > 5.0
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -258,6 +302,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "best_event_per_user": best_event_per_user,
     "pricing_summary": pricing_summary,
     "top_orders": top_orders,
     "customer_order_stats": customer_order_stats,

@@ -1,0 +1,102 @@
+"""Tests for the perturb/add_error flow, convert_cols, twin-value
+sharing and the link-resolution ops."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rayrl import synth
+from rayrl.errors.flow import convert_cols, perturb_dataset, share_value_within_groups
+from rayrl.errors.injector import LEDGER_COL, extract_ledger
+from rayrl.linkage.resolve import find_best_links, links_1to1, pair_metrics, resolve_linkage
+
+
+def test_perturb_dataset_fanout_and_assignment(ray_session):
+    n = 1000
+    clean = synth.pages_dataset(n, override_num_blocks=2)
+    out = perturb_dataset(clean, ["indel", "repl", "tpose"], n_dup=2, seed=7).materialize()
+    assert out.count() == n * 3  # original + 2 copies
+    led = extract_ledger(out).to_pandas()
+    # each record's copies carry exactly one error each, of distinct types
+    per_rec = led.groupby("record_id")["error"].apply(list)
+    multi = [v for v in per_rec if len(v) >= 2]
+    assert len(multi) > 0
+    for errs in per_rec:
+        assert len(errs) <= 2
+        assert len(set(errs)) == len(errs)  # without replacement
+    # deterministic across batch sizes
+    out2 = perturb_dataset(
+        synth.pages_dataset(n, override_num_blocks=7), ["indel", "repl", "tpose"], n_dup=2, seed=7
+    ).materialize()
+    a = out.to_pandas().sort_values("row_uid").reset_index(drop=True)
+    b = out2.to_pandas().sort_values("row_uid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.drop(columns=[LEDGER_COL]), b.drop(columns=[LEDGER_COL]))
+
+
+def test_convert_cols(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"record_id": [1, 2], "x": [1.5, 2.5]}))
+    out = convert_cols(ds, {"x": pa.string()})
+    schema = out.schema().base_schema
+    assert schema.field("x").type == pa.string()
+
+
+def test_share_value_within_groups(ray_session):
+    df = pd.DataFrame(
+        {
+            "row_uid": [1, 2, 3, 4, 5],
+            "grp": [10, 10, 20, 20, 30],
+            "val": ["a", "b", "c", "d", "e"],
+        }
+    )
+    out = share_value_within_groups(ray.data.from_pandas(df), ["grp"], "val").to_pandas()
+    got = dict(zip(out["row_uid"], out["val"]))
+    assert got[1] == got[2] == "a"  # group min row's value wins
+    assert got[3] == got[4] == "c"
+    assert got[5] == "e"
+
+
+@pytest.fixture()
+def edges_ds(ray_session):
+    df = pd.DataFrame(
+        {
+            "node_a": [1, 1, 2, 3, 3, 4],
+            "node_b": [10, 11, 10, 12, 13, 14],
+            "truth_a": [100, 100, 200, 300, 300, 400],
+            "truth_b": [100, 150, 200, 300, 310, 400],
+            "score": [0.9, 0.55, 0.8, 0.95, 0.90, 0.7],
+        }
+    )
+    return ray.data.from_pandas(df)
+
+
+def test_links_1to1(edges_ds):
+    out = links_1to1(edges_ds).to_pandas()
+    # node_a 1 and 3 appear twice; node_b 10 twice → only (4, 14) is 1-1
+    assert set(map(tuple, out[["node_a", "node_b"]].to_numpy())) == {(4, 14)}
+
+
+def test_find_best_links_gap(edges_ds):
+    out = find_best_links(edges_ds, odds_threshold=0.2).to_pandas()
+    kept = set(map(tuple, out[["node_a", "node_b"]].to_numpy()))
+    # node 1: gap 0.9-0.55=0.35 > 0.2 → keep (1,10); node 3: gap 0.05 → drop
+    assert (1, 10) in kept and (2, 10) in kept and (4, 14) in kept
+    assert not any(a == 3 for a, _ in kept)
+
+
+def test_resolve_linkage_flags(edges_ds):
+    resolved = links_1to1(edges_ds)
+    out = resolve_linkage(edges_ds, resolved).to_pandas()
+    flags = dict(zip(zip(out["node_a"], out["node_b"]), out["match_pred_resolved"]))
+    assert flags[(4, 14)] is True or flags[(4, 14)] == True  # noqa: E712
+    assert not flags[(1, 10)]
+
+
+def test_pair_metrics(edges_ds):
+    m = pair_metrics(edges_ds)
+    assert m["n_pairs"] == 6
+    # truths: matches = rows where truth_a == truth_b → 4 of 6
+    assert m["precision"] == pytest.approx(4 / 6)
+    assert 0 < m["brier"] < 1
