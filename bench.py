@@ -44,8 +44,10 @@ def run_bench() -> dict:
     import __ray_entry__ as entry_mod
 
     # bench at 3× the correctness-fixture scale so compute dominates
-    # the fixed per-stage orchestration cost (sf0.1 → 600k pages)
-    n_pages = entry_mod._n_pages(sf_dir) * 3
+    # the fixed per-stage orchestration cost (sf0.1 → 600k pages);
+    # GRAFT_BENCH_PAGES overrides (the --scaling run uses the
+    # FIXTURES.md bench scale of 2M rows)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", entry_mod._n_pages(sf_dir) * 3))
 
     # warm the OS page cache (untimed) so we measure compute, not cold reads
     ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -125,8 +127,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    def run_once(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # two-parallelism runs use the FIXTURES.md `bench` fixture
+            # scale (2M pages) so compute amortizes fixed stage costs
+            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_BENCH_PAGES", "2000000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,
@@ -135,6 +143,11 @@ def run_scaling() -> dict:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    # one fresh process per level; inside each, bench.py measures two
+    # repetitions and reports the warm one (warm-worker reps are where
+    # the sandbox VM's ±40% steal-time jitter dies down)
+    run = run_once
 
     lo, hi = 8, 32
     r_lo = run(lo)

@@ -1,0 +1,79 @@
+"""CLI entry point — the ``ray job submit`` surface of the north rule.
+
+Usage (local or against a cluster address in RAY_ADDRESS):
+
+    ray job submit -- python -m rayrl.cli er-benchmark \
+        --n-pages 200000 --rate 0.10 --out /tmp/er_run
+    python -m rayrl.cli er-benchmark --n-pages 20000 --rate 0.3 --out /tmp/er
+
+Runs the checkpointed end-to-end benchmark (synth → inject → linkage →
+metrics); a rerun with the same parameters resumes from the completed
+stages (rayrl.checkpoint)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="rayrl")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    er = sub.add_parser("er-benchmark", help="checkpointed inject + linkage benchmark")
+    er.add_argument("--n-pages", type=int, default=20_000)
+    er.add_argument("--rate", type=float, default=0.10)
+    er.add_argument("--seed", type=int, default=7)
+    er.add_argument("--out", required=True, help="checkpoint/output directory")
+    er.add_argument("--num-buckets", type=int, default=64)
+
+    inj = sub.add_parser("inject", help="error-inject a parquet pages table")
+    inj.add_argument("--input", required=True, help="parquet path of pages")
+    inj.add_argument("--spec", help="error_table CSV (default: benchmark specs)")
+    inj.add_argument("--rate", type=float, default=0.10)
+    inj.add_argument("--seed", type=int, default=7)
+    inj.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "er-benchmark":
+            from .checkpoint import run_er_benchmark
+            from .linkage import LinkageConfig
+
+            res = run_er_benchmark(
+                args.out,
+                n_pages=args.n_pages,
+                rate=args.rate,
+                seed=args.seed,
+                cfg=LinkageConfig(num_buckets=args.num_buckets),
+            )
+            print(json.dumps({k: float(v) for k, v in res["metrics"].items() if k != "run"}))
+        elif args.cmd == "inject":
+            from . import pipeline
+
+            specs = (
+                pipeline.load_specs(args.spec)
+                if args.spec
+                else pipeline.benchmark_specs(args.rate)
+            )
+            clean = ray.data.read_parquet(args.input)
+            out = pipeline.mess_dataset(clean, specs, seed=args.seed)
+            manifest = pipeline.checkpoint_combined(out, args.out)
+            print(json.dumps(manifest))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,26 +108,25 @@ class PayloadBuilder:
         return mixed.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .stringsim import minhash_signature
+        from .stringsim import minhash_signatures_batch
 
         cfg = self.cfg
         uids = batch.column("row_uid").to_numpy()
         texts = batch.column("text").to_pylist()
         urls = batch.column("url").to_pylist()
-        n_b = (cfg.n_char_lanes + cfg.n_word_lanes) * 2
+        mh_all = minhash_signatures_batch(texts, self.tags)  # (n, 128)
+        sig_bytes = (mh_all & np.uint64(0xFF)).astype(np.uint8)
+        char_lanes = (mh_all[:, : cfg.n_char_lanes] & np.uint64(0xFFFF)).astype(np.uint16)
         sigs = []
         bsigs = []
-        for t in texts:
+        for i, t in enumerate(texts):
             if not t:
                 sigs.append(b"\x00" * self.SIG_K)
-                bsigs.append(b"\x00" * n_b)
+                bsigs.append(b"\x00" * (cfg.n_char_lanes + cfg.n_word_lanes) * 2)
                 continue
-            mh = minhash_signature(t, self.tags)
-            sigs.append((mh & np.uint64(0xFF)).astype(np.uint8).tobytes())
-            lanes = np.concatenate(
-                [mh[: cfg.n_char_lanes], self._word_lanes(t)]
-            )
-            bsigs.append((lanes & np.uint64(0xFFFF)).astype(np.uint16).tobytes())
+            sigs.append(sig_bytes[i].tobytes())
+            wl = (self._word_lanes(t) & np.uint64(0xFFFF)).astype(np.uint16)
+            bsigs.append(char_lanes[i].tobytes() + wl.tobytes())
         hosts = np.fromiter(
             (zlib.crc32(_host_of(u).encode()) for u in urls), dtype=np.int64, count=len(urls)
         )

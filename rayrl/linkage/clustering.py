@@ -19,7 +19,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
 

@@ -143,6 +143,33 @@ def minhash_signature(s: str, tags: np.ndarray) -> np.ndarray:
     return mixed.min(axis=1)
 
 
+def minhash_signatures_batch(texts: list[str], tags: np.ndarray) -> np.ndarray:
+    """Batch MinHash: one (n, k) signature matrix for a whole batch —
+    per-tag segment-mins over the concatenated shingle codes
+    (``np.minimum.reduceat``), ~5× the per-row throughput. Empty/None
+    texts get an all-zero signature. Identical values to
+    ``minhash_signature`` per row (min is dedup-invariant)."""
+    n = len(texts)
+    out = np.zeros((n, len(tags)), dtype=np.uint64)
+    codes_list = []
+    rows = []
+    for i, t in enumerate(texts):
+        if t:
+            codes_list.append(shingle_codes(t))
+            rows.append(i)
+    if not rows:
+        return out
+    lens = np.fromiter((len(c) for c in codes_list), dtype=np.int64, count=len(codes_list))
+    allcodes = np.concatenate(codes_list)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    sub = np.empty((len(rows), len(tags)), dtype=np.uint64)
+    for j in range(len(tags)):
+        mixed = rng._splitmix64(allcodes ^ tags[j])
+        sub[:, j] = np.minimum.reduceat(mixed, starts)
+    out[np.array(rows)] = sub
+    return out
+
+
 def minhash_tags(k: int, seed: int = 0) -> np.ndarray:
     return rng.hash_u64(np.arange(k, dtype=np.int64), seed, rng.tag_for("minhash"))
 

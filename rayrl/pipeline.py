@@ -18,14 +18,12 @@ import os
 from dataclasses import dataclass
 from typing import Any
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
 from .errors import ErrorSpec, Injector, extract_ledger, strip_ledger
-from .errors.injector import LEDGER_COL
 
 
 def load_specs(path: str) -> list[ErrorSpec]:

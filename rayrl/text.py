@@ -7,10 +7,7 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
@@ -189,7 +186,7 @@ TEXT_QUERIES = {
 }
 
 TEXT_ORACLES = {
-    "token_counts": """
+    "token_counts": r"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
