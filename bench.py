@@ -128,13 +128,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            # two-parallelism runs use the FIXTURES.md `bench` fixture
-            # scale (2M pages) so compute amortizes fixed stage costs
-            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_BENCH_PAGES", "2000000"),
-        )
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,

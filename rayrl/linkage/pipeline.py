@@ -41,24 +41,21 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
     t = _t("payload", t)
 
     bands = band_rows_from_payload(payload, cfg)
+    # distinct BEFORE scoring: a pair colliding in k bands (and hence k
+    # buckets) must be scored once, not k times
+    pairs = candidate_pairs(bands, cfg).materialize()
+    n_candidates = pairs.count()
+    t = _t("candidates", t)
+
     payload_tbl = None
     if n_payload <= cfg.broadcast_payload_max_rows:
         import ray as _ray
 
-        from .scoring import candidate_pairs_raw, dedup_and_score, payload_arrays
-
         payload_tbl = pa.concat_tables(_ray.get(payload.to_arrow_refs()))
-        arrs_ref = _ray.put(payload_arrays(payload_tbl))
-        # pair-gen (bucketed by block) → ONE fused stage bucketed by
-        # pair id doing global dedup + vectorized scoring; a pair
-        # colliding in k bands is still scored exactly once
-        raw = dedup_and_score(candidate_pairs_raw(bands, cfg), arrs_ref, cfg).materialize()
-        n_candidates = int(raw.filter(expr="node_a == -1").sum("node_b") or 0)
-        edges = raw.filter(expr="node_a >= 0").materialize()
+        edges = score_pairs_broadcast(pairs, payload_tbl, cfg)
     else:
-        pairs = candidate_pairs(bands, cfg).materialize()
-        n_candidates = pairs.count()
-        edges = score_pairs_join(pairs, payload, cfg).materialize()
+        edges = score_pairs_join(pairs, payload, cfg)
+    edges = edges.materialize()
     t = _t("score", t)
 
     n_edges = edges.count()

@@ -195,24 +195,38 @@ def _score_kernel(na, nb, arrs: dict[str, np.ndarray], cfg: LinkageConfig) -> pd
     )
 
 
-def _score_task(batch: pd.DataFrame, arrs_ref, cfg: LinkageConfig) -> pd.DataFrame:
-    # stateless task: ray.get of a dict of numpy arrays is ZERO-COPY
-    # from the local object store (~ms), so tasks scale elastically to
-    # every core with no actor-pool spin-up cost
-    arrs = ray.get(arrs_ref)
-    return _score_kernel(batch["node_a"].to_numpy(), batch["node_b"].to_numpy(), arrs, cfg)
+class BroadcastScorer:
+    """Actor-pool scorer. The numpy payload is fetched from the object
+    store ONCE per actor in __init__ — a ZERO-COPY ray.get (~ms).
+
+    Why an actor pool and not stateless tasks: a ray.get of a large
+    broadcast inside a running TASK blocks the worker slot, and the
+    raylet responds by spawning replacement workers — at 128 bucket
+    tasks that cascades into 100+ worker processes and object-store
+    thrash. Bounded actors doing the get at construction keep the
+    worker count fixed."""
+
+    def __init__(self, arrs_ref, cfg: LinkageConfig):
+        self.arrs = ray.get(arrs_ref)
+        self.cfg = cfg
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return _score_kernel(
+            batch["node_a"].to_numpy(), batch["node_b"].to_numpy(), self.arrs, self.cfg
+        )
 
 
-def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=None):
+def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 8)):
     ref = ray.put(payload_arrays(payload))
     # the distinct stage leaves one small block per bucket; coalesce so
     # the scorer runs a handful of chunky tasks, not bucket-count tiny ones
     pairs_ds = pairs_ds.repartition(target_num_rows_per_block=131072)
     return pairs_ds.map_batches(
-        _score_task,
-        fn_kwargs={"arrs_ref": ref, "cfg": cfg},
+        BroadcastScorer,
+        fn_constructor_args=(ref, cfg),
         batch_format="pandas",
         batch_size=131072,
+        concurrency=concurrency,
     )
 
 
