@@ -29,17 +29,16 @@ def dedup_exact(sf_dir: str):
     """Exact dedup by content hash: one row per distinct text with the
     keeper id (= min doc_id) and copy count. Hash-partitioned groupby;
     the full text never leaves the first stage — the shuffle key is the
-    64-bit fingerprint."""
+    64-bit fingerprint (C-speed crc pair over the zero-copy Arrow byte
+    view). This is the SCALE path; ``exact_dedup_documents`` in
+    relational.py is the oracle-parity variant that groups by full text."""
+    from .bytekernels import content_hash64
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        hashes = []
-        for t in batch.column("text").to_pylist():
-            h = 1469598103934665603
-            for b in (t or "").encode("utf-8"):
-                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            hashes.append(h >> 1)
-        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(hashes, pa.int64())})
+        h = content_hash64(batch.column("text"))
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(h, pa.int64())})
 
     return (
         ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -155,7 +155,12 @@ def token_frequencies(sf_dir: str, k: int = 50):
 
 def exact_dedup_documents(sf_dir: str):
     """Exact dedup: keeper = min doc_id per identical text (the input
-    dedup at exta/workflow.R:21-22; training-data exact dedup)."""
+    dedup at exta/workflow.R:21-22; training-data exact dedup).
+
+    ORACLE-PARITY variant: groups by the full ``text`` column so DuckDB
+    can check it — the text rides the shuffle as the key. The SCALE
+    path is ``rayrl.dedup.dedup_exact``, which shuffles only a 64-bit
+    content fingerprint."""
     return (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
         .groupby("text")

@@ -19,21 +19,20 @@ def _read_docs(sf_dir: str, columns):
 def token_counts(sf_dir: str):
     """Per-doc token/char counts. ``n_tokens`` = single-space split
     (SQL-oracle-compatible); ``n_bpe_tokens`` = a BPE-ish regex token
-    count (word pieces + digits + punctuation singles)."""
+    count (word pieces + digits + punctuation singles). Vectorized
+    byte-level over the Arrow string buffers (rayrl.bytekernels)."""
+    from .bytekernels import token_count_kernels
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    bpe = re.compile(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
 
     def count(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tok = [len(t.split(" ")) if t else 0 for t in texts]
-        n_bpe = [len(bpe.findall(t)) if t else 0 for t in texts]
-        n_chars = [len(t) if t else 0 for t in texts]
+        k = token_count_kernels(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
-                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(k["n_tokens"], pa.int64()),
+                "n_bpe_tokens": pa.array(k["n_bpe_tokens"], pa.int64()),
+                "n_chars": pa.array(k["n_chars"], pa.int64()),
             }
         )
 
@@ -42,23 +41,20 @@ def token_counts(sf_dir: str):
 
 def char_class_counts(sf_dir: str):
     """Integer character-class counts per doc (digits / spaces /
-    alpha) — the SQL-safe core of quality scoring."""
+    alpha) — the SQL-safe core of quality scoring. Byte-level masks
+    over the Arrow buffers, matching the oracle regexes exactly."""
+    from .bytekernels import char_class_counts as _ccc
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        digits, spaces, alphas = [], [], []
-        for t in texts:
-            t = t or ""
-            digits.append(sum(c.isdigit() for c in t))
-            spaces.append(t.count(" "))
-            alphas.append(sum(c.isalpha() for c in t))
+        k = _ccc(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_digits": pa.array(digits, pa.int64()),
-                "n_spaces": pa.array(spaces, pa.int64()),
-                "n_alpha": pa.array(alphas, pa.int64()),
+                "n_digits": pa.array(k["n_digits"], pa.int64()),
+                "n_spaces": pa.array(k["n_spaces"], pa.int64()),
+                "n_alpha": pa.array(k["n_alpha"], pa.int64()),
             }
         )
 
@@ -105,8 +101,10 @@ class QualityScorer:
 
 
 def quality_scores(sf_dir: str):
+    # autoscaling actor pool (1..16): sizes itself to the cluster
+    # instead of the round-1 hardcoded concurrency=2
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
     )
 
 
@@ -155,24 +153,21 @@ class LangId:
 
 def lang_id(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
     )
 
 
 def doc_fingerprints(sf_dir: str):
-    """Deterministic 64-bit rolling-hash fingerprint per document
-    (polynomial rolling hash over utf-8 bytes) — content-addressable id
-    for exact dedup at scale."""
+    """Deterministic 64-bit content fingerprint per document —
+    content-addressable id for exact dedup at scale. C-speed crc pair
+    over the zero-copy Arrow byte view (rayrl.bytekernels)."""
+    from .bytekernels import content_hash64
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            h = 1469598103934665603  # FNV-1a 64 offset
-            for b in (t or "").encode("utf-8"):
-                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            out.append(h >> 1)  # keep in int64 range
-        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.int64())})
+        h = content_hash64(batch.column("text"))
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(h, pa.int64())})
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
