@@ -56,7 +56,11 @@ def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
             mask = vids == ids[qi]
             s[mask] = -2.0  # exclude self
             take = min(k, len(s))
-            top = np.argpartition(-s, take - 1)[:take]
+            # deterministic at any batching: order the kept subset by
+            # (sim desc, vec_id asc) so ties at the k boundary always
+            # resolve the same way the global head (and the SQL
+            # oracle) resolves them
+            top = np.lexsort((vids, -s))[:take]
             for j in top:
                 rows.append((int(ids[qi]), int(vids[j]), float(s[j])))
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])

@@ -34,6 +34,22 @@ def string_view(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarr
     return data, offsets
 
 
+def binary_matrix(col, dtype=np.uint8) -> np.ndarray:
+    """Equal-width binary column → (n_rows, width) matrix on the raw
+    Arrow data buffer (zero-copy slice — no Python object per row).
+    Every value must have the same byte length; ``dtype`` reinterprets
+    the row bytes (e.g. np.uint16 lanes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    raw = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    mat = raw[offsets[0] : offsets[-1]].reshape(len(col), -1)
+    return mat if dtype is np.uint8 else mat.view(dtype)
+
+
 def content_hash64(col) -> np.ndarray:
     """Deterministic positive-int64 content hash per row: two
     independent crc32 passes (offset seeds) packed into 63 bits. The

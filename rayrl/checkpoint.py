@@ -68,13 +68,16 @@ class Run:
         name: str,
         params: dict[str, Any],
         build: Callable[[], "ray.data.Dataset"],
-        counters: dict[str, Any] | None = None,
+        counters: "dict[str, Any] | Callable[[], dict[str, Any]] | None" = None,
     ) -> "ray.data.Dataset":
         """Run-or-resume one stage. ``build`` is only called on a cache
         miss; its Dataset is written partitioned, the manifest sealed,
         and the checkpoint read back (so downstream stages consume the
         on-disk lineage, not the in-memory plan — a crashed downstream
-        rerun starts from here)."""
+        rerun starts from here). ``counters`` may be a callable — it is
+        evaluated AFTER ``build`` runs, so side outputs of the build
+        (metrics, counts) can be sealed into the manifest atomically
+        with the data."""
         cached = self.load(name, params)
         if cached is not None:
             return cached
@@ -92,6 +95,8 @@ class Run:
                 n = pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
                 parts.append({"file": f, "rows": n})
                 rows += n
+        if callable(counters):
+            counters = counters()
         mf = {
             "stage": name,
             "params_hash": params_hash(params),
@@ -147,13 +152,68 @@ def run_er_benchmark(
         res_holder.update(res)
         return res["edges"]
 
-    edges = run.stage("edges", link_params, build_edges)
-    if res_holder:
-        metrics = res_holder["metrics"]
-        run.write_result(
-            "metrics", {**{k: float(v) for k, v in metrics.items()}, "n_candidates": res_holder["n_candidates"]}
-        )
-    else:  # resumed: metrics already on disk
-        with open(os.path.join(out_dir, "metrics.json")) as f:
-            metrics = json.load(f)
-    return {"run": run, "edges": edges, "metrics": metrics}
+    # metrics + n_candidates are sealed into the edges-stage manifest
+    # (counters evaluated post-build), so a crash between the edges
+    # write and any later step never loses them — a resumed run reads
+    # them back from the manifest instead of recomputing
+    edges = run.stage(
+        "edges",
+        link_params,
+        build_edges,
+        counters=lambda: {
+            "metrics": {k: float(v) for k, v in res_holder["metrics"].items()},
+            "n_candidates": int(res_holder["n_candidates"]),
+        },
+    )
+    ctrs = (run.manifest("edges") or {}).get("counters", {})
+    if "metrics" in ctrs:
+        metrics = {k: float(v) for k, v in ctrs["metrics"].items()}
+        n_candidates = int(ctrs.get("n_candidates", -1))
+    else:  # legacy checkpoint (pre-counter manifests): recompute from
+        # the sealed edges + the clean/dirty stages
+        metrics = _metrics_from_edges(edges, clean, dirty)
+        n_candidates = -1
+    run.write_result("metrics", {**metrics, "n_candidates": n_candidates})
+    # identical return shape on fresh and resumed paths
+    return {"run": run, "edges": edges, "metrics": metrics, "n_candidates": n_candidates}
+
+
+def _metrics_from_edges(edges, clean, dirty) -> dict:
+    """Recompute pairwise metrics from a checkpointed edges table plus
+    the clean/dirty page stages (fallback for resumed runs whose edges
+    manifest predates metric counters). Driver numpy path — legacy
+    checkpoints are bounded by the old driver gate, so edges fit."""
+    import numpy as np
+    import pandas as pd
+
+    from .linkage.clustering import _driver_union_find
+    from .linkage.metrics import _pairs_local
+
+    edges_df = edges.select_columns(["node_a", "node_b", "truth_a", "truth_b"]).to_pandas()
+    labels_df = _driver_union_find(edges_df)
+    node_truth_df = pd.DataFrame(
+        {
+            "node": np.concatenate([edges_df["node_a"], edges_df["node_b"]]),
+            "truth": np.concatenate([edges_df["truth_a"], edges_df["truth_b"]]),
+        }
+    ).drop_duplicates("node")
+    lwt = labels_df.merge(node_truth_df, on="node", how="inner")
+
+    def truth_of(ds):
+        return ds.select_columns(["record_id"]).to_pandas()["record_id"].to_numpy()
+
+    all_truth = np.concatenate([truth_of(clean), truth_of(dirty)])
+    truth_pairs = _pairs_local({"truth": all_truth}, ["truth"])
+    cluster_pairs = _pairs_local(lwt, ["label"])
+    tp = _pairs_local(lwt, ["label", "truth"])
+    precision = tp / cluster_pairs if cluster_pairs else 1.0
+    recall = tp / truth_pairs if truth_pairs else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp_pairs": float(tp),
+        "predicted_pairs": float(cluster_pairs),
+        "truth_pairs": float(truth_pairs),
+        "precision": float(precision),
+        "recall": float(recall),
+        "f1": float(f1),
+    }

@@ -159,9 +159,10 @@ def band_rows_from_payload(payload_ds, cfg: LinkageConfig):
     b_count = cfg.char_bands + cfg.word_bands
 
     def emit(batch: pa.Table) -> pa.Table:
+        from ..bytekernels import binary_matrix
+
         n = batch.num_rows
-        bsig_col = batch.column("bsig").combine_chunks()
-        bsig = np.frombuffer(b"".join(bsig_col.to_pylist()), dtype=np.uint16).reshape(n, -1)
+        bsig = binary_matrix(batch.column("bsig"), dtype=np.uint16)
         nodes = batch.column("node").to_numpy()
         hosts = batch.column("host").to_numpy()
         # fold each band's lanes: char bands (r=char_r) then word bands

@@ -93,6 +93,7 @@ def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":
     ).materialize()
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # neighbor messages: join labels onto edge sources
         msgs = bidir.join(
@@ -103,13 +104,39 @@ def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":
         ).select_columns(["dst", "label"]).map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
-        labels = group_agg(
-            labels.union(msgs), ["node"], {"label": ("label", "min")}
-        ).materialize()
+        labels = group_agg(labels.union(msgs), ["node"], {"label": ("label", "min")})
+        # pointer jumping (label ← label[label]): every label value is
+        # itself a node (self-rows are seeded), so one self-join hop
+        # doubles the propagation distance — rounds scale with
+        # log2(component diameter), not the diameter itself
+        label_map = labels.map_batches(
+            lambda t: t.rename_columns(["label", "label_next"]), batch_format="pyarrow"
+        )
+        labels = (
+            labels.join(
+                label_map,
+                join_type="inner",
+                num_partitions=max(2, bidir.num_blocks()),
+                on=("label",),
+            )
+            .select_columns(["node", "label_next"])
+            .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow")
+            .materialize()
+        )
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break  # labels are non-increasing ⇒ equal sum = fixpoint
         prev_sum = s
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "label propagation hit max_rounds=%d without a verified fixpoint; "
+            "components wider than 2^%d hops may carry split labels",
+            max_rounds,
+            max_rounds,
+        )
     return labels
 
 

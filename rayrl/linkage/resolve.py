@@ -11,27 +11,26 @@ from ..shuffle import bucketed_group_apply, group_agg
 
 def links_1to1(edges, num_buckets: int = 64):
     """Keep edges whose endpoints each appear exactly once — the
-    add_count×2 + filter of /root/reference/benchmarking/utils.R:368-389,
-    as two bucketed grouped counts joined back via broadcast-free
-    filtering (counts are computed per side then the edge stream is
-    filtered against both)."""
-    ca = group_agg(edges.select_columns(["node_a"]), ["node_a"], {"n_a": ("node_a", "size")}, num_buckets)
-    cb = group_agg(edges.select_columns(["node_b"]), ["node_b"], {"n_b": ("node_b", "size")}, num_buckets)
-    # unique endpoints (count == 1) are small relative to edges → collect + broadcast
-    import ray
+    add_count×2 + filter of /root/reference/benchmarking/utils.R:368-389.
+    Fully distributed: two sequential bucketed group filters (keep
+    size-1 groups per side). No driver-side endpoint sets — unique
+    endpoints are O(edges) in the worst case, so the round-1 collect +
+    broadcast would not survive cluster scale."""
 
-    ua = set(ca.filter(expr="n_a == 1").to_pandas()["node_a"])
-    ub = set(cb.filter(expr="n_b == 1").to_pandas()["node_b"])
-    ua_ref, ub_ref = ray.put(ua), ray.put(ub)
+    def attach(key, out):
+        # counts must come from the ORIGINAL edge set on both sides —
+        # filtering one side first would let a multi-linked endpoint
+        # sneak through once its rival edges were dropped
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[out] = df.groupby(key, sort=False)[key].transform("size")
+            return df
 
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+        return add
 
-        a_ok = batch["node_a"].isin(_ray.get(ua_ref))
-        b_ok = batch["node_b"].isin(_ray.get(ub_ref))
-        return batch[a_ok & b_ok]
-
-    return edges.map_batches(keep, batch_format="pandas")
+    with_a = bucketed_group_apply(edges, ["node_a"], attach("node_a", "_n_a"), num_buckets)
+    with_ab = bucketed_group_apply(with_a, ["node_b"], attach("node_b", "_n_b"), num_buckets)
+    return with_ab.filter(expr="_n_a == 1 and _n_b == 1").drop_columns(["_n_a", "_n_b"])
 
 
 def find_best_links(edges, odds_threshold: float = 0.4, num_buckets: int = 64):

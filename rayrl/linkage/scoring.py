@@ -70,64 +70,6 @@ def candidate_pairs(band_ds, cfg: LinkageConfig):
     return distinct_rows(raw, ["node_a", "node_b"], num_buckets=cfg.num_buckets)
 
 
-def candidate_pairs_raw(band_ds, cfg: LinkageConfig):
-    """Pair generation WITHOUT the global distinct — used by the fused
-    dedup+score stage, which dedups inside its own pair-keyed buckets."""
-
-    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        nodes = bucket_df["node"].to_numpy()
-        sides = bucket_df["side"].to_numpy()
-        out_a, out_b = [], []
-        for _, idx in bucket_df.groupby("block_key", sort=False).indices.items():
-            s = sides[idx]
-            c = nodes[idx[s == 0]]
-            d = nodes[idx[s == 1]]
-            n_pairs = len(c) * len(d)
-            if n_pairs == 0 or n_pairs > cfg.max_block_pairs:
-                continue
-            a, b = np.meshgrid(c, d)
-            out_a.append(a.ravel())
-            out_b.append(b.ravel())
-        if not out_a:
-            return _EMPTY_PAIRS
-        df = pd.DataFrame({"node_a": np.concatenate(out_a), "node_b": np.concatenate(out_b)})
-        return df.drop_duplicates()  # local (per block-bucket) dedup
-
-    return bucketed_group_apply(
-        band_ds.select_columns(["bucket", "block_key", "node", "side"]),
-        ["block_key"],
-        pairs,
-        num_buckets=cfg.num_buckets,
-    )
-
-
-def dedup_and_score(raw_pairs, arrs_ref, cfg: LinkageConfig):
-    """ONE bucketed stage keyed on the pair id: global dedup (all copies
-    of a pair hash to the same bucket) immediately followed by the
-    vectorized scoring kernel — no separate distinct + repartition +
-    score stages. Emits edges plus one sentinel row per bucket
-    (node_a = -1, node_b = #distinct pairs scored) for observability."""
-
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        df = df.drop_duplicates(["node_a", "node_b"])
-        arrs = _ray.get(arrs_ref)
-        edges = _score_kernel(df["node_a"].to_numpy(), df["node_b"].to_numpy(), arrs, cfg)
-        sentinel = pd.DataFrame(
-            {
-                "node_a": pd.Series([-1], dtype="int64"),
-                "node_b": pd.Series([len(df)], dtype="int64"),
-                "truth_a": pd.Series([0], dtype="int64"),
-                "truth_b": pd.Series([0], dtype="int64"),
-                "score": pd.Series([0.0], dtype="float64"),
-            }
-        )
-        return pd.concat([edges, sentinel], ignore_index=True)
-
-    return bucketed_group_apply(raw_pairs, ["node_a", "node_b"], run, cfg.num_buckets)
-
-
 def payload_arrays(payload: "pa.Table | pd.DataFrame") -> dict[str, np.ndarray]:
     """payload table → plasma-friendly numpy arrays, sorted by node
     (searchsorted lookups in the scorer). Accepts Arrow directly so the
@@ -142,15 +84,9 @@ def payload_arrays(payload: "pa.Table | pd.DataFrame") -> dict[str, np.ndarray]:
             .indices.fill_null(-1)
             .to_numpy(zero_copy_only=False)
         )
-        sig_col = payload.column("sig").combine_chunks()
-        # equal-width binary values → the data buffer is one contiguous
-        # (n × k) matrix; slice by the offsets (zero-copy, no Python
-        # object per row)
-        offsets = np.frombuffer(sig_col.buffers()[1], dtype=np.int32)[
-            sig_col.offset : sig_col.offset + len(sig_col) + 1
-        ]
-        raw = np.frombuffer(sig_col.buffers()[2], dtype=np.uint8)
-        sig = raw[offsets[0] : offsets[-1]].reshape(len(sig_col), -1)
+        from ..bytekernels import binary_matrix
+
+        sig = binary_matrix(payload.column("sig"))
     else:
         node = payload["node"].to_numpy()
         truth = payload["truth"].to_numpy()

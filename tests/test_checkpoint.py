@@ -73,3 +73,33 @@ def test_er_benchmark_resumable(ray_session, tmp_path):
     # full resume: nothing recomputed, metrics read from disk
     res3 = checkpoint.run_er_benchmark(out, n_pages=1500, rate=0.1)
     assert res3["metrics"]["f1"] == pytest.approx(res1["metrics"]["f1"])
+    # return shape identical on fresh and resumed paths
+    assert set(res3["metrics"]) == set(res1["metrics"])
+    assert "n_candidates" not in res3["metrics"] and res3["n_candidates"] == res1["n_candidates"]
+
+
+def test_er_benchmark_resume_survives_missing_metrics(ray_session, tmp_path):
+    """Crash window: edges manifest sealed but metrics.json never
+    written. A resumed run must still return metrics (from the manifest
+    counters), not raise FileNotFoundError."""
+    out = str(tmp_path / "er2")
+    res1 = checkpoint.run_er_benchmark(out, n_pages=1500, rate=0.1)
+    os.remove(os.path.join(out, "metrics.json"))
+    res2 = checkpoint.run_er_benchmark(out, n_pages=1500, rate=0.1)
+    assert res2["metrics"]["f1"] == pytest.approx(res1["metrics"]["f1"])
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+
+
+def test_er_benchmark_resume_legacy_manifest(ray_session, tmp_path):
+    """A pre-counter edges manifest (no metrics inside) triggers the
+    recompute-from-edges fallback with the same F1."""
+    out = str(tmp_path / "er3")
+    res1 = checkpoint.run_er_benchmark(out, n_pages=1500, rate=0.1)
+    mf_path = os.path.join(out, "edges", checkpoint.MANIFEST)
+    mf = json.loads(open(mf_path).read())
+    mf["counters"] = {}
+    open(mf_path, "w").write(json.dumps(mf))
+    os.remove(os.path.join(out, "metrics.json"))
+    res2 = checkpoint.run_er_benchmark(out, n_pages=1500, rate=0.1)
+    assert res2["metrics"]["f1"] == pytest.approx(res1["metrics"]["f1"])
+    assert res2["n_candidates"] == -1  # honestly unknown on this path

@@ -78,6 +78,41 @@ def test_links_1to1(edges_ds):
     assert set(map(tuple, out[["node_a", "node_b"]].to_numpy())) == {(4, 14)}
 
 
+def test_links_1to1_counts_on_original_edges(ray_session):
+    """Counts must come from the full edge set: here (2,b) has a
+    unique node_a but node_b 'b' carries two edges, so NOTHING is 1-1.
+    A sequential filter (drop a-side dups, then recount b) would wrongly
+    keep (2,b)."""
+    df = pd.DataFrame(
+        {
+            "node_a": [1, 1, 2],
+            "node_b": [10, 20, 20],
+            "truth_a": [0, 0, 0],
+            "truth_b": [0, 0, 0],
+            "score": [0.9, 0.9, 0.9],
+        }
+    )
+    out = links_1to1(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 0
+
+
+def test_distributed_clustering_deep_chain(ray_session, monkeypatch):
+    """Pointer jumping: a path graph of diameter 128 must converge to
+    one component well within max_rounds=10 (one-hop propagation alone
+    would need 128 rounds). Default shuffle strategy on purpose —
+    HASH_SHUFFLE hangs tiny map_groups (CLAUDE.md rule 3)."""
+    from rayrl.linkage import clustering
+
+    n = 129
+    df = pd.DataFrame(
+        {"node_a": np.arange(n - 1, dtype=np.int64), "node_b": np.arange(1, n, dtype=np.int64)}
+    )
+    monkeypatch.setattr(clustering, "DRIVER_UNION_FIND_MAX_EDGES", 0)
+    labels = clustering.cluster_edges(ray.data.from_pandas(df), max_rounds=10).to_pandas()
+    assert len(labels) == n
+    assert (labels["label"] == 0).all()  # single component, min-id label
+
+
 def test_find_best_links_gap(edges_ds):
     out = find_best_links(edges_ds, odds_threshold=0.2).to_pandas()
     kept = set(map(tuple, out[["node_a", "node_b"]].to_numpy()))
