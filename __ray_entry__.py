@@ -106,6 +106,65 @@ def er_links_1to1(sf_dir: str):
     return links_1to1(res["edges"])
 
 
+def er_labeled_pairs(sf_dir: str):
+    """Labeled pair set with hard negatives (generate_pairs,
+    utils.R:502-645): truth matches ∖ exact dups + top-4×|matches|
+    threshold-scored negatives from equality+LSH blocks."""
+    from rayrl import pipeline, synth
+    from rayrl.errors.injector import strip_ledger
+    from rayrl.linkage.blocking import LinkageConfig
+    from rayrl.linkage.features import labeled_pairs
+
+    n = max(2000, _n_pages(sf_dir) // 4)
+    clean = synth.pages_dataset(n).materialize()
+    dirty = strip_ledger(
+        pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
+    ).materialize()
+    return labeled_pairs(clean, dirty, LinkageConfig(), seed=3)["labeled"]
+
+
+def er_feature_vectors(sf_dir: str):
+    """23-metric feature vectors + match label over the labeled pair
+    set (add_feature_vector, utils.R:189-311)."""
+    from rayrl import pipeline, synth
+    from rayrl.errors.injector import strip_ledger
+    from rayrl.linkage.blocking import LinkageConfig
+    from rayrl.linkage.features import feature_vectors
+
+    n = max(2000, _n_pages(sf_dir) // 4)
+    clean = synth.pages_dataset(n).materialize()
+    dirty = strip_ledger(
+        pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
+    ).materialize()
+    return feature_vectors(clean, dirty, LinkageConfig(), seed=3)
+
+
+def er_best_links_agg(sf_dir: str):
+    """Two-sided aggregated link resolution (find_best_links_aggregated,
+    utils.R:426-455) over the scored match edges."""
+    from rayrl.linkage.resolve import find_best_links_aggregated
+
+    res = _small_linkage(sf_dir)
+    return find_best_links_aggregated(res["edges"], odds_threshold=0.1)
+
+
+def er_hamming_fields(sf_dir: str):
+    """Weighted field-equality score per labeled pair
+    (calculate_hamming_fields, utils.R:789-810)."""
+    from rayrl import pipeline, synth
+    from rayrl.errors.injector import strip_ledger
+    from rayrl.linkage.blocking import LinkageConfig
+    from rayrl.linkage.features import hamming_fields, labeled_pairs
+
+    n = max(2000, _n_pages(sf_dir) // 8)
+    clean = synth.pages_dataset(n).materialize()
+    dirty = strip_ledger(
+        pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
+    ).materialize()
+    lp = labeled_pairs(clean, dirty, LinkageConfig(), seed=3)
+    return hamming_fields(lp["labeled"])
+
+
 def er_perturb_flow(sf_dir: str):
     """The per-row error-assignment flow (perturb_data + add_error,
     R/duplicate_add_errors.R:24-99): 2 corrupted copies per record."""
@@ -142,8 +201,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(ANN_QUERIES)
+    from rayrl.linkage.features import major_tokens
+
     out.update(
         {
+            "major_tokens": major_tokens,
+            "er_labeled_pairs": er_labeled_pairs,
+            "er_feature_vectors": er_feature_vectors,
+            "er_best_links_agg": er_best_links_agg,
+            "er_hamming_fields": er_hamming_fields,
             "er_dirty_pages": er_dirty_pages,
             "er_ledger": er_ledger,
             "er_error_rate": er_error_rate,
@@ -163,8 +229,11 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.relational import ORACLES as REL_ORACLES
     from rayrl.text import TEXT_ORACLES
 
+    from rayrl.linkage.features import MAJOR_TOKENS_ORACLE
+
     out: dict[str, str] = {}
     out.update(REL_ORACLES)
     out.update(TEXT_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
+    out["major_tokens"] = MAJOR_TOKENS_ORACLE
     return out

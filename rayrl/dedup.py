@@ -15,8 +15,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from . import rng
-from .linkage.clustering import _driver_union_find
-from .linkage.stringsim import char_shingles, jaccard, minhash_signature, minhash_tags
+from .linkage.stringsim import jaccard, minhash_tags
 
 
 def _read_docs(sf_dir: str, columns):
@@ -50,31 +49,36 @@ def dedup_exact(sf_dir: str):
 # ------------------------------------------------------- MinHash + LSH
 
 class _MinHashBands:
+    """Actor stage: batched MinHash (one ``minhash_signatures_batch``
+    call per Arrow batch — ~5× the per-row throughput) + vectorized
+    band folding. Tags built once per actor."""
+
     def __init__(self, k: int, bands: int, seed: int):
         self.tags = minhash_tags(k, seed)
         self.bands = bands
         self.r = k // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .linkage.stringsim import minhash_signatures_batch
+
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            sig = minhash_signature(t, self.tags)
-            for b in range(self.bands):
-                h = 0
-                for v in sig[b * self.r : (b + 1) * self.r]:
-                    h = (h * 1000003 + int(v)) & 0x7FFFFFFFFFFFFFFF
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(int(ids[i]))
+        sig = minhash_signatures_batch(texts, self.tags)  # (n, k) uint64
+        nonempty = np.fromiter((bool(t) for t in texts), dtype=bool, count=len(texts))
+        sig = sig[nonempty]
+        keep_ids = ids[nonempty]
+        n = len(keep_ids)
+        folded = np.zeros((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(self.r):
+                h = h * np.uint64(1000003) + sig[:, b * self.r + c]
+            folded[:, b] = h >> np.uint64(1)  # int64-positive
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(folded.reshape(-1).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(keep_ids, self.bands), pa.int64()),
             }
         )
 
@@ -105,35 +109,84 @@ def minhash_candidate_pairs(sf_dir: str, k: int = 64, bands: int = 16, seed: int
     return group_agg(cands, ["doc_a", "doc_b"], {"n_bands": ("doc_a", "size")})
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int = 16):
-    """Full MinHash-LSH near-dup: candidates → exact shingle-Jaccard
-    verify (broadcast text lookup) → connected components → (doc_id,
-    cluster) rows for docs in any near-dup cluster."""
+class _SigStage:
+    """Byte-packed k-wide MinHash signature per doc (one batched call
+    per Arrow batch) — the dedup analogue of the linkage payload's
+    ``sig`` column. est-Jaccard(a,b) = mean(bytes equal) − 1/256."""
+
+    def __init__(self, k: int, seed: int):
+        self.tags = minhash_tags(k, seed ^ 0x5ED5)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .linkage.stringsim import minhash_signatures_batch
+
+        texts = batch.column("text").to_pylist()
+        sig = (minhash_signatures_batch(texts, self.tags) & np.uint64(0xFF)).astype(np.uint8)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
+            }
+        )
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int = 16, sig_k: int = 128):
+    """Full MinHash-LSH near-dup: LSH candidates → signature-based
+    est-Jaccard verify → connected components → (doc_id, cluster) rows
+    for docs in any near-dup cluster.
+
+    Scale shape (round-2 fix): verification never touches the texts —
+    candidate pairs are hydrated with per-doc byte-packed signatures
+    via two bucketed hash joins (the score_pairs_join pattern), and the
+    est-Jaccard decision is one vectorized byte comparison (k=128 ⇒
+    σ ≤ 0.045, >3σ of margin at threshold 0.8 for true near-dups).
+    Clustering goes through the size-gated ``cluster_edges`` (driver
+    numpy below the gate, distributed label propagation above it) —
+    no ungated driver union-find."""
+    from .linkage.clustering import cluster_edges
+    from .shuffle import bucketed_join
+
     cands = minhash_candidate_pairs(sf_dir, k=k, bands=bands)
-    texts_df = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
-    texts_ref = ray.put(texts_df)
+    sigs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _SigStage(sig_k, seed=0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    a_side = sigs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "sig_a"]), batch_format="pyarrow"
+    )
+    b_side = sigs.map_batches(
+        lambda t: t.rename_columns(["doc_b", "sig_b"]), batch_format="pyarrow"
+    )
+    hydrated = bucketed_join(
+        bucketed_join(cands, a_side, ["doc_a"]), b_side, ["doc_b"]
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        keep_a, keep_b, jacs = [], [], []
-        cache: dict[int, set] = {}
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa = cache.setdefault(int(a), char_shingles(texts.loc[int(a)]))
-            sb = cache.setdefault(int(b), char_shingles(texts.loc[int(b)]))
-            j = jaccard(sa, sb)
-            if j >= threshold:
-                keep_a.append(int(a))
-                keep_b.append(int(b))
-                jacs.append(round(j, 4))
-        return pd.DataFrame({"node_a": keep_a, "node_b": keep_b, "jaccard": jacs})
-
-    edges = cands.map_batches(verify, batch_format="pandas").to_pandas()
-    if len(edges) == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "cluster": pd.Series([], dtype="int64")})
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "node_a": pd.Series([], dtype="int64"),
+                    "node_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        sig_a = np.frombuffer(b"".join(batch["sig_a"]), dtype=np.uint8).reshape(len(batch), -1)
+        sig_b = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint8).reshape(len(batch), -1)
+        est = (sig_a == sig_b).mean(axis=1) - (1.0 / 256.0)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "node_a": pd.Series(batch["doc_a"].to_numpy()[keep], dtype="int64"),
+                "node_b": pd.Series(batch["doc_b"].to_numpy()[keep], dtype="int64"),
+                "jaccard": pd.Series(np.round(est[keep], 4), dtype="float64"),
+            }
         )
-    labels = _driver_union_find(edges)
-    return ray.data.from_pandas(labels.rename(columns={"node": "doc_id", "label": "cluster"}))
+
+    edges = hydrated.map_batches(verify, batch_format="pandas")
+    labels = cluster_edges(edges)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------------------- SimHash
@@ -229,10 +282,21 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5):
     """Word-n-gram Jaccard over LSH candidates (the n-gram flavour of
-    near-dup verification)."""
+    near-dup verification). Candidate pairs are hydrated with their two
+    texts via bucketed hash joins — texts ride a shuffle exactly once
+    per side, and only for CANDIDATE docs (inner join), never as a
+    whole-corpus driver broadcast (the round-1 shape)."""
+    from .shuffle import bucketed_join
+
     cands = minhash_candidate_pairs(sf_dir)
-    texts_df = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
-    texts_ref = ray.put(texts_df)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    a_side = docs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+    )
+    b_side = docs.map_batches(
+        lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+    )
+    hydrated = bucketed_join(bucketed_join(cands, a_side, ["doc_a"]), b_side, ["doc_b"])
 
     def grams(t: str) -> set:
         toks = t.split(" ")
@@ -241,50 +305,122 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5):
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
         rows = []
-        cache: dict[int, set] = {}
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            ga = cache.setdefault(int(a), grams(texts.loc[int(a)]))
-            gb = cache.setdefault(int(b), grams(texts.loc[int(b)]))
-            j = jaccard(ga, gb)
+        for a, b, ta, tb in zip(batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]):
+            j = jaccard(grams(ta or ""), grams(tb or ""))
             if j >= threshold:
                 rows.append((int(a), int(b), round(j, 4)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "ngram_jaccard"])
 
-    return cands.map_batches(verify, batch_format="pandas")
+    return hydrated.map_batches(verify, batch_format="pandas")
 
 
 # -------------------------------------------- embedding cosine near-dup
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.35):
+def embedding_near_dups(
+    sf_dir: str,
+    threshold: float = 0.35,
+    method: str = "lsh",
+    n_planes: int = 6,
+    seed: int = 0,
+):
     """Near-dup pairs by embedding cosine ≥ threshold (default tuned
-    to the test embeddings' similarity range — real corpora use ~0.95). Batch×corpus
-    numpy matmul against a broadcast normalized matrix — brute-force
-    baseline; the LSH-bucketed scale path lives in rayrl.ann."""
+    to the test embeddings' similarity range — real corpora use ~0.95).
+
+    ``method="lsh"`` (default, the scale path): hyperplane-LSH buckets
+    (rayrl.ann's index stage) with 1-bit multi-probe — each vector is
+    INDEXED in its primary bucket once and PROBES the n_planes
+    neighbouring buckets, so a pair whose signatures differ in ≤ 1
+    plane is always compared. All-pairs cosine runs only inside each
+    bucket; duplicate discoveries collapse in a final grouped max.
+    Nothing is materialized on the driver.
+
+    ``method="brute"``: batch×corpus matmul against a broadcast
+    normalized matrix — O(N²) exact baseline, kept as the recall
+    oracle for tests."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    corpus = ds.to_pandas()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ids = corpus["vec_id"].to_numpy()
-    ref = ray.put((ids, mat))
+    if method == "brute":
+        corpus = ds.to_pandas()
+        mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = corpus["vec_id"].to_numpy()
+        ref = ray.put((ids, mat))
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        cids, cmat = ray.get(ref)
-        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        sims = q @ cmat.T
-        qa, qb, qs = [], [], []
-        for i, qid in enumerate(batch["vec_id"]):
-            hit = np.nonzero(sims[i] >= threshold)[0]
-            for j in hit:
-                if int(qid) < int(cids[j]):
-                    qa.append(int(qid))
-                    qb.append(int(cids[j]))
-                    qs.append(round(float(sims[i, j]), 4))
-        return pd.DataFrame({"vec_a": qa, "vec_b": qb, "cosine": qs})
+        def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+            cids, cmat = ray.get(ref)
+            q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cmat.T
+            qa, qb, qs = [], [], []
+            for i, qid in enumerate(batch["vec_id"]):
+                hit = np.nonzero(sims[i] >= threshold)[0]
+                for j in hit:
+                    if int(qid) < int(cids[j]):
+                        qa.append(int(qid))
+                        qb.append(int(cids[j]))
+                        qs.append(round(float(sims[i, j]), 4))
+            return pd.DataFrame({"vec_a": qa, "vec_b": qb, "cosine": qs})
 
-    return ds.map_batches(pairs, batch_format="pandas", batch_size=2048)
+        return ds.map_batches(pairs, batch_format="pandas", batch_size=2048)
+
+    from .ann import _LshIndexStage
+    from .shuffle import bucketed_group_apply, group_agg
+
+    sample = ds.take_batch(1, batch_format="pandas")
+    dim = len(sample["embedding"].iloc[0])
+    stage = _LshIndexStage(dim, n_planes, seed)
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        primary = stage.bucket_of(emb)
+        vids = batch["vec_id"].to_numpy()
+        frames = [
+            pd.DataFrame(
+                {"bucket": primary, "vec_id": vids, "probe": np.zeros(len(vids), dtype=np.int8),
+                 "embedding": list(emb)}
+            )
+        ]
+        for bit in range(n_planes):
+            frames.append(
+                pd.DataFrame(
+                    {"bucket": primary ^ (1 << bit), "vec_id": vids,
+                     "probe": np.ones(len(vids), dtype=np.int8), "embedding": list(emb)}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def in_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _, idx in df.groupby("bucket", sort=False).indices.items():
+            g = df.iloc[idx]
+            emb = np.stack(g["embedding"].to_numpy())
+            vids = g["vec_id"].to_numpy()
+            probe = g["probe"].to_numpy()
+            sims = emb @ emb.T
+            ii, jj = np.nonzero(sims >= threshold)
+            for i, j in zip(ii, jj):
+                if vids[i] >= vids[j]:
+                    continue
+                # compare only when at least one side is in its PRIMARY
+                # bucket (probe×probe pairs re-appear via a primary hit)
+                if probe[i] and probe[j]:
+                    continue
+                out_a.append(int(vids[i]))
+                out_b.append(int(vids[j]))
+                out_s.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(out_a, dtype="int64"),
+                "vec_b": pd.Series(out_b, dtype="int64"),
+                "cosine": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    rows = ds.map_batches(emit, batch_format="pandas", batch_size=2048)
+    cand = bucketed_group_apply(rows, ["bucket"], in_bucket_pairs)
+    # a pair can be discovered in several buckets → collapse
+    return group_agg(cand, ["vec_a", "vec_b"], {"cosine": ("cosine", "max")})
 
 
 DEDUP_QUERIES = {

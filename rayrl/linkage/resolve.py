@@ -33,6 +33,70 @@ def links_1to1(edges, num_buckets: int = 64):
     return with_ab.filter(expr="_n_a == 1 and _n_b == 1").drop_columns(["_n_a", "_n_b"])
 
 
+def _attach_counts(edges, num_buckets: int = 64):
+    """Attach per-endpoint edge counts (_n_a, _n_b) computed on the
+    FULL edge set — the add_count_name×2 of utils.R:427-431."""
+
+    def attach(key, out):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[out] = df.groupby(key, sort=False)[key].transform("size")
+            return df
+
+        return add
+
+    with_a = bucketed_group_apply(edges, ["node_a"], attach("node_a", "_n_a"), num_buckets)
+    return bucketed_group_apply(with_a, ["node_b"], attach("node_b", "_n_b"), num_buckets)
+
+
+def find_best_links_aggregated(edges, odds_threshold: float = 0.4, num_buckets: int = 64):
+    """Two-sided ambiguity resolution — find_best_links_aggregated,
+    /root/reference/benchmarking/utils.R:426-455:
+
+    1. edges whose endpoints are both unique → kept outright;
+    2. ambiguous edges (either endpoint multi-linked) → per-side gap
+       filter (top score must beat the runner-up by > ``odds_threshold``;
+       single-edge groups have no runner-up and are dropped, as the
+       reference's NA-odds filter does);
+    3. union of both sides' winners, deduped, then re-filtered to pairs
+       unique on both endpoints;
+    4. result = (3) ∪ (1).
+
+    All stages are bucketed shuffles keyed on an endpoint."""
+    counted = _attach_counts(edges, num_buckets).materialize()
+    one_to_one = counted.map_batches(
+        lambda df: df[(df["_n_a"] == 1) & (df["_n_b"] == 1)][["node_a", "node_b"]],
+        batch_format="pandas",
+    )
+    ambiguous = counted.map_batches(
+        lambda df: df[(df["_n_a"] > 1) | (df["_n_b"] > 1)][["node_a", "node_b", "score"]],
+        batch_format="pandas",
+    )
+
+    def best_side(key):
+        def best(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([key, "score"], ascending=[True, False])
+            g = df.groupby(key, sort=False)
+            sizes = g[key].transform("size")
+            df = df[sizes >= 2]  # no runner-up → NA odds → dropped (ref)
+            g = df.groupby(key, sort=False)
+            top = g.head(1)
+            second = g.nth(1)["score"].to_numpy()
+            odds = top["score"].to_numpy() - second
+            return top[odds > odds_threshold][["node_a", "node_b"]]
+
+        return best
+
+    best_a = bucketed_group_apply(ambiguous, ["node_a"], best_side("node_a"), num_buckets)
+    best_b = bucketed_group_apply(ambiguous, ["node_b"], best_side("node_b"), num_buckets)
+    from ..shuffle import distinct_rows
+
+    cand = distinct_rows(best_a.union(best_b), ["node_a", "node_b"], num_buckets)
+    # re-filter: winners must be unique on BOTH endpoints after the union
+    uniq = links_1to1(cand, num_buckets)
+    return uniq.union(one_to_one)
+
+
 def find_best_links(edges, odds_threshold: float = 0.4, num_buckets: int = 64):
     """Per left-node: keep the top-scored edge iff its score beats the
     runner-up by > ``odds_threshold`` — the sort + p1−p2 gap filter of
@@ -74,14 +138,124 @@ def resolve_linkage(edges, resolved):
     return edges.map_batches(flag, batch_format="pandas")
 
 
-def pair_metrics(edges) -> dict:
-    """Extended pair-level metric set over scored edges vs truth —
-    accuracy / precision / recall / specificity / npv / F1 / Brier /
-    confidence, the calculate_metrics(_prob) reduction
-    (utils.R:997-1047). Edge rows are predicted-positive pairs; the
-    negative universe is candidates that scored < 0.5 (not emitted), so
-    the pair-level metrics here are over emitted edges: tp = truth
-    match, fp = truth non-match."""
+def auc_score(truth: np.ndarray, prob: np.ndarray) -> float:
+    """ROC AUC via the rank (Mann-Whitney) statistic with average
+    ranks for ties — the pROC::auc reduction of utils.R:1032."""
+    n_pos = int(truth.sum())
+    n_neg = len(truth) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(prob, kind="stable")
+    ranks = np.empty(len(prob), dtype=np.float64)
+    sorted_prob = prob[order]
+    ranks_seq = np.arange(1, len(prob) + 1, dtype=np.float64)
+    # average ranks over tied prob runs
+    _, inv, counts = np.unique(sorted_prob, return_inverse=True, return_counts=True)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    avg = (cum[:-1] + 1 + cum[1:]) / 2.0
+    ranks[order] = avg[inv]
+    del ranks_seq
+    r_pos = ranks[truth.astype(bool)].sum()
+    return float((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def calc_review_pct(truth: np.ndarray, prob: np.ndarray, ppv: float = 1.0, npv: float = 1.0) -> float:
+    """Fraction of pairs needing clerical review: probs strictly
+    between t1 (largest ≤0.5 threshold whose ≤-side NPV ≥ ``npv``) and
+    t2 (smallest >0.5 threshold whose ≥-side PPV ≥ ``ppv``) —
+    calc_review_pct, utils.R:1050-1081. Divergence note: the
+    reference's positive-side loop tests mean(actuals == 0) ≥ ppv
+    (utils.R:1072-1075), which reads as a typo for the match rate; we
+    implement the PPV reading (mean(actuals == 1) ≥ ppv)."""
+    if len(prob) == 0:
+        return 0.0
+    order = np.argsort(prob, kind="stable")
+    p = prob[order]
+    m = truth[order].astype(np.int64)
+    neg_mask = p <= 0.5
+    n_neg_side = int(neg_mask.sum())
+    # prefix NPV over ascending probs (share of true-unmatch at ≤ p[i])
+    cum_tn = np.cumsum(m == 0)
+    t1 = None
+    if n_neg_side:
+        idx = np.arange(n_neg_side)
+        ok = cum_tn[idx] / (idx + 1) >= npv
+        hits = np.nonzero(ok)[0]
+        # reference walks candidate thresholds DESCENDING and stops at
+        # the first satisfying one → the largest qualifying threshold;
+        # if none qualifies the loop falls through to the smallest
+        t1 = p[hits[-1]] if len(hits) else p[0]
+    else:
+        t1 = -np.inf
+    pos_mask = p > 0.5
+    t2 = None
+    if pos_mask.any():
+        pos_start = int(np.argmax(pos_mask))
+        # suffix PPV over ascending thresholds (share of true-match at ≥ p[i])
+        suf_tp = np.cumsum(m[::-1] == 1)[::-1]
+        idx = np.arange(pos_start, len(p))
+        ok = suf_tp[idx] / (len(p) - idx) >= ppv
+        hits = np.nonzero(ok)[0]
+        t2 = p[pos_start + hits[0]] if len(hits) else p[-1]
+    else:
+        t2 = np.inf
+    return float(np.mean((prob > t1) & (prob < t2)))
+
+
+def calc_threshold_for_metric_value(
+    truth: np.ndarray,
+    prob: np.ndarray,
+    metric: str = "precision",
+    value: float = 0.99,
+    k_range: "np.ndarray | None" = None,
+    lowest: bool = True,
+) -> "float | None":
+    """Smallest (or largest) decision threshold achieving a target
+    metric value — calc_threshold_for_metric_value, utils.R:1121-1160.
+    Vectorized over the whole grid: suffix tp/fp counts on the sorted
+    probs give every threshold's confusion row at once."""
+    if k_range is None:
+        k_range = np.round(np.arange(0.5, 1.0005, 0.001), 3)
+    order = np.argsort(prob, kind="stable")
+    p = prob[order]
+    m = truth[order].astype(np.int64)
+    n_pos = int(m.sum())
+    # for each k: pred_pos = prob >= k → suffix starting at searchsorted
+    starts = np.searchsorted(p, k_range, side="left")
+    suf_tp = np.concatenate([np.cumsum(m[::-1])[::-1], [0]])
+    tp = suf_tp[starts]
+    pred_pos = len(p) - starts
+    fp = pred_pos - tp
+    fn = n_pos - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if metric == "precision":
+            vals = np.where(pred_pos > 0, tp / np.maximum(pred_pos, 1), 1.0)
+        elif metric == "recall":
+            vals = tp / max(n_pos, 1)
+        elif metric == "f1":
+            prec = np.where(pred_pos > 0, tp / np.maximum(pred_pos, 1), 1.0)
+            rec = tp / max(n_pos, 1)
+            vals = np.where(prec + rec > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-12), 0.0)
+        else:
+            raise ValueError(f"unknown metric {metric}")
+    if lowest:
+        ok = np.nonzero(vals >= value)[0]
+        return float(k_range[ok[0]]) if len(ok) else None
+    ok = np.nonzero(vals <= value)[0]
+    return float(k_range[ok[-1]]) if len(ok) else None
+
+
+def pair_metrics(edges, review_grid: bool = True) -> dict:
+    """Extended pair-level metric set over scored edges vs truth — the
+    full calculate_metrics_prob reduction (utils.R:997-1047): accuracy,
+    auc, gini, precision, sensitivity/recall, specificity, npv, f1,
+    error, brier(+sqrt), mean confidence, and the review_pct@{90..100}
+    grid. Edge rows are predicted-positive candidates (score ≥
+    threshold was applied upstream for emission; here pred = score ≥
+    0.5 like the reference).
+
+    Driver reduction over (truth_a, truth_b, score) only — bounded by
+    the emitted-edge count, which the linkage gates size elsewhere."""
     df = edges.select_columns(["truth_a", "truth_b", "score"]).to_pandas()
     truth = (df["truth_a"] == df["truth_b"]).to_numpy()
     prob = df["score"].to_numpy()
@@ -92,12 +266,26 @@ def pair_metrics(edges) -> dict:
     tn = int((~pred & ~truth).sum())
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn, 1)
-    return {
+    specificity = tn / max(tn + fp, 1)
+    npv = tn / max(tn + fn, 1)
+    auc = auc_score(truth, prob) if len(df) else 0.5
+    out = {
         "n_pairs": len(df),
         "accuracy": (tp + tn) / max(len(df), 1),
+        "auc": auc,
+        "gini": 2 * auc - 1,
         "precision": precision,
         "recall": recall,
+        "sensitivity": recall,
+        "specificity": specificity,
+        "npv": npv,
         "f1": 2 * precision * recall / max(precision + recall, 1e-12),
+        "error": (fp + fn) / max(len(df), 1),
         "brier": float(np.mean((prob - truth.astype(float)) ** 2)) if len(df) else 0.0,
         "mean_confidence": float(np.mean(np.abs(prob - 0.5) * 2)) if len(df) else 0.0,
     }
+    out["brier_sqrt"] = float(np.sqrt(out["brier"]))
+    if review_grid and len(df):
+        for pct in range(90, 101):
+            out[f"review_pct_{pct}"] = calc_review_pct(truth, prob, pct / 100.0, pct / 100.0)
+    return out

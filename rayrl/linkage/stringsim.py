@@ -97,6 +97,76 @@ def lev_norm(s1: str, s2: str, k: int = 16) -> float:
     return levenshtein_banded(s1, s2, k) / m
 
 
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """FULL Damerau-Levenshtein (transpositions may have intervening
+    edits — the Lowrance-Wagner recurrence), matching R stringdist's
+    method="dl" (/root/reference/benchmarking/utils.R:183), not the
+    restricted OSA variant: dl("CA","ABC") == 2, osa == 3."""
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0:
+        return n2
+    if n2 == 0:
+        return n1
+    inf = n1 + n2
+    score = [[inf] * (n2 + 2) for _ in range(n1 + 2)]
+    for i in range(n1 + 1):
+        score[i + 1][1] = i
+    for j in range(n2 + 1):
+        score[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, n1 + 1):
+        last_col = 0
+        for j in range(1, n2 + 1):
+            i1 = last_row.get(s2[j - 1], 0)
+            j1 = last_col
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            score[i + 1][j + 1] = min(
+                score[i][j] + cost,  # substitute
+                score[i + 1][j] + 1,  # insert
+                score[i][j + 1] + 1,  # delete
+                score[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
+            )
+        last_row[s1[i - 1]] = i
+    return score[n1 + 1][n2 + 1]
+
+
+_SOUNDEX_MAP = {}
+for _group, _d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"), ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _c in _group:
+        _SOUNDEX_MAP[_c] = _d
+
+
+def soundex(s: str) -> str:
+    """American Soundex code (letter + 3 digits) — the phonetic key
+    behind stringdist's method="soundex" distance (utils.R:183; the
+    distance is 0 iff codes are equal, else 1). h/w are transparent
+    (do not separate equal codes); vowels separate."""
+    letters = [c for c in s.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    code = letters[0]
+    prev = _SOUNDEX_MAP.get(letters[0], "")
+    for c in letters[1:]:
+        if c in "HW":
+            continue
+        d = _SOUNDEX_MAP.get(c)
+        if d is None:  # vowel or Y: resets adjacency
+            prev = ""
+            continue
+        if d != prev:
+            code += d
+            prev = d
+    return (code + "000")[:4]
+
+
+def soundex_dist(s1: str, s2: str) -> float:
+    return 0.0 if soundex(s1) == soundex(s2) else 1.0
+
+
 def char_shingles(s: str, n: int = 3) -> set:
     if len(s) < n:
         return {s} if s else set()

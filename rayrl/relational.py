@@ -236,7 +236,61 @@ def best_event_per_user(sf_dir: str, gap: float = 5.0):
     return bucketed_group_apply(ds, ["user_id"], best)
 
 
+def links_1to1_orders(sf_dir: str):
+    """The links_1to1 operator (utils.R:368-389) over a DERIVED edge
+    table so a SQL window oracle can value-check it: edges = sparse
+    order sample (o_orderkey % 31 == 0) keyed (o_custkey, o_orderkey %
+    4999), score = max totalprice; keep edges whose endpoints are both
+    unique. Exercises the production bucketed count-attach path."""
+    import numpy as np
+
+    from .linkage.resolve import links_1to1
+    from .shuffle import group_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        keep = (ok % 31) == 0
+        return pa.table(
+            {
+                "node_a": pa.array(batch.column("o_custkey").to_numpy()[keep].astype(np.int64)),
+                "node_b": pa.array((ok[keep] % 4999).astype(np.int64)),
+                "score": pa.array(batch.column("o_totalprice").to_numpy()[keep]),
+            }
+        )
+
+    edges = group_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["node_a", "node_b"],
+        {"score": ("score", "max")},
+    )
+    out = links_1to1(edges)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["node_a"].astype("int64"),
+                "slot": batch["node_b"].astype("int64"),
+                "score": batch["score"].round(2),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 ORACLES = {
+    "links_1to1_orders": """
+        WITH e AS (SELECT o_custkey, o_orderkey % 4999 AS slot,
+                          round(max(o_totalprice), 2) AS score
+                   FROM orders WHERE o_orderkey % 31 = 0 GROUP BY 1, 2),
+             c AS (SELECT *, count(*) OVER (PARTITION BY o_custkey) AS n_a,
+                          count(*) OVER (PARTITION BY slot) AS n_b
+                   FROM e)
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(slot AS BIGINT) AS slot, score
+        FROM c WHERE n_a = 1 AND n_b = 1
+    """,
     "best_event_per_user": """
         WITH r AS (
             SELECT user_id, event_id, value,
@@ -307,6 +361,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "links_1to1_orders": links_1to1_orders,
     "best_event_per_user": best_event_per_user,
     "pricing_summary": pricing_summary,
     "top_orders": top_orders,

@@ -97,6 +97,74 @@ def group_sizes_pair_sum(ds, keys: list[str], num_buckets: int = 64) -> float:
     return float(out or 0.0)
 
 
+def bucketed_join(
+    left,
+    right,
+    keys: list[str],
+    num_buckets: int = 64,
+    how: str = "inner",
+):
+    """Hash join on shared key column names via the bucketed machinery
+    (no DataContext shuffle-strategy dependency, unlike Dataset.join).
+    Both sides are padded to a common schema, tagged, bucketed by key,
+    and pandas-merged inside each bucket — each side's rows ride the
+    shuffle exactly once. Output columns = left columns + right's
+    non-key columns; overlapping non-key names must be renamed by the
+    caller first."""
+    def _types(schema) -> dict:
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            if isinstance(typ, pa.DataType):
+                out[name] = typ
+            else:  # pandas-block schema: numpy dtype, or object (unknown)
+                try:
+                    out[name] = pa.from_numpy_dtype(typ)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    out[name] = pa.null()  # Arrow promotes null→actual on concat
+        return out
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    l_only = [c for c in lcols if c not in keys]
+    r_only = [c for c in rcols if c not in keys]
+    overlap = set(l_only) & set(r_only)
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns first: {sorted(overlap)}")
+    all_types = {**_types(lschema), **{c: t for c, t in _types(rschema).items() if c in r_only}}
+    int_cols = [c for c, t in all_types.items() if pa.types.is_integer(t)]
+
+    def pad(side_tag):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for c, t in all_types.items():
+                cols[c] = (
+                    batch.column(c) if c in batch.column_names else pa.nulls(batch.num_rows, t)
+                )
+            cols["_side"] = pa.array(np.full(batch.num_rows, side_tag, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(pad(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(pad(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][[*keys, *l_only]]
+        r = df[df["_side"] == 1][[*keys, *r_only]]
+        out = l.merge(r, on=keys, how=how)
+        # the null-padded union turns int columns float in pandas —
+        # restore (inner-join outputs carry no nulls in these columns)
+        for c in int_cols:
+            if c in out.columns and out[c].dtype != "int64":
+                out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_apply(both, keys, merge, num_buckets)
+
+
 def distinct_count(ds, keys: list[str], num_buckets: int = 64) -> int:
     """COUNT(DISTINCT keys) via per-bucket partial nunique sums."""
 

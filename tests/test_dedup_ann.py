@@ -87,6 +87,40 @@ def test_embedding_near_dups_threshold(ray_session):
     assert len(res) > 0
     assert (res["cosine"] >= 0.35).all()
     assert (res["vec_a"] < res["vec_b"]).all()
+    # every LSH-found pair is real (verified within bucket) → subset of brute
+    brute = dedup.embedding_near_dups(SF_DIR, threshold=0.35, method="brute").to_pandas()
+    bset = set(map(tuple, brute[["vec_a", "vec_b"]].to_numpy()))
+    assert set(map(tuple, res[["vec_a", "vec_b"]].to_numpy())) <= bset
+
+
+def test_embedding_near_dups_lsh_recall_on_planted(ray_session, tmp_path):
+    """The LSH path's guarantee is on NEAR-IDENTICAL vectors (signature
+    differs in ≤1 plane with prob ≈ 1): plant tiny-angle copies and
+    require ≥95% recall vs the brute-force oracle on the planted pairs."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    ids = t.column("vec_id").to_pylist()
+    next_id = max(ids) + 1
+    planted = []
+    for q in range(40):
+        v = np.asarray(emb[q], dtype=np.float32)
+        v = v + 0.001 * np.abs(v).mean()
+        emb.append(list(v))
+        ids.append(next_id)
+        planted.append((q, next_id))
+        next_id += 1
+    out = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.array(emb, pa.list_(pa.float32()))}
+    )
+    pq.write_table(out, tmp_path / "embeddings.parquet")
+    res = dedup.embedding_near_dups(str(tmp_path), threshold=0.99).to_pandas()
+    got = set(map(tuple, res[["vec_a", "vec_b"]].to_numpy()))
+    brute = dedup.embedding_near_dups(str(tmp_path), threshold=0.99, method="brute").to_pandas()
+    bset = set(map(tuple, brute[["vec_a", "vec_b"]].to_numpy()))
+    planted_in_brute = [p for p in planted if p in bset]
+    assert len(planted_in_brute) == 40  # sanity: brute sees all planted pairs
+    recall = sum(p in got for p in planted_in_brute) / len(planted_in_brute)
+    assert recall >= 0.95, recall
 
 
 def test_ann_lsh_finds_planted_near_identical(ray_session, tmp_path):

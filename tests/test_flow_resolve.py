@@ -11,7 +11,16 @@ import ray.data
 from rayrl import synth
 from rayrl.errors.flow import convert_cols, perturb_dataset, share_value_within_groups
 from rayrl.errors.injector import LEDGER_COL, extract_ledger
-from rayrl.linkage.resolve import find_best_links, links_1to1, pair_metrics, resolve_linkage
+from rayrl.linkage.resolve import (
+    auc_score,
+    calc_review_pct,
+    calc_threshold_for_metric_value,
+    find_best_links,
+    find_best_links_aggregated,
+    links_1to1,
+    pair_metrics,
+    resolve_linkage,
+)
 
 
 def test_perturb_dataset_fanout_and_assignment(ray_session):
@@ -135,3 +144,60 @@ def test_pair_metrics(edges_ds):
     # truths: matches = rows where truth_a == truth_b → 4 of 6
     assert m["precision"] == pytest.approx(4 / 6)
     assert 0 < m["brier"] < 1
+    # extended set (calculate_metrics_prob parity)
+    for key in ("auc", "gini", "specificity", "npv", "sensitivity", "error", "brier_sqrt"):
+        assert key in m, key
+    assert m["gini"] == pytest.approx(2 * m["auc"] - 1)
+    assert m["sensitivity"] == m["recall"]
+    for pct in range(90, 101):
+        assert 0.0 <= m[f"review_pct_{pct}"] <= 1.0
+
+
+def test_auc_known_values():
+    assert auc_score(np.array([1, 1, 0, 0]), np.array([0.9, 0.8, 0.3, 0.2])) == 1.0
+    assert auc_score(np.array([0, 0, 1, 1]), np.array([0.9, 0.8, 0.3, 0.2])) == 0.0
+    assert auc_score(np.array([1, 0]), np.array([0.5, 0.5])) == 0.5
+    # one discordant pair of 4: auc = 3/4
+    assert auc_score(np.array([1, 0, 1, 0]), np.array([0.9, 0.8, 0.3, 0.2])) == pytest.approx(0.75)
+
+
+def test_calc_review_pct():
+    truth = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1])
+    prob = np.array([0.1] * 5 + [0.9] * 5)
+    assert calc_review_pct(truth, prob, 1.0, 1.0) == 0.0  # perfectly separated
+    truth2 = np.array([0, 0, 1, 0, 1])
+    prob2 = np.array([0.1, 0.2, 0.45, 0.6, 0.9])
+    # t1 = 0.2 (NPV breaks at 0.45), t2 = 0.9 (PPV breaks at 0.6)
+    assert calc_review_pct(truth2, prob2, 1.0, 1.0) == pytest.approx(0.4)
+
+
+def test_calc_threshold_for_metric_value():
+    truth = np.array([0, 0, 1, 0, 1, 1])
+    prob = np.array([0.55, 0.60, 0.70, 0.80, 0.90, 0.95])
+    # precision by threshold: ≥.55→3/6, ≥.61→3/4, ≥.71→2/3, ≥.81→2/2=1
+    t = calc_threshold_for_metric_value(truth, prob, "precision", 1.0)
+    assert t is not None and 0.80 < t <= 0.81
+    # lowest=False = LARGEST k whose value ≤ target (utils.R:1146-1151):
+    # precision ≤ 0.6 last holds on the (0.551, 0.600] grid steps
+    t2 = calc_threshold_for_metric_value(truth, prob, "precision", 0.6, lowest=False)
+    assert t2 == pytest.approx(0.600)
+    # recall is monotone non-increasing in k: lowest k with recall ≥ 1 = grid start
+    t3 = calc_threshold_for_metric_value(truth, prob, "recall", 1.0)
+    assert t3 == pytest.approx(0.5)
+    assert calc_threshold_for_metric_value(truth, prob, "precision", 1.01) is None
+
+
+def test_find_best_links_aggregated(ray_session):
+    df = pd.DataFrame(
+        {
+            "node_a": [1, 2, 2, 3, 3, 4, 4, 5],
+            "node_b": [10, 20, 21, 30, 31, 40, 41, 40],
+            "score": [0.9, 0.9, 0.4, 0.80, 0.75, 0.95, 0.2, 0.9],
+        }
+    )
+    out = find_best_links_aggregated(ray.data.from_pandas(df), odds_threshold=0.4).to_pandas()
+    got = set(map(tuple, out[["node_a", "node_b"]].to_numpy()))
+    # (1,10): both-unique 1to1; (2,20): a-side gap 0.5; (4,40): a-side
+    # gap 0.75 and b-side ambiguity unresolved but union stays unique;
+    # node 3 gap 0.05 → dropped
+    assert got == {(1, 10), (2, 20), (4, 40)}
