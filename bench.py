@@ -68,10 +68,11 @@ def run_bench() -> dict:
     # small-key groupbys and the ANN top-k do better on the default)
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
-    # two measured repetitions; report the warm (min) one so session
-    # warm-up / scheduling jitter doesn't swamp the compute signal
+    # min-of-N warm repetitions (default 3); the sandbox VM shows ±40%
+    # steal-time jitter on short runs — the min is the compute signal
+    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     best_inject, best_linkage = None, None
-    for _ in range(2):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         combined = pipeline.mess_dataset(
             clean, pipeline.benchmark_specs(0.10), seed=7, batch_size=8192
@@ -127,8 +128,18 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # the scaling measurement runs at 2M pages (FIXTURES.md bench
+    # scale): at 600k the ~10 s of serial driver tail plus the VM's
+    # minutes-long steal windows dominate the 32-cpu time and the
+    # efficiency ratio measures noise, not the engine. 2 in-session
+    # reps per level (min) keep the wall-clock sane.
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "2000000"),
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_SCALING_REPS", "2"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,
@@ -157,6 +168,8 @@ def run_scaling() -> dict:
         "pairs_per_sec_32": r_hi["pairs_scored_per_sec"],
         "inject_rows_per_sec_8": r_lo["inject_rows_per_sec"],
         "inject_rows_per_sec_32": r_hi["inject_rows_per_sec"],
+        "linkage_phases_8": r_lo["linkage_phases"],
+        "linkage_phases_32": r_hi["linkage_phases"],
         "sf": r_hi["sf"],
         "n_pages": r_hi["n_pages"],
     }

@@ -52,7 +52,14 @@ class LinkageConfig:
     jaccard_threshold: float = 0.42
     jw_threshold: float = 0.90
     seed: int = 0
-    broadcast_payload_max_rows: int = 2_000_000  # above → join path
+    # payload rows broadcast to the scorer actors as zero-copy numpy
+    # (~150 B/row → ~1.2 GB at the gate, one copy per node); above it
+    # signatures attach via hash joins (cluster scale)
+    broadcast_payload_max_rows: int = 8_000_000
+    # clean-side band rows (n_clean × bands) up to this count are
+    # probed via a broadcast sorted index (~16 B/entry) instead of the
+    # all-shuffle groupby; above it the cluster-scale shuffle path runs
+    broadcast_index_max_entries: int = 50_000_000
 
     @property
     def n_char_lanes(self) -> int:

@@ -42,17 +42,28 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
 
     bands = band_rows_from_payload(payload, cfg)
     # distinct BEFORE scoring: a pair colliding in k bands (and hence k
-    # buckets) must be scored once, not k times
-    pairs = candidate_pairs(bands, cfg).materialize()
+    # buckets) must be scored once, not k times. Below the index gate
+    # the clean side's band rows become a broadcast probe index (no
+    # groupby shuffle of the ×bands row stream); above it every band
+    # row shuffles (cluster scale).
+    n_clean_bands = (n_payload // 2) * (cfg.char_bands + cfg.word_bands)
+    if n_clean_bands <= cfg.broadcast_index_max_entries:
+        from .scoring import candidate_pairs_broadcast
+
+        pairs = candidate_pairs_broadcast(bands, cfg).materialize()
+    else:
+        pairs = candidate_pairs(bands, cfg).materialize()
     n_candidates = pairs.count()
     t = _t("candidates", t)
 
-    payload_tbl = None
+    arrs_ref = None
     if n_payload <= cfg.broadcast_payload_max_rows:
-        import ray as _ray
+        from .scoring import payload_arrays_ref
 
-        payload_tbl = pa.concat_tables(_ray.get(payload.to_arrow_refs()))
-        edges = score_pairs_broadcast(pairs, payload_tbl, cfg)
+        # numpy payload built OFF-driver (Ray task over the arrow refs)
+        # — the driver's only serial work here is submitting the task
+        arrs_ref = payload_arrays_ref(payload)
+        edges = score_pairs_broadcast(pairs, arrs_ref, cfg)
     else:
         edges = score_pairs_join(pairs, payload, cfg)
     edges = edges.materialize()
@@ -81,10 +92,10 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
         lwt_df = labels_df.merge(node_truth_df, on="node", how="inner")
         t = _t("cluster", t)
 
-        if payload_tbl is not None:  # already collected for the broadcast scorer
-            truth_pairs = _pairs_local(
-                {"truth": payload_tbl.column("truth").to_numpy()}, ["truth"]
-            )
+        if arrs_ref is not None:  # zero-copy read of the scorer's payload
+            import ray as _ray
+
+            truth_pairs = _pairs_local({"truth": _ray.get(arrs_ref)["truth"]}, ["truth"])
         else:
             truth_pairs = _pairs_local(
                 payload.select_columns(["node", "truth"]).to_pandas(), ["truth"]

@@ -131,6 +131,119 @@ def _score_kernel(na, nb, arrs: dict[str, np.ndarray], cfg: LinkageConfig) -> pd
     )
 
 
+@ray.remote
+def _build_band_index(refs: list) -> dict:
+    """Sorted (block_key → clean nodes) probe index from the clean
+    side's band rows, built off-driver. ~16 B/entry."""
+    t = pa.concat_tables(ray.get(refs))
+    keys = t.column("block_key").to_numpy()
+    nodes = t.column("node").to_numpy()
+    order = np.argsort(keys, kind="stable")
+    return {"keys": np.ascontiguousarray(keys[order]), "nodes": np.ascontiguousarray(nodes[order])}
+
+
+class _IndexProber:
+    """Actor stage: probe the broadcast clean-band index with dirty
+    band rows → raw candidate pairs. Index fetched zero-copy once per
+    actor. Blocks whose clean side exceeds ``cap`` = √max_block_pairs
+    are skipped: the shuffle path's len(c)·len(d) cap needs the global
+    dirty count this streaming path never sees, and a block that big is
+    degenerate boilerplate in either reading — its true pairs are
+    recovered via their other bands. Identical output on non-degenerate
+    blocks (equivalence-tested).
+    Emits locally-deduped pairs: a batch carries all bands of its
+    records (band emit is row-major), so most of the ×bands pair
+    multiplicity dies here instead of in the global distinct."""
+
+    def __init__(self, idx_ref, cap: int):
+        self.idx = ray.get(idx_ref)
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bk = batch.column("block_key").to_numpy()
+        dn = batch.column("node").to_numpy()
+        keys, nodes = self.idx["keys"], self.idx["nodes"]
+        lo = np.searchsorted(keys, bk, "left")
+        hi = np.searchsorted(keys, bk, "right")
+        tot = hi - lo
+        keep = (tot > 0) & (tot <= self.cap)
+        lo, tot, dn = lo[keep], tot[keep], dn[keep]
+        s = int(tot.sum())
+        if s == 0:
+            return pa.table(
+                {"node_a": pa.array([], pa.int64()), "node_b": pa.array([], pa.int64())}
+            )
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        idxs = np.repeat(lo - starts, tot) + np.arange(s)
+        a = nodes[idxs]
+        b = np.repeat(dn, tot)
+        lim = np.int64(1) << 31
+        if a.max() < lim and b.max() < (lim << 1):
+            # local ×bands dedup via packed-key unique (node ids fit
+            # 31/32 bits below the broadcast gate by construction)
+            packed = np.unique(a * (lim << 1) + b)
+            a = packed // (lim << 1)
+            b = packed % (lim << 1)
+        return pa.table({"node_a": pa.array(a, pa.int64()), "node_b": pa.array(b, pa.int64())})
+
+
+def candidate_pairs_broadcast(band_ds, cfg: LinkageConfig):
+    """Broadcast-index candidate generation — the single-node / small-
+    side fast path: the clean side's band rows become a sorted numpy
+    index in the object store; the dirty side's band rows probe it in
+    actor batches. NO groupby shuffle of the ×bands row stream (the
+    round-1 candidates phase spent ~15 s of machinery floor shuffling
+    10.8M band rows at 600k pages). Above
+    ``cfg.broadcast_index_max_entries`` clean band rows, callers use
+    ``candidate_pairs`` (the all-shuffle cluster path)."""
+    import pyarrow.compute as pc
+
+    clean_bands = (
+        band_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("side"), 0)).select(["block_key", "node"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ).materialize()
+    idx_ref = _build_band_index.remote(clean_bands.to_arrow_refs())
+    dirty_bands = band_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("side"), 1)).select(["block_key", "node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    raw = dirty_bands.map_batches(
+        _IndexProber,
+        fn_constructor_args=(idx_ref, max(64, int(cfg.max_block_pairs**0.5))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=65536,
+        concurrency=(2, 16),
+    )
+    pairs = distinct_rows(raw, ["node_a", "node_b"], num_buckets=cfg.num_buckets)
+    # keep the index alive until the lazy pair stream executes
+    pairs._rayrl_band_index_ref = idx_ref
+    return pairs
+
+
+@ray.remote
+def _build_payload_arrays(refs: list) -> dict:
+    """Build the scorer's numpy payload INSIDE a Ray task from the
+    materialized payload's Arrow refs — the driver never concatenates
+    or transforms the (possibly hundreds of MB) payload; the task's
+    return value lands in the object store ready for zero-copy actor
+    reads. (Round-2 fix for the serial driver tail in the N→4N
+    scaling measurement.)"""
+    tables = ray.get(refs)
+    return payload_arrays(pa.concat_tables(tables))
+
+
+def payload_arrays_ref(payload_ds):
+    """Materialized payload Dataset → ObjectRef[dict of numpy arrays],
+    built off-driver."""
+    refs = payload_ds.to_arrow_refs()
+    return _build_payload_arrays.remote(refs)
+
+
 class BroadcastScorer:
     """Actor-pool scorer. The numpy payload is fetched from the object
     store ONCE per actor in __init__ — a ZERO-COPY ray.get (~ms).
@@ -152,8 +265,11 @@ class BroadcastScorer:
         )
 
 
-def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 8)):
-    ref = ray.put(payload_arrays(payload))
+def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 16)):
+    """``payload`` may be an Arrow table / pandas frame (arrays built
+    here) or an ObjectRef to a prebuilt array dict (payload_arrays_ref
+    — the off-driver path link_datasets uses)."""
+    ref = payload if isinstance(payload, ray.ObjectRef) else ray.put(payload_arrays(payload))
     # the distinct stage leaves one small block per bucket; coalesce so
     # the scorer runs a handful of chunky tasks, not bucket-count tiny ones
     pairs_ds = pairs_ds.repartition(target_num_rows_per_block=131072)

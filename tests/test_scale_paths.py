@@ -49,3 +49,20 @@ def test_distributed_cluster_and_metrics_match_driver(corpus, monkeypatch):
         assert dist["metrics"][k] == fast["metrics"][k], k
     assert dist["metrics"]["f1"] == pytest.approx(fast["metrics"]["f1"])
     assert dist["metrics"]["f1"] >= 0.99
+
+
+def test_broadcast_index_candidates_match_shuffle(corpus):
+    """The broadcast-index candidate path must produce the same
+    candidate set as the all-shuffle path on non-degenerate blocks
+    (no caps trip on this fixture)."""
+    from rayrl.linkage.blocking import band_rows_from_payload, node_payload
+    from rayrl.linkage.scoring import candidate_pairs, candidate_pairs_broadcast
+
+    clean, dirty = corpus
+    cfg = LinkageConfig(num_buckets=16)
+    payload = node_payload(clean, 0, cfg).union(node_payload(dirty, 1, cfg)).materialize()
+    bands = band_rows_from_payload(payload, cfg)
+    a = candidate_pairs(bands, cfg).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    b = candidate_pairs_broadcast(bands, cfg).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a[["node_a", "node_b"]].to_numpy() == b[["node_a", "node_b"]].to_numpy()).all()
