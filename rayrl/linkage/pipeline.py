@@ -56,14 +56,14 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
     n_candidates = pairs.count()
     t = _t("candidates", t)
 
-    arrs_ref = None
+    shard_refs = None
     if n_payload <= cfg.broadcast_payload_max_rows:
-        from .scoring import payload_arrays_ref
+        from .scoring import payload_shard_refs
 
-        # numpy payload built OFF-driver (Ray task over the arrow refs)
-        # — the driver's only serial work here is submitting the task
-        arrs_ref = payload_arrays_ref(payload)
-        edges = score_pairs_broadcast(pairs, arrs_ref, cfg)
+        # numpy payload built OFF-driver as parallel shard tasks — the
+        # driver's only serial work here is submitting them
+        shard_refs = payload_shard_refs(payload)
+        edges = score_pairs_broadcast(pairs, shard_refs, cfg)
     else:
         edges = score_pairs_join(pairs, payload, cfg)
     edges = edges.materialize()
@@ -92,10 +92,11 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
         lwt_df = labels_df.merge(node_truth_df, on="node", how="inner")
         t = _t("cluster", t)
 
-        if arrs_ref is not None:  # zero-copy read of the scorer's payload
+        if shard_refs is not None:  # zero-copy reads of the scorer's payload
             import ray as _ray
 
-            truth_pairs = _pairs_local({"truth": _ray.get(arrs_ref)["truth"]}, ["truth"])
+            truth_all = np.concatenate([_ray.get(r)["truth"] for r in shard_refs])
+            truth_pairs = _pairs_local({"truth": truth_all}, ["truth"])
         else:
             truth_pairs = _pairs_local(
                 payload.select_columns(["node", "truth"]).to_pandas(), ["truth"]

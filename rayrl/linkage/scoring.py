@@ -73,25 +73,29 @@ def candidate_pairs(band_ds, cfg: LinkageConfig):
 def payload_arrays(payload: "pa.Table | pd.DataFrame") -> dict[str, np.ndarray]:
     """payload table → plasma-friendly numpy arrays, sorted by node
     (searchsorted lookups in the scorer). Accepts Arrow directly so the
-    driver never builds a pandas frame of the whole payload."""
+    driver never builds a pandas frame of the whole payload. Lang codes
+    are crc32 of the string — equality-stable across shards (the
+    sharded build below never coordinates a dictionary)."""
+    import zlib
+
     if isinstance(payload, pa.Table):
         import pyarrow.compute as pc
 
         node = payload.column("node").to_numpy()
         truth = payload.column("truth").to_numpy()
-        lang_codes = (
-            pc.dictionary_encode(payload.column("lang").combine_chunks())
-            .indices.fill_null(-1)
-            .to_numpy(zero_copy_only=False)
-        )
+        enc = pc.dictionary_encode(payload.column("lang").combine_chunks())
+        dict_vals = enc.dictionary.to_pylist()
+        crc = np.array([zlib.crc32((v or "").encode()) for v in dict_vals] + [-1], dtype=np.int64)
+        idx = enc.indices.fill_null(len(dict_vals)).to_numpy(zero_copy_only=False)
+        lang_codes = crc[idx]
         from ..bytekernels import binary_matrix
 
         sig = binary_matrix(payload.column("sig"))
     else:
         node = payload["node"].to_numpy()
         truth = payload["truth"].to_numpy()
-        _, lang_codes = np.unique(
-            np.asarray([x or "\0" for x in payload["lang"]]), return_inverse=True
+        lang_codes = np.array(
+            [zlib.crc32((x or "").encode()) for x in payload["lang"]], dtype=np.int64
         )
         sig = np.frombuffer(b"".join(payload["sig"]), dtype=np.uint8).reshape(len(node), -1)
     order = np.argsort(node)
@@ -99,14 +103,51 @@ def payload_arrays(payload: "pa.Table | pd.DataFrame") -> dict[str, np.ndarray]:
         "node": node[order],
         "truth": truth[order],
         "sig": np.ascontiguousarray(sig[order]),
-        "lang_code": lang_codes.astype(np.int8)[order],
+        "lang_code": lang_codes.astype(np.int64)[order],
     }
 
 
-def _score_kernel(na, nb, arrs: dict[str, np.ndarray], cfg: LinkageConfig) -> pd.DataFrame:
-    ia = np.searchsorted(arrs["node"], na)
-    ib = np.searchsorted(arrs["node"], nb)
-    est = (arrs["sig"][ia] == arrs["sig"][ib]).mean(axis=1) - (1.0 / 256.0)
+def _gather(shards: list, nodes: np.ndarray):
+    """Payload lookup across shard dicts (shard = node & (n-1); one
+    shard ⇒ direct searchsorted)."""
+    if len(shards) == 1:
+        arr = shards[0]
+        ia = np.searchsorted(arr["node"], nodes)
+        return arr["truth"][ia], arr["sig"][ia], arr["lang_code"][ia]
+    n = len(nodes)
+    truth = np.empty(n, np.int64)
+    lang = np.empty(n, np.int64)
+    sig = None
+    shard_of = nodes & (len(shards) - 1)
+    for sh, arr in enumerate(shards):
+        m = shard_of == sh
+        if not m.any():
+            continue
+        ia = np.searchsorted(arr["node"], nodes[m])
+        truth[m] = arr["truth"][ia]
+        lang[m] = arr["lang_code"][ia]
+        if sig is None:
+            sig = np.empty((n, arr["sig"].shape[1]), np.uint8)
+        sig[m] = arr["sig"][ia]
+    return truth, sig, lang
+
+
+def _score_kernel(na, nb, shards: list, cfg: LinkageConfig) -> pd.DataFrame:
+    if len(na) == 0:
+        return pd.DataFrame(
+            {
+                "node_a": pd.Series([], dtype="int64"),
+                "node_b": pd.Series([], dtype="int64"),
+                "truth_a": pd.Series([], dtype="int64"),
+                "truth_b": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    na = np.asarray(na)
+    nb = np.asarray(nb)
+    truth_a, sig_a, lang_a = _gather(shards, na)
+    truth_b, sig_b, lang_b = _gather(shards, nb)
+    est = (sig_a == sig_b).mean(axis=1) - (1.0 / 256.0)
     keep = est >= cfg.jaccard_threshold
     if not keep.any():
         return pd.DataFrame(
@@ -118,26 +159,33 @@ def _score_kernel(na, nb, arrs: dict[str, np.ndarray], cfg: LinkageConfig) -> pd
                 "score": pd.Series([], dtype="float64"),
             }
         )
-    lang_eq = arrs["lang_code"][ia[keep]] == arrs["lang_code"][ib[keep]]
+    lang_eq = lang_a[keep] == lang_b[keep]
     score = np.minimum(0.55 + 0.35 * np.minimum(est[keep], 1.0) + 0.01 * lang_eq, 1.0)
     return pd.DataFrame(
         {
-            "node_a": pd.Series(np.asarray(na)[keep], dtype="int64"),
-            "node_b": pd.Series(np.asarray(nb)[keep], dtype="int64"),
-            "truth_a": pd.Series(arrs["truth"][ia[keep]], dtype="int64"),
-            "truth_b": pd.Series(arrs["truth"][ib[keep]], dtype="int64"),
+            "node_a": pd.Series(na[keep], dtype="int64"),
+            "node_b": pd.Series(nb[keep], dtype="int64"),
+            "truth_a": pd.Series(truth_a[keep], dtype="int64"),
+            "truth_b": pd.Series(truth_b[keep], dtype="int64"),
             "score": pd.Series(np.round(score, 6), dtype="float64"),
         }
     )
 
 
+_INDEX_SHARDS = 8  # band-index build parallelism (shard = block_key & 7)
+
+
 @ray.remote
-def _build_band_index(refs: list) -> dict:
-    """Sorted (block_key → clean nodes) probe index from the clean
-    side's band rows, built off-driver. ~16 B/entry."""
+def _build_band_index_shard(refs: list, shard: int) -> dict:
+    """One sorted (block_key → clean nodes) index shard (rows with
+    block_key & (shards-1) == shard). The build is sharded so the sort
+    runs as ``_INDEX_SHARDS`` parallel tasks instead of one serial
+    task on the N→4N critical path. ~16 B/entry."""
     t = pa.concat_tables(ray.get(refs))
     keys = t.column("block_key").to_numpy()
     nodes = t.column("node").to_numpy()
+    m = (keys & (_INDEX_SHARDS - 1)) == shard
+    keys, nodes = keys[m], nodes[m]
     order = np.argsort(keys, kind="stable")
     return {"keys": np.ascontiguousarray(keys[order]), "nodes": np.ascontiguousarray(nodes[order])}
 
@@ -155,28 +203,39 @@ class _IndexProber:
     records (band emit is row-major), so most of the ×bands pair
     multiplicity dies here instead of in the global distinct."""
 
-    def __init__(self, idx_ref, cap: int):
-        self.idx = ray.get(idx_ref)
+    def __init__(self, shard_refs: list, cap: int):
+        self.shards = ray.get(list(shard_refs))
         self.cap = cap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bk = batch.column("block_key").to_numpy()
-        dn = batch.column("node").to_numpy()
-        keys, nodes = self.idx["keys"], self.idx["nodes"]
-        lo = np.searchsorted(keys, bk, "left")
-        hi = np.searchsorted(keys, bk, "right")
-        tot = hi - lo
-        keep = (tot > 0) & (tot <= self.cap)
-        lo, tot, dn = lo[keep], tot[keep], dn[keep]
-        s = int(tot.sum())
-        if s == 0:
+        bk_all = batch.column("block_key").to_numpy()
+        dn_all = batch.column("node").to_numpy()
+        parts_a, parts_b = [], []
+        shard_of = bk_all & (_INDEX_SHARDS - 1)
+        for sh in range(_INDEX_SHARDS):
+            m = shard_of == sh
+            if not m.any():
+                continue
+            bk, dn = bk_all[m], dn_all[m]
+            keys, nodes = self.shards[sh]["keys"], self.shards[sh]["nodes"]
+            lo = np.searchsorted(keys, bk, "left")
+            hi = np.searchsorted(keys, bk, "right")
+            tot = hi - lo
+            keep = (tot > 0) & (tot <= self.cap)
+            lo, tot, dn = lo[keep], tot[keep], dn[keep]
+            s = int(tot.sum())
+            if s == 0:
+                continue
+            starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+            idxs = np.repeat(lo - starts, tot) + np.arange(s)
+            parts_a.append(nodes[idxs])
+            parts_b.append(np.repeat(dn, tot))
+        if not parts_a:
             return pa.table(
                 {"node_a": pa.array([], pa.int64()), "node_b": pa.array([], pa.int64())}
             )
-        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
-        idxs = np.repeat(lo - starts, tot) + np.arange(s)
-        a = nodes[idxs]
-        b = np.repeat(dn, tot)
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
         lim = np.int64(1) << 31
         if a.max() < lim and b.max() < (lim << 1):
             # local ×bands dedup via packed-key unique (node ids fit
@@ -205,7 +264,8 @@ def candidate_pairs_broadcast(band_ds, cfg: LinkageConfig):
             zero_copy_batch=True,
         )
     ).materialize()
-    idx_ref = _build_band_index.remote(clean_bands.to_arrow_refs())
+    refs = clean_bands.to_arrow_refs()
+    shard_refs = [_build_band_index_shard.remote(refs, s) for s in range(_INDEX_SHARDS)]
     dirty_bands = band_ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("side"), 1)).select(["block_key", "node"]),
         batch_format="pyarrow",
@@ -213,35 +273,39 @@ def candidate_pairs_broadcast(band_ds, cfg: LinkageConfig):
     )
     raw = dirty_bands.map_batches(
         _IndexProber,
-        fn_constructor_args=(idx_ref, max(64, int(cfg.max_block_pairs**0.5))),
+        fn_constructor_args=(shard_refs, max(64, int(cfg.max_block_pairs**0.5))),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=65536,
         concurrency=(2, 16),
     )
     pairs = distinct_rows(raw, ["node_a", "node_b"], num_buckets=cfg.num_buckets)
-    # keep the index alive until the lazy pair stream executes
-    pairs._rayrl_band_index_ref = idx_ref
+    # keep the index shards alive until the lazy pair stream executes
+    pairs._rayrl_band_index_refs = shard_refs
     return pairs
 
 
+_PAYLOAD_SHARDS = 8
+
+
 @ray.remote
-def _build_payload_arrays(refs: list) -> dict:
-    """Build the scorer's numpy payload INSIDE a Ray task from the
-    materialized payload's Arrow refs — the driver never concatenates
-    or transforms the (possibly hundreds of MB) payload; the task's
-    return value lands in the object store ready for zero-copy actor
-    reads. (Round-2 fix for the serial driver tail in the N→4N
-    scaling measurement.)"""
-    tables = ray.get(refs)
-    return payload_arrays(pa.concat_tables(tables))
+def _build_payload_shard(refs: list, shard: int) -> dict:
+    """One node-keyed payload shard (rows with node & (shards-1) ==
+    shard), built off-driver. Sharding turns the (possibly GB-scale)
+    concat + sort + byte-reshape into ``_PAYLOAD_SHARDS`` parallel
+    tasks instead of one serial task on the scoring critical path; the
+    driver never touches the bytes."""
+    t = pa.concat_tables(ray.get(refs))
+    nodes = t.column("node").to_numpy()
+    mask = (nodes & (_PAYLOAD_SHARDS - 1)) == shard
+    return payload_arrays(t.filter(pa.array(mask)))
 
 
-def payload_arrays_ref(payload_ds):
-    """Materialized payload Dataset → ObjectRef[dict of numpy arrays],
-    built off-driver."""
+def payload_shard_refs(payload_ds) -> list:
+    """Materialized payload Dataset → list of ObjectRef[shard dict],
+    built off-driver in parallel."""
     refs = payload_ds.to_arrow_refs()
-    return _build_payload_arrays.remote(refs)
+    return [_build_payload_shard.remote(refs, s) for s in range(_PAYLOAD_SHARDS)]
 
 
 class BroadcastScorer:
@@ -255,27 +319,30 @@ class BroadcastScorer:
     thrash. Bounded actors doing the get at construction keep the
     worker count fixed."""
 
-    def __init__(self, arrs_ref, cfg: LinkageConfig):
-        self.arrs = ray.get(arrs_ref)
+    def __init__(self, shard_refs: list, cfg: LinkageConfig):
+        self.shards = ray.get(list(shard_refs))
         self.cfg = cfg
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return _score_kernel(
-            batch["node_a"].to_numpy(), batch["node_b"].to_numpy(), self.arrs, self.cfg
+            batch["node_a"].to_numpy(), batch["node_b"].to_numpy(), self.shards, self.cfg
         )
 
 
 def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 16)):
     """``payload`` may be an Arrow table / pandas frame (arrays built
-    here) or an ObjectRef to a prebuilt array dict (payload_arrays_ref
-    — the off-driver path link_datasets uses)."""
-    ref = payload if isinstance(payload, ray.ObjectRef) else ray.put(payload_arrays(payload))
-    # the distinct stage leaves one small block per bucket; coalesce so
-    # the scorer runs a handful of chunky tasks, not bucket-count tiny ones
-    pairs_ds = pairs_ds.repartition(target_num_rows_per_block=131072)
+    here, single shard) or a list of shard ObjectRefs
+    (payload_shard_refs — the off-driver path link_datasets uses)."""
+    if isinstance(payload, list):
+        refs = payload
+    else:
+        refs = [ray.put(payload_arrays(payload))]
+    # no repartition: map_batches bundles the distinct stage's
+    # per-bucket blocks up to batch_size itself — an explicit
+    # repartition here added a full extra pass over the pair stream
     return pairs_ds.map_batches(
         BroadcastScorer,
-        fn_constructor_args=(ref, cfg),
+        fn_constructor_args=(refs, cfg),
         batch_format="pandas",
         batch_size=131072,
         concurrency=concurrency,
