@@ -41,6 +41,8 @@ def binary_matrix(col, dtype=np.uint8) -> np.ndarray:
     the row bytes (e.g. np.uint16 lanes)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=dtype)
     off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + len(col) + 1

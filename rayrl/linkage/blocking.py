@@ -156,6 +156,41 @@ def node_payload(ds, side: int, cfg: LinkageConfig | None = None):
     )
 
 
+def folded_block_keys(batch: pa.Table, cfg: LinkageConfig) -> np.ndarray:
+    """(n, b_count) int64 block keys per payload row: each band's lanes
+    folded and mixed with the url host — the shared kernel behind both
+    the shuffle band-row emit and the fused fold+probe stage."""
+    from ..bytekernels import binary_matrix
+
+    b_count = cfg.char_bands + cfg.word_bands
+    if batch.num_rows == 0:
+        return np.zeros((0, b_count), dtype=np.int64)
+    bsig = binary_matrix(batch.column("bsig"), dtype=np.uint16)
+    hosts = batch.column("host").to_numpy()
+    folds = []
+    for b in range(cfg.char_bands):
+        lanes = bsig[:, b * cfg.char_r : (b + 1) * cfg.char_r].astype(np.uint64)
+        f = lanes[:, 0]
+        for c in range(1, cfg.char_r):
+            f = f * np.uint64(65537) + lanes[:, c]
+        folds.append(f)
+    off = cfg.n_char_lanes
+    for b in range(cfg.word_bands):
+        lanes = bsig[:, off + b * cfg.word_r : off + (b + 1) * cfg.word_r].astype(np.uint64)
+        f = lanes[:, 0]
+        for c in range(1, cfg.word_r):
+            f = f * np.uint64(65537) + lanes[:, c]
+        folds.append(f)
+    folded = np.stack(folds, axis=1)
+    band_ids = np.arange(b_count, dtype=np.int64)
+    mixed = rng._splitmix64(
+        folded.view(np.uint64)
+        ^ (hosts[:, None].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ (band_ids[None, :].view(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+    )
+    return (mixed >> np.uint64(1)).astype(np.int64)  # int64-positive keys
+
+
 def band_rows_from_payload(payload_ds, cfg: LinkageConfig):
     """Derive LSH band rows from the payload signatures — texts are
     read and shingled exactly ONCE per record (in PayloadBuilder); the
@@ -166,36 +201,9 @@ def band_rows_from_payload(payload_ds, cfg: LinkageConfig):
     b_count = cfg.char_bands + cfg.word_bands
 
     def emit(batch: pa.Table) -> pa.Table:
-        from ..bytekernels import binary_matrix
-
-        n = batch.num_rows
-        bsig = binary_matrix(batch.column("bsig"), dtype=np.uint16)
         nodes = batch.column("node").to_numpy()
-        hosts = batch.column("host").to_numpy()
-        # fold each band's lanes: char bands (r=char_r) then word bands
-        folds = []
-        for b in range(cfg.char_bands):
-            lanes = bsig[:, b * cfg.char_r : (b + 1) * cfg.char_r].astype(np.uint64)
-            f = lanes[:, 0]
-            for c in range(1, cfg.char_r):
-                f = f * np.uint64(65537) + lanes[:, c]
-            folds.append(f)
-        off = cfg.n_char_lanes
-        for b in range(cfg.word_bands):
-            lanes = bsig[:, off + b * cfg.word_r : off + (b + 1) * cfg.word_r].astype(np.uint64)
-            f = lanes[:, 0]
-            for c in range(1, cfg.word_r):
-                f = f * np.uint64(65537) + lanes[:, c]
-            folds.append(f)
-        folded = np.stack(folds, axis=1)
-        band_ids = np.arange(b_count, dtype=np.int64)
-        mixed = rng._splitmix64(
-            folded.view(np.uint64)
-            ^ (hosts[:, None].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            ^ (band_ids[None, :].view(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
-        ).reshape(-1)
-        block_key = (mixed >> np.uint64(1)).astype(np.int64)
-        bucket = (mixed % np.uint64(cfg.num_buckets)).astype(np.int32)
+        block_key = folded_block_keys(batch, cfg).reshape(-1)
+        bucket = (block_key.view(np.uint64) % np.uint64(cfg.num_buckets)).astype(np.int32)
         return pa.table(
             {
                 "bucket": pa.array(bucket, pa.int32()),

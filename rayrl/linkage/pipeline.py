@@ -40,19 +40,19 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
     n_payload = payload.count()
     t = _t("payload", t)
 
-    bands = band_rows_from_payload(payload, cfg)
-    # distinct BEFORE scoring: a pair colliding in k bands (and hence k
-    # buckets) must be scored once, not k times. Below the index gate
-    # the clean side's band rows become a broadcast probe index (no
-    # groupby shuffle of the ×bands row stream); above it every band
-    # row shuffles (cluster scale).
+    # distinct BEFORE scoring: a pair colliding in k bands must be
+    # scored once, not k times. Below the index gate the clean side's
+    # band rows become broadcast probe-index shards and dirty payload
+    # rows fold+probe them (no shuffle at all — the per-batch unique is
+    # the exact distinct); above it every band row shuffles (cluster
+    # scale).
     n_clean_bands = (n_payload // 2) * (cfg.char_bands + cfg.word_bands)
     if n_clean_bands <= cfg.broadcast_index_max_entries:
         from .scoring import candidate_pairs_broadcast
 
-        pairs = candidate_pairs_broadcast(bands, cfg).materialize()
+        pairs = candidate_pairs_broadcast(payload, cfg).materialize()
     else:
-        pairs = candidate_pairs(bands, cfg).materialize()
+        pairs = candidate_pairs(band_rows_from_payload(payload, cfg), cfg).materialize()
     n_candidates = pairs.count()
     t = _t("candidates", t)
 

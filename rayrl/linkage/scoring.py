@@ -172,7 +172,7 @@ def _score_kernel(na, nb, shards: list, cfg: LinkageConfig) -> pd.DataFrame:
     )
 
 
-_INDEX_SHARDS = 8  # band-index build parallelism (shard = block_key & 7)
+_INDEX_SHARDS = 16  # band-index build parallelism (shard = block_key & 15)
 
 
 @ray.remote
@@ -181,7 +181,10 @@ def _build_band_index_shard(refs: list, shard: int) -> dict:
     block_key & (shards-1) == shard). The build is sharded so the sort
     runs as ``_INDEX_SHARDS`` parallel tasks instead of one serial
     task on the N→4N critical path. ~16 B/entry."""
-    t = pa.concat_tables(ray.get(refs))
+    tables = [t for t in ray.get(refs) if t.num_rows]  # empty blocks may be schema-less
+    if not tables:
+        return {"keys": np.zeros(0, np.int64), "nodes": np.zeros(0, np.int64)}
+    t = pa.concat_tables(tables)
     keys = t.column("block_key").to_numpy()
     nodes = t.column("node").to_numpy()
     m = (keys & (_INDEX_SHARDS - 1)) == shard
@@ -190,26 +193,40 @@ def _build_band_index_shard(refs: list, shard: int) -> dict:
     return {"keys": np.ascontiguousarray(keys[order]), "nodes": np.ascontiguousarray(nodes[order])}
 
 
-class _IndexProber:
-    """Actor stage: probe the broadcast clean-band index with dirty
-    band rows → raw candidate pairs. Index fetched zero-copy once per
-    actor. Blocks whose clean side exceeds ``cap`` = √max_block_pairs
-    are skipped: the shuffle path's len(c)·len(d) cap needs the global
+class _FoldProbeStage:
+    """Actor stage: fused fold + probe over DIRTY payload rows. Each
+    input row computes its own b_count block keys (folded_block_keys)
+    and probes the broadcast clean-band index with all of them, so:
+
+    - the dirty side's band rows are never materialized or shuffled;
+    - a pair (c, d) can only be generated inside d's batch (a payload
+      row carries ALL its bands), so the per-batch packed ``np.unique``
+      IS the exact global distinct — no distinct shuffle stage at all,
+      at any batch size (determinism rule intact).
+
+    Blocks whose clean side exceeds ``cap`` = √max_block_pairs are
+    skipped: the shuffle path's len(c)·len(d) cap needs the global
     dirty count this streaming path never sees, and a block that big is
     degenerate boilerplate in either reading — its true pairs are
     recovered via their other bands. Identical output on non-degenerate
-    blocks (equivalence-tested).
-    Emits locally-deduped pairs: a batch carries all bands of its
-    records (band emit is row-major), so most of the ×bands pair
-    multiplicity dies here instead of in the global distinct."""
+    blocks (equivalence-tested)."""
 
-    def __init__(self, shard_refs: list, cap: int):
+    def __init__(self, shard_refs: list, cfg: LinkageConfig):
         self.shards = ray.get(list(shard_refs))
-        self.cap = cap
+        self.cfg = cfg
+        self.cap = max(64, int(cfg.max_block_pairs**0.5))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bk_all = batch.column("block_key").to_numpy()
-        dn_all = batch.column("node").to_numpy()
+        from .blocking import folded_block_keys
+
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return pa.table(
+                {"node_a": pa.array([], pa.int64()), "node_b": pa.array([], pa.int64())}
+            )
+        keys_mat = folded_block_keys(batch, self.cfg)  # (n, b_count)
+        b_count = keys_mat.shape[1]
+        bk_all = keys_mat.reshape(-1)
+        dn_all = np.repeat(batch.column("node").to_numpy(), b_count)
         parts_a, parts_b = [], []
         shard_of = bk_all & (_INDEX_SHARDS - 1)
         for sh in range(_INDEX_SHARDS):
@@ -236,56 +253,67 @@ class _IndexProber:
             )
         a = np.concatenate(parts_a)
         b = np.concatenate(parts_b)
-        lim = np.int64(1) << 31
-        if a.max() < lim and b.max() < (lim << 1):
-            # local ×bands dedup via packed-key unique (node ids fit
-            # 31/32 bits below the broadcast gate by construction)
-            packed = np.unique(a * (lim << 1) + b)
-            a = packed // (lim << 1)
-            b = packed % (lim << 1)
+        # exact global distinct (see class docstring): lexsort dedup,
+        # valid for ANY int64 node ids (duplicate dirty rows carry
+        # high-bit row_uids, so packed-int tricks don't apply)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.empty(len(a), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
         return pa.table({"node_a": pa.array(a, pa.int64()), "node_b": pa.array(b, pa.int64())})
 
 
-def candidate_pairs_broadcast(band_ds, cfg: LinkageConfig):
+def candidate_pairs_broadcast(payload_ds, cfg: LinkageConfig):
     """Broadcast-index candidate generation — the single-node / small-
-    side fast path: the clean side's band rows become a sorted numpy
-    index in the object store; the dirty side's band rows probe it in
-    actor batches. NO groupby shuffle of the ×bands row stream (the
-    round-1 candidates phase spent ~15 s of machinery floor shuffling
-    10.8M band rows at 600k pages). Above
-    ``cfg.broadcast_index_max_entries`` clean band rows, callers use
-    ``candidate_pairs`` (the all-shuffle cluster path)."""
+    side fast path: the clean side's band rows become sorted numpy
+    index shards in the object store; DIRTY payload rows fold + probe
+    them in one fused actor stage. NO shuffle anywhere: the only wide
+    operation left in candidate generation is the clean-band emit
+    feeding the index builders (the round-1 candidates phase spent
+    ~15 s of machinery floor shuffling 10.8M band rows at 600k pages;
+    the first round-2 version still shuffled the raw pair stream for
+    the global distinct). Above ``cfg.broadcast_index_max_entries``
+    clean band rows, callers use ``candidate_pairs`` (the all-shuffle
+    cluster path)."""
     import pyarrow.compute as pc
 
-    clean_bands = (
-        band_ds.map_batches(
-            lambda t: t.filter(pc.equal(t.column("side"), 0)).select(["block_key", "node"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    ).materialize()
-    refs = clean_bands.to_arrow_refs()
-    shard_refs = [_build_band_index_shard.remote(refs, s) for s in range(_INDEX_SHARDS)]
-    dirty_bands = band_ds.map_batches(
-        lambda t: t.filter(pc.equal(t.column("side"), 1)).select(["block_key", "node"]),
+    from .blocking import band_rows_from_payload
+
+    clean_payload = payload_ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("node"), 1), 0)),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    raw = dirty_bands.map_batches(
-        _IndexProber,
-        fn_constructor_args=(shard_refs, max(64, int(cfg.max_block_pairs**0.5))),
+    clean_bands = (
+        band_rows_from_payload(clean_payload, cfg)
+        .select_columns(["block_key", "node"])
+        .materialize()
+    )
+    refs = clean_bands.to_arrow_refs()
+    shard_refs = [_build_band_index_shard.remote(refs, s) for s in range(_INDEX_SHARDS)]
+    dirty_payload = payload_ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("node"), 1), 1)).select(
+            ["node", "host", "bsig"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = dirty_payload.map_batches(
+        _FoldProbeStage,
+        fn_constructor_args=(shard_refs, cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=65536,
         concurrency=(2, 16),
     )
-    pairs = distinct_rows(raw, ["node_a", "node_b"], num_buckets=cfg.num_buckets)
     # keep the index shards alive until the lazy pair stream executes
     pairs._rayrl_band_index_refs = shard_refs
     return pairs
 
 
-_PAYLOAD_SHARDS = 8
+_PAYLOAD_SHARDS = 16
 
 
 @ray.remote
@@ -295,7 +323,8 @@ def _build_payload_shard(refs: list, shard: int) -> dict:
     concat + sort + byte-reshape into ``_PAYLOAD_SHARDS`` parallel
     tasks instead of one serial task on the scoring critical path; the
     driver never touches the bytes."""
-    t = pa.concat_tables(ray.get(refs))
+    tables = [t for t in ray.get(refs) if t.num_rows]  # empty blocks may be schema-less
+    t = pa.concat_tables(tables)
     nodes = t.column("node").to_numpy()
     mask = (nodes & (_PAYLOAD_SHARDS - 1)) == shard
     return payload_arrays(t.filter(pa.array(mask)))

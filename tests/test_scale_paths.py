@@ -63,6 +63,6 @@ def test_broadcast_index_candidates_match_shuffle(corpus):
     payload = node_payload(clean, 0, cfg).union(node_payload(dirty, 1, cfg)).materialize()
     bands = band_rows_from_payload(payload, cfg)
     a = candidate_pairs(bands, cfg).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
-    b = candidate_pairs_broadcast(bands, cfg).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    b = candidate_pairs_broadcast(payload, cfg).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
     assert len(a) == len(b)
     assert (a[["node_a", "node_b"]].to_numpy() == b[["node_a", "node_b"]].to_numpy()).all()
