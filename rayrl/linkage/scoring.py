@@ -300,13 +300,15 @@ def candidate_pairs_broadcast(payload_ds, cfg: LinkageConfig):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # few chunky actors: the per-batch work is one vectorized probe, so
+    # a big pool only adds actor-startup ramp to the critical path
     pairs = dirty_payload.map_batches(
         _FoldProbeStage,
         fn_constructor_args=(shard_refs, cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=65536,
-        concurrency=(2, 16),
+        batch_size=131072,
+        concurrency=(2, 8),
     )
     # keep the index shards alive until the lazy pair stream executes
     pairs._rayrl_band_index_refs = shard_refs
@@ -358,7 +360,7 @@ class BroadcastScorer:
         )
 
 
-def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 16)):
+def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 8)):
     """``payload`` may be an Arrow table / pandas frame (arrays built
     here, single shard) or a list of shard ObjectRefs
     (payload_shard_refs — the off-driver path link_datasets uses)."""
