@@ -192,26 +192,37 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
 # ------------------------------------------------------------- SimHash
 
 def simhash_fingerprints(sf_dir: str, seed: int = 0):
-    """64-bit SimHash per doc over char-3-shingles: weighted bit-vote
-    of shingle hashes."""
+    """64-bit SimHash per doc over char shingles: weighted bit-vote of
+    shingle hashes. Vectorized per batch: one bit-matrix over the
+    concatenated shingle hashes, per-doc segment sums via cumsum gather
+    (the round-1 per-doc/per-bit Python loops, same values)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     from .linkage.stringsim import shingle_codes
 
     def sim(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            if not t:
-                out.append(0)
-                continue
-            codes = shingle_codes(t)
-            hashes = rng._splitmix64(codes ^ np.uint64(seed))
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(hashes)
-            fp = 0
-            for b in range(63):  # 63 bits → stays positive in int64
-                if votes[b] > 0:
-                    fp |= 1 << b
-            out.append(fp)
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        codes_list, rows = [], []
+        for i, t in enumerate(texts):
+            if t:
+                codes_list.append(shingle_codes(t))
+                rows.append(i)
+        if rows:
+            lens = np.fromiter((len(c) for c in codes_list), dtype=np.int64, count=len(rows))
+            allcodes = np.concatenate(codes_list)
+            hashes = rng._splitmix64(allcodes ^ np.uint64(seed))
+            bits = (
+                (hashes[:, None] >> np.arange(63, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            cs = np.zeros((len(hashes) + 1, 63), dtype=np.int64)
+            np.cumsum(bits, axis=0, out=cs[1:])
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            seg = cs[ends] - cs[starts]  # per-doc bit counts
+            votes = seg * 2 - lens[:, None]
+            fp = ((votes > 0).astype(np.int64) << np.arange(63, dtype=np.int64)[None, :]).sum(axis=1)
+            out[np.array(rows)] = fp  # 63 bits → stays positive in int64
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
 
     return ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)
