@@ -181,14 +181,21 @@ def _build_band_index_shard(refs: list, shard: int) -> dict:
     block_key & (shards-1) == shard). The build is sharded so the sort
     runs as ``_INDEX_SHARDS`` parallel tasks instead of one serial
     task on the N→4N critical path. ~16 B/entry."""
-    tables = [t for t in ray.get(refs) if t.num_rows]  # empty blocks may be schema-less
-    if not tables:
+    k_parts, n_parts = [], []
+    for t in ray.get(refs):
+        if not t.num_rows:  # empty blocks may be schema-less
+            continue
+        # mask per block and keep only this shard's 1/16th — never
+        # concat the full input (16 builders × full-copy was the
+        # dominant builder cost)
+        k = t.column("block_key").to_numpy()
+        m = (k & (_INDEX_SHARDS - 1)) == shard
+        k_parts.append(k[m])
+        n_parts.append(t.column("node").to_numpy()[m])
+    if not k_parts:
         return {"keys": np.zeros(0, np.int64), "nodes": np.zeros(0, np.int64)}
-    t = pa.concat_tables(tables)
-    keys = t.column("block_key").to_numpy()
-    nodes = t.column("node").to_numpy()
-    m = (keys & (_INDEX_SHARDS - 1)) == shard
-    keys, nodes = keys[m], nodes[m]
+    keys = np.concatenate(k_parts)
+    nodes = np.concatenate(n_parts)
     order = np.argsort(keys, kind="stable")
     return {"keys": np.ascontiguousarray(keys[order]), "nodes": np.ascontiguousarray(nodes[order])}
 
@@ -325,11 +332,22 @@ def _build_payload_shard(refs: list, shard: int) -> dict:
     concat + sort + byte-reshape into ``_PAYLOAD_SHARDS`` parallel
     tasks instead of one serial task on the scoring critical path; the
     driver never touches the bytes."""
-    tables = [t for t in ray.get(refs) if t.num_rows]  # empty blocks may be schema-less
-    t = pa.concat_tables(tables)
-    nodes = t.column("node").to_numpy()
-    mask = (nodes & (_PAYLOAD_SHARDS - 1)) == shard
-    return payload_arrays(t.filter(pa.array(mask)))
+    parts = []
+    for t in ray.get(refs):
+        if not t.num_rows:  # empty blocks may be schema-less
+            continue
+        nodes = t.column("node").to_numpy()
+        mask = (nodes & (_PAYLOAD_SHARDS - 1)) == shard
+        parts.append(t.filter(pa.array(mask)))
+    if not parts:
+        return {
+            "node": np.zeros(0, np.int64),
+            "truth": np.zeros(0, np.int64),
+            "sig": np.zeros((0, 0), np.uint8),
+            "lang_code": np.zeros(0, np.int64),
+        }
+    # concat only this shard's 1/16th (sig/bsig payloads are the bulk)
+    return payload_arrays(pa.concat_tables(parts))
 
 
 def payload_shard_refs(payload_ds) -> list:
