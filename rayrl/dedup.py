@@ -256,6 +256,8 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
             }
         )
 
+    popcount8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
     def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
         all_ids = bucket_df["doc_id"].to_numpy()
         all_hs = bucket_df["simhash"].to_numpy()
@@ -266,20 +268,29 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
             n = len(ids)
             if n < 2 or n > 1000:
                 continue
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if ids[i] == ids[j]:
-                        continue
-                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                    if d <= max_hamming:
-                        out_a.append(int(ids[i]))
-                        out_b.append(int(ids[j]))
-                        out_d.append(d)
+            # vectorized pairwise hamming: byte-wise popcount of the
+            # (n, n) xor matrix via a 256-entry lookup table
+            x = hs.astype(np.uint64)
+            xor = (x[:, None] ^ x[None, :]).view(np.uint8).reshape(n, n, 8)
+            d = popcount8[xor].sum(axis=2)
+            ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
+            keep = ids[ii] != ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+            out_d.append(d[ii, jj][keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "hamming": pd.Series(out_d, dtype="int64"),
+                "doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "doc_b": pd.Series(np.concatenate(out_b), dtype="int64"),
+                "hamming": pd.Series(np.concatenate(out_d), dtype="int64"),
             }
         )
 

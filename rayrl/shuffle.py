@@ -32,6 +32,10 @@ def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray
         col = batch.column(key)
         if pa.types.is_integer(col.type):
             vals = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from .bytekernels import content_hash64
+
+            vals = content_hash64(col).view(np.uint64)  # C-speed crc pair
         else:
             vals = np.array(
                 [zlib.crc32(str(v).encode()) for v in col.to_pylist()], dtype=np.uint64
