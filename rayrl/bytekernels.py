@@ -16,9 +16,6 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-_CRC_SALT = 0x9E3779B9
-
-
 def string_view(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy (data_bytes, offsets) view of a utf-8 string column.
     ``offsets`` has len(col)+1 int64 entries indexing into ``data``.
@@ -53,18 +50,25 @@ def binary_matrix(col, dtype=np.uint8) -> np.ndarray:
 
 
 def content_hash64(col) -> np.ndarray:
-    """Deterministic positive-int64 content hash per row: two
-    independent crc32 passes (offset seeds) packed into 63 bits. The
-    crc itself is C-speed over a memoryview slice — no byte copies, no
-    Python byte loops."""
+    """Deterministic positive-int64 content hash per row: crc32 of the
+    row bytes packed with crc32 of the *reversed* row bytes into 63
+    bits. The two passes are structurally independent — CRC is affine
+    in the message, so a forward collision needs m1^m2 to be a
+    polynomial multiple, and the reversed pass needs rev(m1^m2) to be
+    one too; a reseeded CRC would NOT add bits (the seed term cancels
+    for equal lengths). The whole buffer is reversed once (vectorized);
+    each crc is C-speed over a memoryview slice — no Python byte loops.
+    """
     data, offsets = string_view(col)
     mv = memoryview(data)
+    rmv = memoryview(data[::-1].copy())
+    total = len(data)
     n = len(offsets) - 1
     out = np.empty(n, dtype=np.int64)
     for i in range(n):
         s, e = offsets[i], offsets[i + 1]
         c1 = zlib.crc32(mv[s:e])
-        c2 = zlib.crc32(mv[s:e], _CRC_SALT)
+        c2 = zlib.crc32(rmv[total - e : total - s])
         out[i] = ((c1 << 32) | c2) >> 1
     return out
 

@@ -132,18 +132,22 @@ class _SigStage:
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int = 16, sig_k: int = 128):
-    """Full MinHash-LSH near-dup: LSH candidates → signature-based
-    est-Jaccard verify → connected components → (doc_id, cluster) rows
-    for docs in any near-dup cluster.
+    """Full MinHash-LSH near-dup: LSH candidates → signature est-Jaccard
+    PREFILTER → exact shingle-Jaccard verify → connected components →
+    (doc_id, cluster) rows for docs in any near-dup cluster.
 
-    Scale shape (round-2 fix): verification never touches the texts —
-    candidate pairs are hydrated with per-doc byte-packed signatures
-    via two bucketed hash joins (the score_pairs_join pattern), and the
-    est-Jaccard decision is one vectorized byte comparison (k=128 ⇒
-    σ ≤ 0.045, >3σ of margin at threshold 0.8 for true near-dups).
-    Clustering goes through the size-gated ``cluster_edges`` (driver
-    numpy below the gate, distributed label propagation above it) —
-    no ungated driver union-find."""
+    Verification shape (round-3 fix, ADVICE r2): a k=128 signature
+    estimate has σ = √(J(1−J)/k) ≈ 0.035 at J = 0.8, so thresholding
+    the estimate alone coin-flips pairs within ~1σ of the cutoff. The
+    estimate is now only a PREFILTER with 3σ of slack
+    (est ≥ threshold − 3σ — true pairs above threshold survive w.p.
+    ≈ 99.9%); survivors are hydrated with their two texts via bucketed
+    hash joins (the ngram_jaccard_pairs shape — texts ride once per
+    side, candidates only) and decided by the EXACT unique-shingle
+    Jaccard, which is also the emitted ``jaccard`` value. Sub-threshold
+    pairs the slack lets through are killed exactly. Clustering goes
+    through the size-gated ``cluster_edges`` (driver numpy below the
+    gate, distributed label propagation above it)."""
     from .linkage.clustering import cluster_edges
     from .shuffle import bucketed_join
 
@@ -160,29 +164,55 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
     hydrated = bucketed_join(
         bucketed_join(cands, a_side, ["doc_a"]), b_side, ["doc_b"]
     )
+    sigma = (threshold * (1.0 - threshold) / sig_k) ** 0.5
+    prefilter_cut = threshold - 3.0 * sigma
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return pd.DataFrame(
-                {
-                    "node_a": pd.Series([], dtype="int64"),
-                    "node_b": pd.Series([], dtype="int64"),
-                    "jaccard": pd.Series([], dtype="float64"),
-                }
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
             )
         sig_a = np.frombuffer(b"".join(batch["sig_a"]), dtype=np.uint8).reshape(len(batch), -1)
         sig_b = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint8).reshape(len(batch), -1)
         est = (sig_a == sig_b).mean(axis=1) - (1.0 / 256.0)
-        keep = est >= threshold
+        keep = est >= prefilter_cut
         return pd.DataFrame(
             {
-                "node_a": pd.Series(batch["doc_a"].to_numpy()[keep], dtype="int64"),
-                "node_b": pd.Series(batch["doc_b"].to_numpy()[keep], dtype="int64"),
-                "jaccard": pd.Series(np.round(est[keep], 4), dtype="float64"),
+                "doc_a": pd.Series(batch["doc_a"].to_numpy()[keep], dtype="int64"),
+                "doc_b": pd.Series(batch["doc_b"].to_numpy()[keep], dtype="int64"),
             }
         )
 
-    edges = hydrated.map_batches(verify, batch_format="pandas")
+    survivors = hydrated.map_batches(prefilter, batch_format="pandas")
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    ta_side = docs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+    )
+    tb_side = docs.map_batches(
+        lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+    )
+    with_texts = bucketed_join(
+        bucketed_join(survivors, ta_side, ["doc_a"]), tb_side, ["doc_b"]
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        from .linkage.stringsim import shingle_codes
+
+        rows = []
+        for a, b, ta, tb in zip(
+            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+        ):
+            ca = np.unique(shingle_codes(ta or ""))
+            cb = np.unique(shingle_codes(tb or ""))
+            inter = len(np.intersect1d(ca, cb, assume_unique=True))
+            j = inter / max(len(ca) + len(cb) - inter, 1)
+            if j >= threshold:
+                rows.append((int(a), int(b), round(j, 4)))
+        return pd.DataFrame(rows, columns=["node_a", "node_b", "jaccard"]).astype(
+            {"node_a": "int64", "node_b": "int64", "jaccard": "float64"}
+        )
+
+    edges = with_texts.map_batches(verify, batch_format="pandas")
     labels = cluster_edges(edges)
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
@@ -238,21 +268,22 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
     mask = (1 << width) - 1
 
     def emit(batch: pa.Table) -> pa.Table:
+        # vectorized segment emit: np.repeat rows × np.tile segments
+        # (row-major, same order and values as the former Python loop)
         ids = batch.column("doc_id").to_numpy()
         hs = batch.column("simhash").to_numpy()
-        out_seg, out_val, out_id, out_fp = [], [], [], []
-        for i in range(len(ids)):
-            for s in range(blocks):
-                out_seg.append(s)
-                out_val.append((int(hs[i]) >> (s * width)) & mask)
-                out_id.append(int(ids[i]))
-                out_fp.append(int(hs[i]))
+        n = len(ids)
+        segs = np.tile(np.arange(blocks, dtype=np.int64), n)
+        rep = np.repeat(hs, blocks).astype(np.uint64)
+        vals = ((rep >> (segs.astype(np.uint64) * np.uint64(width))) & np.uint64(mask)).astype(
+            np.int64
+        )
         return pa.table(
             {
-                "seg": pa.array(out_seg, pa.int32()),
-                "val": pa.array(out_val, pa.int64()),
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_fp, pa.int64()),
+                "seg": pa.array(segs.astype(np.int32), pa.int32()),
+                "val": pa.array(vals, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, blocks), pa.int64()),
+                "simhash": pa.array(np.repeat(hs, blocks), pa.int64()),
             }
         )
 
@@ -349,12 +380,19 @@ def embedding_near_dups(
     """Near-dup pairs by embedding cosine ≥ threshold (default tuned
     to the test embeddings' similarity range — real corpora use ~0.95).
 
-    ``method="lsh"`` (default, the scale path): hyperplane-LSH buckets
-    (rayrl.ann's index stage) with 1-bit multi-probe — each vector is
-    INDEXED in its primary bucket once and PROBES the n_planes
-    neighbouring buckets, so a pair whose signatures differ in ≤ 1
-    plane is always compared. All-pairs cosine runs only inside each
-    bucket; duplicate discoveries collapse in a final grouped max.
+    ``method="lsh"`` (default, the scale path): hyperplane-LSH
+    signatures (rayrl.ann's plane set); a pair is compared iff its
+    signatures differ in ≤ 1 plane — found via the pigeonhole trick
+    (split the n_planes bits into two halves: hamming ≤ 1 ⇒ at least
+    one half identical), NOT multi-probe replication. Round-3 shape
+    (ADVICE r2): NO embedding ever rides a shuffle — the grouped rows
+    are four ints (seg, half-value, full signature, vec_id), candidate
+    generation is a vectorized int-hamming filter inside each half
+    bucket, and only the surviving candidate PAIRS hydrate their two
+    vectors via bucketed hash joins (once per side) for the exact
+    cosine decision. Same compared-pair set as the former ×(n_planes+1)
+    payload-replicating multi-probe, ~7× less shuffle volume, and the
+    in-bucket work drops from dim-wide matmul to 1-byte popcounts.
     Nothing is materialized on the driver.
 
     ``method="brute"``: batch×corpus matmul against a broadcast
@@ -386,63 +424,110 @@ def embedding_near_dups(
         return ds.map_batches(pairs, batch_format="pandas", batch_size=2048)
 
     from .ann import _LshIndexStage
-    from .shuffle import bucketed_group_apply, group_agg
+    from .shuffle import bucketed_group_apply, bucketed_join, distinct_rows
 
     sample = ds.take_batch(1, batch_format="pandas")
     dim = len(sample["embedding"].iloc[0])
     stage = _LshIndexStage(dim, n_planes, seed)
+    h1 = n_planes // 2
+    lo_mask = (1 << h1) - 1
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        # int-only rows: (seg, half-value, full signature, vec_id)
         emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        primary = stage.bucket_of(emb)
+        sig = stage.bucket_of(emb).astype(np.int64)
         vids = batch["vec_id"].to_numpy()
-        frames = [
-            pd.DataFrame(
-                {"bucket": primary, "vec_id": vids, "probe": np.zeros(len(vids), dtype=np.int8),
-                 "embedding": list(emb)}
-            )
-        ]
-        for bit in range(n_planes):
-            frames.append(
-                pd.DataFrame(
-                    {"bucket": primary ^ (1 << bit), "vec_id": vids,
-                     "probe": np.ones(len(vids), dtype=np.int8), "embedding": list(emb)}
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    def in_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_s = [], [], []
-        for _, idx in df.groupby("bucket", sort=False).indices.items():
-            g = df.iloc[idx]
-            emb = np.stack(g["embedding"].to_numpy())
-            vids = g["vec_id"].to_numpy()
-            probe = g["probe"].to_numpy()
-            sims = emb @ emb.T
-            ii, jj = np.nonzero(sims >= threshold)
-            for i, j in zip(ii, jj):
-                if vids[i] >= vids[j]:
-                    continue
-                # compare only when at least one side is in its PRIMARY
-                # bucket (probe×probe pairs re-appear via a primary hit)
-                if probe[i] and probe[j]:
-                    continue
-                out_a.append(int(vids[i]))
-                out_b.append(int(vids[j]))
-                out_s.append(round(float(sims[i, j]), 4))
+        seg = np.tile(np.array([0, 1], dtype=np.int32), len(vids))
+        rep_sig = np.repeat(sig, 2)
+        val = np.where(seg == 0, rep_sig & lo_mask, rep_sig >> h1)
         return pd.DataFrame(
             {
-                "vec_a": pd.Series(out_a, dtype="int64"),
-                "vec_b": pd.Series(out_b, dtype="int64"),
-                "cosine": pd.Series(out_s, dtype="float64"),
+                "seg": seg,
+                "val": val.astype(np.int64),
+                "sig": rep_sig,
+                "vec_id": np.repeat(vids, 2).astype(np.int64),
+            }
+        )
+
+    popcount8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+    def near_sig_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids = df["vec_id"].to_numpy()
+        all_sig = df["sig"].to_numpy()
+        out_a, out_b = [], []
+        for _, idx in df.groupby(["seg", "val"], sort=False).indices.items():
+            ids = all_ids[idx]
+            sg = all_sig[idx].astype(np.uint64)
+            m = len(ids)
+            if m < 2:
+                continue
+            for s0 in range(0, m, 4096):  # row-chunk the (m, m) hamming
+                chunk = sg[s0 : s0 + 4096]
+                xor = (chunk[:, None] ^ sg[None, :]).view(np.uint8).reshape(len(chunk), m, 8)
+                d = popcount8[xor].sum(axis=2)
+                ii, jj = np.nonzero(d <= 1)
+                a, b = ids[s0 + ii], ids[jj]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "vec_b": pd.Series(np.concatenate(out_b), dtype="int64"),
             }
         )
 
     rows = ds.map_batches(emit, batch_format="pandas", batch_size=2048)
-    cand = bucketed_group_apply(rows, ["bucket"], in_bucket_pairs)
-    # a pair can be discovered in several buckets → collapse
-    return group_agg(cand, ["vec_a", "vec_b"], {"cosine": ("cosine", "max")})
+    cand = bucketed_group_apply(rows, ["seg", "val"], near_sig_pairs)
+    # a hamming-0 pair is discovered in both halves → distinct
+    cand = distinct_rows(cand, ["vec_a", "vec_b"])
+
+    def pack(idc: str, embc: str):
+        # byte-pack the vectors for the join (binary rides pandas/Arrow
+        # cleanly; a list<float> column trips Ray's tensor-extension
+        # slicing inside map_groups)
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            emb = np.stack(batch["embedding"].to_numpy()).astype(np.float32)
+            return pd.DataFrame(
+                {idc: batch["vec_id"].to_numpy(), embc: [e.tobytes() for e in emb]}
+            )
+
+        return fn
+
+    a_side = ds.map_batches(pack("vec_a", "emb_a"), batch_format="pandas")
+    b_side = ds.map_batches(pack("vec_b", "emb_b"), batch_format="pandas")
+    hydrated = bucketed_join(bucketed_join(cand, a_side, ["vec_a"]), b_side, ["vec_b"])
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        n = len(batch)
+        ea = np.frombuffer(b"".join(batch["emb_a"]), np.float32).reshape(n, -1).astype(np.float64)
+        eb = np.frombuffer(b"".join(batch["emb_b"]), np.float32).reshape(n, -1).astype(np.float64)
+        ea /= np.linalg.norm(ea, axis=1, keepdims=True)
+        eb /= np.linalg.norm(eb, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", ea, eb)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(batch["vec_a"].to_numpy()[keep], dtype="int64"),
+                "vec_b": pd.Series(batch["vec_b"].to_numpy()[keep], dtype="int64"),
+                "cosine": pd.Series(np.round(cos[keep], 4), dtype="float64"),
+            }
+        )
+
+    return hydrated.map_batches(verify, batch_format="pandas")
 
 
 DEDUP_QUERIES = {

@@ -111,7 +111,15 @@ def quality_scores(sf_dir: str):
 class LangId:
     """Actor-pool stage: n-gram-profile language ID heuristic. Profiles
     (top character bigrams per language) are built once per actor from
-    small seed text — a stand-in for a fasttext-style model load."""
+    small seed text — a stand-in for a fasttext-style model load.
+
+    The batch path is fully vectorized (round-3 fix, VERDICT r2 #4):
+    one byte-pair weight-table gather over the zero-copy Arrow buffer
+    per language + a cumsum row-sum — no per-character Python. The
+    scalar ``classify`` is kept as the reference implementation the
+    parity test checks the kernel against. Only [a-z][a-z] byte pairs
+    can score (non-ascii bigrams all carry weight 0 in the profiles, so
+    byte-pair == char-bigram semantics here)."""
 
     PROFILES = {
         "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
@@ -122,10 +130,19 @@ class LangId:
     }
 
     def __init__(self):
+        import numpy as np
+
         self.weights = {
             lang: {bg: len(prof) - i for i, bg in enumerate(prof)}
             for lang, prof in self.PROFILES.items()
         }
+        # (n_langs, 26*26+1) uint8 weight table on byte-pair codes; the
+        # last entry is the invalid-pair sentinel (weight 0)
+        self.W = np.zeros((len(self.PROFILES), 26 * 26 + 1), dtype=np.uint8)
+        for li, prof in enumerate(self.PROFILES.values()):
+            for i, bg in enumerate(prof):
+                self.W[li, (ord(bg[0]) - 97) * 26 + (ord(bg[1]) - 97)] = len(prof) - i
+        self.langs = np.array(list(self.PROFILES.keys()), dtype="U3")
 
     def classify(self, text: str) -> str:
         t = (text or "").lower()
@@ -147,8 +164,41 @@ class LangId:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from .bytekernels import _per_row_counts, string_view
+
+        col = pc.utf8_lower(batch.column("text").combine_chunks())
+        data, offsets = string_view(col)
+        n = len(offsets) - 1
+        nbytes = offsets[1:] - offsets[:-1]
+        continuation = (data & 0xC0) == 0x80
+        n_chars = nbytes - _per_row_counts(continuation, offsets)
+        non_ascii = _per_row_counts(data >= 0xC0, offsets)  # multi-byte lead = 1 char
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(data) >= 2:
+            # alpha iff (byte - 97) wraps to <= 25 — one uint8 pass
+            x = data - np.uint8(97)
+            va = x <= 25
+            valid = va[:-1] & va[1:]
+            brk = offsets[1:-1] - 1  # pairs straddling a row boundary
+            brk = brk[(brk >= 0) & (brk < len(valid))]
+            valid[brk] = False
+            codes = x[:-1].astype(np.uint16) * 26 + x[1:]
+            codes[~valid] = 26 * 26  # sentinel → weight 0
+            o = np.minimum(offsets, len(valid))  # pair p spans bytes (p, p+1)
+            cs = np.zeros(len(valid) + 1, dtype=np.int64)
+            for li in range(len(self.langs)):
+                np.cumsum(self.W[li][codes], out=cs[1:])
+                scores[:, li] = cs[o[1:]] - cs[o[:-1]]
+        best_idx = np.argmax(scores, axis=1)  # first max = dict order, like classify
+        best_val = scores[np.arange(n), best_idx]
+        preds = np.where(best_val > 0, self.langs[best_idx], "und")
+        ratio = non_ascii / np.maximum(1, n_chars)
+        preds = np.where(ratio > 0.3, "zh", preds)
+        preds = np.where(n_chars == 0, "und", preds)
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds.tolist(), pa.string())})
 
 
 def lang_id(sf_dir: str):

@@ -115,3 +115,37 @@ def test_content_hash_matches_on_chunked():
     a = pa.chunked_array([["x", "yy"], ["zzz"]])
     b = pa.array(["x", "yy", "zzz"])
     assert list(content_hash64(a)) == list(content_hash64(b))
+
+
+def test_langid_vectorized_matches_classify():
+    """The byte-pair-table kernel must reproduce the scalar classify()
+    on real fixture text plus the edge shapes (empty, null, non-ascii,
+    boundary bigrams)."""
+    import pyarrow.parquet as pq
+
+    from rayrl.text import LangId
+
+    texts = (
+        pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    texts += [
+        "",
+        None,
+        "the then there rather",
+        "schen durch einem geben",
+        "les des ouvertures",
+        "中文网页内容测试中文网页",
+        "a",
+        "th",
+        "x" * 3,
+        "mixé café déjà vu theatre",
+        "1234 5678 !!",
+    ]
+    stage = LangId()
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = stage(batch).column("lang_pred").to_pylist()
+    want = [stage.classify(t) for t in texts]
+    assert got == want

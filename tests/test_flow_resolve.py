@@ -201,3 +201,38 @@ def test_find_best_links_aggregated(ray_session):
     # gap 0.75 and b-side ambiguity unresolved but union stays unique;
     # node 3 gap 0.05 → dropped
     assert got == {(1, 10), (2, 20), (4, 40)}
+
+
+def test_resolve_linkage_join_path_equivalence(edges_ds):
+    """Gate forced to 0 → the bucketed left-join path must produce the
+    exact flags of the broadcast key-set path."""
+    resolved = links_1to1(edges_ds).materialize()
+    broadcast = (
+        resolve_linkage(edges_ds, resolved)
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    joined = (
+        resolve_linkage(edges_ds, resolved, driver_max=0)
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        broadcast[["node_a", "node_b", "match_pred_resolved"]],
+        joined[["node_a", "node_b", "match_pred_resolved"]],
+    )
+
+
+def test_pair_metrics_gate(edges_ds):
+    """Gate forced low → metrics computed on a deterministic hash
+    sample; result is flagged and n_pairs still reports the true
+    count."""
+    m = pair_metrics(edges_ds, driver_max=3)
+    assert m["sampled"] is True
+    assert m["n_pairs"] == 6
+    for key in ("auc", "precision", "brier"):
+        assert key in m
+    # the full path is unflagged
+    assert pair_metrics(edges_ds)["sampled"] is False
