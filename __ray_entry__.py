@@ -139,6 +139,42 @@ def er_feature_vectors(sf_dir: str):
     return feature_vectors(clean, dirty, LinkageConfig(), seed=3)
 
 
+def _feature_vectors(sf_dir: str):
+    from rayrl import pipeline, synth
+    from rayrl.errors.injector import strip_ledger
+    from rayrl.linkage.blocking import LinkageConfig
+    from rayrl.linkage.features import feature_vectors
+
+    n = max(2000, _n_pages(sf_dir) // 4)
+    clean = synth.pages_dataset(n).materialize()
+    dirty = strip_ledger(
+        pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
+    ).materialize()
+    return feature_vectors(clean, dirty, LinkageConfig(), seed=3)
+
+
+def er_predict_links(sf_dir: str):
+    """Pluggable model scoring over the 23-metric feature vectors
+    (predict_links_raw, utils.R:352-366): deterministic logistic fit +
+    actor-pool prediction → (match_prob, conf, match_pred)."""
+    from rayrl.linkage.predict import predict_links_logistic
+
+    preds = predict_links_logistic(_feature_vectors(sf_dir))
+    return preds.select_columns(
+        ["node_a", "node_b", "match", "match_prob", "conf", "match_pred"]
+    )
+
+
+def er_sample_strat(sf_dir: str):
+    """Stratified train sample over the labeled feature vectors
+    (sample_strat, paper_flow_dob_latest.Rmd:161-172): 1:4
+    match:unmatch, deterministic at any parallelism."""
+    from rayrl.linkage.sampling import sample_strat
+
+    res = sample_strat(_feature_vectors(sf_dir), n=500, match_frac=0.2)
+    return res["train"].select_columns(["node_a", "node_b", "match"])
+
+
 def er_best_links_agg(sf_dir: str):
     """Two-sided aggregated link resolution (find_best_links_aggregated,
     utils.R:426-455) over the scored match edges."""
@@ -208,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "major_tokens": major_tokens,
             "er_labeled_pairs": er_labeled_pairs,
             "er_feature_vectors": er_feature_vectors,
+            "er_predict_links": er_predict_links,
+            "er_sample_strat": er_sample_strat,
             "er_best_links_agg": er_best_links_agg,
             "er_hamming_fields": er_hamming_fields,
             "er_dirty_pages": er_dirty_pages,

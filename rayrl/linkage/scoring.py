@@ -377,6 +377,25 @@ class BroadcastScorer:
             batch["node_a"].to_numpy(), batch["node_b"].to_numpy(), self.shards, self.cfg
         )
 
+    def match_prob(self, batch: pd.DataFrame) -> np.ndarray:
+        """Scorer-protocol view (predict.PredictStage): probability per
+        pair row. ≥ 0.5 exactly iff the emission decision keeps the
+        pair (est ≥ threshold), and equals the emitted ``score`` there;
+        below the threshold the est maps monotonically into
+        [0, 0.5)."""
+        na = batch["node_a"].to_numpy()
+        nb = batch["node_b"].to_numpy()
+        if len(na) == 0:
+            return np.zeros(0)
+        _, sig_a, lang_a = _gather(self.shards, na)
+        _, sig_b, lang_b = _gather(self.shards, nb)
+        est = (sig_a == sig_b).mean(axis=1) - (1.0 / 256.0)
+        lang_eq = lang_a == lang_b
+        above = np.minimum(0.55 + 0.35 * np.minimum(est, 1.0) + 0.01 * lang_eq, 1.0)
+        thr = self.cfg.jaccard_threshold
+        below = np.clip(est, 0.0, None) / max(thr, 1e-9) * 0.499
+        return np.where(est >= thr, above, below)
+
 
 def score_pairs_broadcast(pairs_ds, payload, cfg: LinkageConfig, concurrency=(2, 8)):
     """``payload`` may be an Arrow table / pandas frame (arrays built
