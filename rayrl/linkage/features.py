@@ -532,18 +532,26 @@ def hamming_fields(hydrated_pairs, weights: "list[float] | None" = None):
 
 
 def vectors_to_pairs(wide_ds, field_cols: "list[str] | None" = None):
-    """Wide pair rows (col_a / col_b) → long per-side rows, 2 per
-    pair_id (vectors_to_pairs, utils.R:81-116). Pure map_batches — each
-    wide row emits its two sides; pair_id = (node_a<<32)|node_b if not
-    present."""
+    """Wide pair rows (col_a / col_b) → long per-side rows, 2 per pair
+    (vectors_to_pairs, utils.R:81-116). Pure map_batches — each wide
+    row emits its two sides. When no ``pair_id`` column exists, the
+    exact pair key rides as the shared columns (``pair_na``,
+    ``pair_nb``): node ids carry high DUP/TWIN offset bits (bits
+    60-61), so NO int64 packing of two ids is collision-free — a
+    single-column pair_id here is a display/sort key only (rng hash of
+    both ids), never the group key."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         if "pair_id" not in batch.columns:
+            na = batch["node_a"].to_numpy().astype(np.int64)
+            nb = batch["node_b"].to_numpy().astype(np.int64)
+            batch["pair_na"] = na
+            batch["pair_nb"] = nb
             batch["pair_id"] = (
-                batch["node_a"].to_numpy().astype(np.int64) * np.int64(1 << 31)
-                + batch["node_b"].to_numpy()
-            )
+                rng.hash_u64(na * 2654435761 + nb, 0, rng.tag_for("pairs.pair_id"))
+                >> np.uint64(1)
+            ).astype(np.int64)
         a_cols = [c for c in batch.columns if c.endswith("_a")]
         b_cols = [c for c in batch.columns if c.endswith("_b")]
         shared = [c for c in batch.columns if not c.endswith(("_a", "_b"))]
@@ -558,17 +566,28 @@ def vectors_to_pairs(wide_ds, field_cols: "list[str] | None" = None):
 
 def pairs_to_vectors(long_ds, num_buckets: int = 64):
     """Long per-side rows → wide pair rows (pairs_to_vectors,
-    utils.R:119-150): bucketed groupby on pair_id, slice side 0/1 into
-    _a/_b columns."""
+    utils.R:119-150): bucketed groupby on the pair key, slice side 0/1
+    into _a/_b columns. The key is (``pair_na``, ``pair_nb``) when
+    vectors_to_pairs synthesized it (exact — the hashed single-column
+    pair_id is not collision-free over high-bit node ids); a
+    caller-provided ``pair_id`` alone is trusted as unique."""
     from ..shuffle import bucketed_group_apply
 
+    keys = (
+        ["pair_na", "pair_nb"]
+        if {"pair_na", "pair_nb"} <= set(long_ds.schema().names)
+        else ["pair_id"]
+    )
+
     def widen(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["pair_id", "side"])
+        df = df.sort_values([*keys, "side"])
         a = df[df["side"] == 0].drop(columns=["side"])
         b = df[df["side"] == 1].drop(columns=["side"])
-        val_cols = [c for c in df.columns if c not in ("pair_id", "side")]
+        val_cols = [c for c in df.columns if c not in ("pair_id", "side", *keys)]
         a = a.rename(columns={c: f"{c}_a" for c in val_cols})
         b = b.rename(columns={c: f"{c}_b" for c in val_cols})
-        return a.merge(b, on="pair_id", how="inner")
+        if "pair_id" not in keys:
+            b = b.drop(columns=["pair_id"])
+        return a.merge(b, on=keys, how="inner")
 
-    return bucketed_group_apply(long_ds, ["pair_id"], widen, num_buckets)
+    return bucketed_group_apply(long_ds, keys, widen, num_buckets)

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 import ray
 
+from .. import rng
 from ..shuffle import bucketed_group_apply, distinct_rows
 from .blocking import LinkageConfig
 
@@ -200,6 +201,49 @@ def _build_band_index_shard(refs: list, shard: int) -> dict:
     return {"keys": np.ascontiguousarray(keys[order]), "nodes": np.ascontiguousarray(nodes[order])}
 
 
+_GUARD_SHIFT = 4  # dirty-count guard samples occurrences at 1/16
+
+
+def _dirty_hot_key_table(dirty_payload, cfg: LinkageConfig):
+    """Estimated dirty-side count per HOT block key, as (sorted keys,
+    counts) numpy arrays — the c·d cap the shuffle path applies exactly
+    needs a global dirty count the streaming probe never sees. A
+    deterministic 1/16 occurrence sample (rng on (key, node)) is
+    counted per batch and summed on the driver: a key with true count d
+    is estimated at d±25%/√(d/16); keys that stay under ``floor`` =
+    max_block_pairs/cap may be missed, but those satisfy
+    c·d ≤ cap·floor = max_block_pairs by construction, so only
+    genuinely degenerate keys matter — and they are caught w.p.
+    ~1 − e^(−d/16). Sample volume collected: band_rows/16 × 16 B."""
+    from .blocking import folded_block_keys
+
+    cut = np.uint64(1 << (64 - _GUARD_SHIFT))
+    tag = rng.tag_for("scoring.dirty_guard")
+
+    def sample_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return pa.table({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        keys_mat = folded_block_keys(batch, cfg)
+        bk = keys_mat.reshape(-1)
+        dn = np.repeat(batch.column("node").to_numpy(), keys_mat.shape[1])
+        h = rng.hash_u64(bk * 0x9E3779B1 + dn, cfg.seed, tag)
+        bk = bk[h < cut]
+        u, c = np.unique(bk, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())})
+
+    parts = dirty_payload.map_batches(
+        sample_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(parts):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    agg = parts.groupby("key", sort=True)["cnt"].sum()
+    est = agg.to_numpy() << _GUARD_SHIFT
+    cap = max(64, int(cfg.max_block_pairs**0.5))
+    floor = max(1, cfg.max_block_pairs // cap)
+    hot = est >= floor
+    return agg.index.to_numpy()[hot], est[hot]
+
+
 class _FoldProbeStage:
     """Actor stage: fused fold + probe over DIRTY payload rows. Each
     input row computes its own b_count block keys (folded_block_keys)
@@ -212,16 +256,41 @@ class _FoldProbeStage:
       at any batch size (determinism rule intact).
 
     Blocks whose clean side exceeds ``cap`` = √max_block_pairs are
-    skipped: the shuffle path's len(c)·len(d) cap needs the global
-    dirty count this streaming path never sees, and a block that big is
-    degenerate boilerplate in either reading — its true pairs are
-    recovered via their other bands. Identical output on non-degenerate
-    blocks (equivalence-tested)."""
+    skipped: a block that big is degenerate boilerplate — its true
+    pairs are recovered via their other bands. The shuffle path's full
+    len(c)·len(d) cap is additionally enforced against the sampled
+    dirty-count estimate in ``hot`` (see _dirty_hot_key_table), so a
+    1-clean × N-dirty degenerate key no longer expands unbounded
+    (ADVICE r2); skips are logged once per actor so the divergence is
+    observable."""
 
-    def __init__(self, shard_refs: list, cfg: LinkageConfig):
+    def __init__(self, shard_refs: list, cfg: LinkageConfig, hot_ref=None):
         self.shards = ray.get(list(shard_refs))
         self.cfg = cfg
         self.cap = max(64, int(cfg.max_block_pairs**0.5))
+        self.hot_keys, self.hot_counts = (
+            ray.get(hot_ref) if hot_ref is not None else (np.zeros(0, np.int64),) * 2
+        )
+        self._warned = False
+
+    def _degenerate_mask(self, bk: np.ndarray, tot: np.ndarray) -> np.ndarray:
+        """True where the estimated c·d exceeds max_block_pairs."""
+        if not len(self.hot_keys):
+            return np.zeros(len(bk), dtype=bool)
+        pos = np.searchsorted(self.hot_keys, bk)
+        pos_c = np.minimum(pos, len(self.hot_keys) - 1)
+        est_d = np.where(self.hot_keys[pos_c] == bk, self.hot_counts[pos_c], 0)
+        deg = tot * est_d > self.cfg.max_block_pairs
+        if deg.any() and not self._warned:
+            self._warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fold+probe skipping %d degenerate block probes (est c*d > %d)",
+                int(deg.sum()),
+                self.cfg.max_block_pairs,
+            )
+        return deg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .blocking import folded_block_keys
@@ -245,7 +314,7 @@ class _FoldProbeStage:
             lo = np.searchsorted(keys, bk, "left")
             hi = np.searchsorted(keys, bk, "right")
             tot = hi - lo
-            keep = (tot > 0) & (tot <= self.cap)
+            keep = (tot > 0) & (tot <= self.cap) & ~self._degenerate_mask(bk, tot)
             lo, tot, dn = lo[keep], tot[keep], dn[keep]
             s = int(tot.sum())
             if s == 0:
@@ -307,11 +376,15 @@ def candidate_pairs_broadcast(payload_ds, cfg: LinkageConfig):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # degenerate-key guard: estimated dirty-side counts for hot block
+    # keys so the probe can apply the shuffle path's c·d cap (one cheap
+    # int-only pre-pass; see _dirty_hot_key_table)
+    hot_ref = ray.put(_dirty_hot_key_table(dirty_payload, cfg))
     # few chunky actors: the per-batch work is one vectorized probe, so
     # a big pool only adds actor-startup ramp to the critical path
     pairs = dirty_payload.map_batches(
         _FoldProbeStage,
-        fn_constructor_args=(shard_refs, cfg),
+        fn_constructor_args=(shard_refs, cfg, hot_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=131072,

@@ -174,10 +174,35 @@ def test_pair_pivots_roundtrip(labeled):
     back = pairs_to_vectors(long, num_buckets=4).to_pandas()
     assert len(back) == 50
     wdf = wide.to_pandas()
-    merged = back.sort_values("pair_id").reset_index(drop=True)
+    key = ["pair_na", "pair_nb"]
+    merged = back.sort_values(key).reset_index(drop=True)
     # fields survive the round trip (column subset: fname both sides)
-    orig = wdf.assign(
-        pair_id=wdf["node_a"].to_numpy().astype(np.int64) * np.int64(1 << 31) + wdf["node_b"].to_numpy()
-    ).sort_values("pair_id").reset_index(drop=True)
+    orig = wdf.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    assert (merged["pair_na"].to_numpy() == orig["node_a"].to_numpy()).all()
     assert (merged["fname_a"].to_numpy() == orig["fname_a"].to_numpy()).all()
     assert (merged["lname_b"].to_numpy() == orig["lname_b"].to_numpy()).all()
+
+
+def test_pair_pivots_high_bit_node_ids(ray_session):
+    """Node ids with DUP/TWIN offset bits (60-61) must survive the
+    pivot exactly — the former (node_a<<31)+node_b packing wrapped for
+    these (ADVICE r2)."""
+    import ray.data
+
+    hi = 1 << 60
+    wide = pd.DataFrame(
+        {
+            "node_a": [hi + 2, hi + 2, 4],
+            "node_b": [hi + 3, 5, hi + 3],
+            "fname_a": ["ann", "amy", "al"],
+            "fname_b": ["bob", "ben", "bea"],
+        }
+    )
+    back = pairs_to_vectors(vectors_to_pairs(ray.data.from_pandas(wide))).to_pandas()
+    assert len(back) == 3
+    merged = back.sort_values(["pair_na", "pair_nb"]).reset_index(drop=True)
+    orig = wide.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    assert (merged["pair_na"].to_numpy() == orig["node_a"].to_numpy()).all()
+    assert (merged["pair_nb"].to_numpy() == orig["node_b"].to_numpy()).all()
+    assert (merged["fname_a"].to_numpy() == orig["fname_a"].to_numpy()).all()
+    assert (merged["fname_b"].to_numpy() == orig["fname_b"].to_numpy()).all()

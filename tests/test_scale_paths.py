@@ -66,3 +66,46 @@ def test_broadcast_index_candidates_match_shuffle(corpus):
     b = candidate_pairs_broadcast(payload, cfg).to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
     assert len(a) == len(b)
     assert (a[["node_a", "node_b"]].to_numpy() == b[["node_a", "node_b"]].to_numpy()).all()
+
+
+def test_degenerate_dirty_block_capped_like_shuffle(ray_session):
+    """A 1-clean x N-dirty degenerate block (N x max_block_pairs) must
+    be skipped by the broadcast fold+probe path just like the shuffle
+    path's c*d cap — via the sampled dirty-count guard (ADVICE r2)."""
+    import pandas as pd
+    import ray.data
+
+    from rayrl import synth
+    from rayrl.linkage.blocking import band_rows_from_payload, node_payload
+    from rayrl.linkage.scoring import candidate_pairs, candidate_pairs_broadcast
+
+    clean = synth.pages_dataset(300, override_num_blocks=2).materialize()
+    cdf = clean.to_pandas()
+    # 400 dirty clones of clean row 0 (same text+url => same bands in
+    # every band family) + 50 verbatim copies of clean rows 1..50
+    boiler = pd.concat([cdf.iloc[[0]]] * 400, ignore_index=True)
+    normal = cdf.iloc[1:51].copy()
+    dirty = pd.concat([boiler, normal], ignore_index=True)
+    dirty["row_uid"] = 1_000_000 + pd.RangeIndex(len(dirty))
+    dirty["record_id"] = 2_000_000 + pd.RangeIndex(len(dirty))
+    dirty_ds = ray.data.from_pandas(dirty).materialize()
+
+    cfg = LinkageConfig(num_buckets=16, max_block_pairs=100)
+    payload = node_payload(clean, 0, cfg).union(node_payload(dirty_ds, 1, cfg)).materialize()
+    bands = band_rows_from_payload(payload, cfg)
+    a = (
+        candidate_pairs(bands, cfg)
+        .to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    )
+    b = (
+        candidate_pairs_broadcast(payload, cfg)
+        .to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    )
+    # the boilerplate block's 400 pairs are capped out of BOTH paths
+    boiler_nodes = set((1_000_000 + pd.RangeIndex(400)).to_numpy() * 2 + 1)
+    assert not set(a["node_b"]) & boiler_nodes
+    assert not set(b["node_b"]) & boiler_nodes
+    # and the normal 1x1 blocks survive identically
+    assert len(a) == len(b)
+    assert (a[["node_a", "node_b"]].to_numpy() == b[["node_a", "node_b"]].to_numpy()).all()
+    assert len(a) >= 50
