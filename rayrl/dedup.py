@@ -22,6 +22,40 @@ def _read_docs(sf_dir: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+# needed-id sets up to this size are broadcast for semi-join pruning;
+# above it the payload side rides the bucketed join unpruned
+_SEMIJOIN_BROADCAST_MAX = 4_000_000
+
+
+def _prune_to_ids(ds, pairs_ds, pair_col: "str | list[str]", id_col: str):
+    """Semi-join prune before a payload-hydration join: filter ``ds``
+    to rows whose ``id_col`` appears in ``pairs_ds[pair_col]``. The
+    candidate-pair side is typically orders of magnitude smaller than
+    the corpus, so shipping the full payload (texts / embeddings)
+    through the join shuffle to hydrate a few pairs is waste; the
+    needed-id set (ints) is collected and broadcast once, and the
+    payload side is filtered with a vectorized sorted-membership test
+    before it ever reaches the shuffle. Above the broadcast gate the
+    join runs unpruned (``pairs_ds`` must be materialized — callers
+    already are, so ``count()`` is free)."""
+    if pairs_ds.count() > _SEMIJOIN_BROADCAST_MAX:
+        return ds
+    cols = [pair_col] if isinstance(pair_col, str) else list(pair_col)
+    key_df = pairs_ds.select_columns(cols).to_pandas()
+    ids = np.unique(np.concatenate([key_df[c].to_numpy() for c in cols]))
+    ref = ray.put(ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        vals = batch.column(id_col).to_numpy()
+        pos = np.searchsorted(arr, vals)
+        pos_c = np.minimum(pos, max(len(arr) - 1, 0))
+        m = (arr[pos_c] == vals) if len(arr) else np.zeros(len(vals), dtype=bool)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- exact
 
 def dedup_exact(sf_dir: str):
@@ -147,14 +181,24 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
     Jaccard, which is also the emitted ``jaccard`` value. Sub-threshold
     pairs the slack lets through are killed exactly. Clustering goes
     through the size-gated ``cluster_edges`` (driver numpy below the
-    gate, distributed label propagation above it)."""
+    gate, distributed label propagation above it).
+
+    The narrow pair streams (cands / survivors / edges — int rows,
+    bounded by candidate volume) are materialized: each is consumed
+    more than once (join schema probes; cluster_edges' size gate), and
+    without the barrier the whole upstream join chain re-executes per
+    consumer (measured 34 s → 12 s at sf0.01)."""
     from .linkage.clustering import cluster_edges
     from .shuffle import bucketed_join
 
-    cands = minhash_candidate_pairs(sf_dir, k=k, bands=bands)
-    sigs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _SigStage(sig_k, seed=0), batch_format="pyarrow", zero_copy_batch=True
+    cands = minhash_candidate_pairs(sf_dir, k=k, bands=bands).materialize()
+    # semi-join prune: only candidate docs are signed / join-shuffled
+    cand_docs = _prune_to_ids(
+        _read_docs(sf_dir, ["doc_id", "text"]), cands, ["doc_a", "doc_b"], "doc_id"
     )
+    sigs = cand_docs.map_batches(
+        _SigStage(sig_k, seed=0), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     a_side = sigs.map_batches(
         lambda t: t.rename_columns(["doc_a", "sig_a"]), batch_format="pyarrow"
     )
@@ -183,8 +227,10 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
             }
         )
 
-    survivors = hydrated.map_batches(prefilter, batch_format="pandas")
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    survivors = hydrated.map_batches(prefilter, batch_format="pandas").materialize()
+    docs = _prune_to_ids(
+        _read_docs(sf_dir, ["doc_id", "text"]), survivors, ["doc_a", "doc_b"], "doc_id"
+    )
     ta_side = docs.map_batches(
         lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
     )
@@ -212,7 +258,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
             {"node_a": "int64", "node_b": "int64", "jaccard": "float64"}
         )
 
-    edges = with_texts.map_batches(verify, batch_format="pandas")
+    edges = with_texts.map_batches(verify, batch_format="pandas").materialize()
     labels = cluster_edges(edges)
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
@@ -336,13 +382,16 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5):
     """Word-n-gram Jaccard over LSH candidates (the n-gram flavour of
     near-dup verification). Candidate pairs are hydrated with their two
-    texts via bucketed hash joins — texts ride a shuffle exactly once
-    per side, and only for CANDIDATE docs (inner join), never as a
+    texts via bucketed hash joins — a semi-join prune filters the doc
+    side to CANDIDATE docs before the shuffle, so texts ride it once
+    per side and only for docs that appear in a pair, never as a
     whole-corpus driver broadcast (the round-1 shape)."""
     from .shuffle import bucketed_join
 
-    cands = minhash_candidate_pairs(sf_dir)
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    cands = minhash_candidate_pairs(sf_dir).materialize()
+    docs = _prune_to_ids(
+        _read_docs(sf_dir, ["doc_id", "text"]), cands, ["doc_a", "doc_b"], "doc_id"
+    )
     a_side = docs.map_batches(
         lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
     )
@@ -484,8 +533,11 @@ def embedding_near_dups(
 
     rows = ds.map_batches(emit, batch_format="pandas", batch_size=2048)
     cand = bucketed_group_apply(rows, ["seg", "val"], near_sig_pairs)
-    # a hamming-0 pair is discovered in both halves → distinct
-    cand = distinct_rows(cand, ["vec_a", "vec_b"])
+    # a hamming-0 pair is discovered in both halves → distinct;
+    # materialized (tiny int rows) so the semi-join prune and the two
+    # hydration joins don't re-run the bucket scan
+    cand = distinct_rows(cand, ["vec_a", "vec_b"]).materialize()
+    ds = _prune_to_ids(ds, cand, ["vec_a", "vec_b"], "vec_id")
 
     def pack(idc: str, embc: str):
         # byte-pack the vectors for the join (binary rides pandas/Arrow
