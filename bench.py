@@ -103,14 +103,20 @@ def run_bench() -> dict:
 
     ctx.shuffle_strategy = default_shuffle
 
-    # --- operator queries over the sf tables ---
+    # --- operator queries over the sf tables (min-of-reps like the
+    # headline: 1-rep numbers on this VM measure steal windows, not
+    # the engine — see BASELINE.md's jitter notes) ---
     for qname in ("pricing_summary", "token_frequencies", "dedup_exact", "events_hourly", "ann_topk"):
         fn = entry_mod.queries()[qname]
-        t0 = time.perf_counter()
-        out = fn(sf_dir)
-        if hasattr(out, "materialize"):
-            out.materialize()
-        timings[qname] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            out = fn(sf_dir)
+            if hasattr(out, "materialize"):
+                out.materialize()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[qname] = round(best, 3)
 
     total = timings["inject"] + timings["linkage"]
     result = {

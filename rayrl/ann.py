@@ -148,7 +148,127 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 6
     return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
 
 
+# ----------------------------------------------------------- IVF
+
+# deterministic hash-gated training sample for the coarse quantizer
+# (faiss-style: IVF centroids are trained on a bounded sample, never
+# the full corpus)
+_IVF_TRAIN_MAX = 100_000
+
+
+def train_ivf_centroids(
+    emb_ds, n_centroids: int = 16, iters: int = 8, seed: int = 0
+) -> np.ndarray:
+    """K-means coarse quantizer, deterministic at any parallelism:
+
+    - the training set is a hash-gated sample (rng counter stream on
+      vec_id → membership is a pure row function), collected and
+      sorted by vec_id so the float summation order is fixed;
+    - init = the ``n_centroids`` sample vectors with smallest
+      hash(vec_id) (spread, but deterministic);
+    - fixed ``iters`` Lloyd steps in float64 on the driver (the sample
+      is bounded by ``_IVF_TRAIN_MAX``; ties → lowest centroid id).
+
+    Returns a normalized (n_centroids, dim) matrix (cosine/IP space)."""
+    n = emb_ds.count()
+    tag = rng.tag_for("ann.ivf_train")
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        if n <= _IVF_TRAIN_MAX:
+            return batch
+        cut = np.uint64(int(_IVF_TRAIN_MAX / n * 2**64))
+        h = rng.hash_u64(batch["vec_id"].to_numpy(), seed, tag)
+        return batch[h < cut]
+
+    df = emb_ds.map_batches(gate, batch_format="pandas").to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(rng.hash_u64(df["vec_id"].to_numpy(), seed, rng.tag_for("ann.ivf_init")), kind="stable")
+    C = X[order[:n_centroids]].copy()
+    for _ in range(iters):
+        # cosine assignment (argmax IP == argmin angular distance);
+        # np.argmax breaks ties toward the lowest centroid id
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    C[c] = v / nv
+    return C
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 0,
+):
+    """IVF-style ANN — the scale path for large query sets: a coarse
+    k-means quantizer partitions the corpus into ``n_centroids`` cells;
+    each query probes only its ``nprobe`` nearest cells.
+
+    Ray shape: NO shuffle of embeddings at all. Centroids (trained on a
+    deterministic bounded sample) and the per-query probe sets are
+    broadcast once; each corpus batch assigns its own vectors to cells
+    with one (batch × n_centroids) matmul, computes similarities only
+    for rows falling in some probing query's cells (~nprobe/n_centroids
+    of the corpus per query), and emits bounded partial top-k rows; a
+    tiny per-query groupby head merges them. Contrast: a materialized
+    inverted index (the classic IVF layout) would pay one full
+    embedding shuffle to co-locate cells — the right trade only when
+    the index is reused across many query waves; for a query-stream
+    API the batch-side probe wins at every scale.
+
+    Approximate (recall vs ann_topk tested); same output schema /
+    tie-breaks as ann_topk."""
+    C = train_ivf_centroids(_read_emb(sf_dir), n_centroids, seed=seed)
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    # per-query probe cells: nprobe nearest centroids
+    probes = np.argsort(-(qm @ C.T), kind="stable", axis=1)[:, :nprobe]
+    # (n_centroids, nq) membership: does query q probe cell c?
+    probe_mask = np.zeros((len(C), len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[probes[qi], qi] = True
+    ref = ray.put((qids, qm, C, probe_mask))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, mat, cent, pmask = ray.get(ref)
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        vids = batch["vec_id"].to_numpy()
+        assign = np.argmax(emb @ cent.T, axis=1)  # (batch,)
+        rows = []
+        for qi in range(len(ids)):
+            m = pmask[assign, qi]
+            m &= vids != ids[qi]  # exclude self
+            if not m.any():
+                continue
+            sims = mat[qi] @ emb[m].T
+            sel_ids = vids[m]
+            take = min(k, len(sims))
+            top = np.lexsort((sel_ids, -sims))[:take]
+            for j in top:
+                rows.append((int(ids[qi]), int(sel_ids[j]), float(sims[j])))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+
+    partials = _read_emb(sf_dir).map_batches(partial, batch_format="pandas", batch_size=4096)
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    return partials.groupby("query_id").map_groups(head, batch_format="pandas")
+
+
 ANN_QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }

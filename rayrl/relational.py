@@ -98,18 +98,26 @@ def customers_without_finished_orders(sf_dir: str):
     """Anti-join via broadcast key set (the label-exclusion anti-joins,
     utils.R:535-541, 588-590): customers with no order in status F.
     The key set is collected from a filtered, projected read (row-group
-    predicate pushdown + column pruning) and broadcast once."""
-    keys = set(
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
-        .filter(expr="o_orderstatus == 'F'")
-        .unique("o_custkey")
+    predicate pushdown + column pruning) and broadcast once as a sorted
+    numpy array (zero-copy per actor). Driver-collect bound: distinct
+    customer keys — ≤ |customer| ≈ 150k·SF rows × 8 B (TPC-H shape), so
+    ~1.2 GB even at SF=1000; a corpus without that bound would need the
+    bucketed-join anti-join fallback (resolve_linkage's gated shape)."""
+    keys = np.unique(
+        np.asarray(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+            .filter(expr="o_orderstatus == 'F'")
+            .unique("o_custkey")
+        )
     )
     keys_ref = ray.put(keys)
 
     def anti(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = pa.array([k not in ks for k in batch.column("c_custkey").to_pylist()])
-        return batch.filter(mask)
+        vals = batch.column("c_custkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, vals), max(len(ks) - 1, 0))
+        hit = (ks[pos] == vals) if len(ks) else np.zeros(len(vals), dtype=bool)
+        return batch.filter(pa.array(~hit))
 
     return _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
         anti, batch_format="pyarrow"

@@ -164,3 +164,67 @@ def test_ann_lsh_well_formed(ray_session):
     assert set(approx.columns) == {"query_id", "rank", "vec_id"}
     for q, g in approx.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_ann_ivf_full_probe_equals_brute(ray_session):
+    """nprobe == n_centroids means every cell is probed — the IVF path
+    must then reproduce the exact brute-force top-k (same tie-breaks),
+    which also pins determinism of the assignment + partial top-k."""
+    from rayrl.ann import ann_ivf_topk
+
+    brute = ann_topk(SF_DIR).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    full = (
+        ann_ivf_topk(SF_DIR, n_centroids=16, nprobe=16)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, full)
+
+
+def test_ann_ivf_recall_monotone_in_nprobe(ray_session):
+    """More probed cells can only add candidates — recall vs brute must
+    be monotone non-decreasing in nprobe."""
+    from rayrl.ann import ann_ivf_topk
+
+    brute = set(map(tuple, ann_topk(SF_DIR).to_pandas()[["query_id", "vec_id"]].to_numpy()))
+    recalls = []
+    for nprobe in (2, 8, 16):
+        got = set(
+            map(tuple, ann_ivf_topk(SF_DIR, nprobe=nprobe).to_pandas()[["query_id", "vec_id"]].to_numpy())
+        )
+        recalls.append(len(brute & got) / len(brute))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_ann_ivf_finds_planted_near_identical(ray_session, tmp_path):
+    """A near-identical copy of a query vector assigns to the query's
+    own nearest cell, so IVF retrieves it at rank 1 even at nprobe=1."""
+    from rayrl.ann import ann_ivf_topk
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    ids = t.column("vec_id").to_pylist()
+    labels = t.column("label").to_pylist()
+    next_id = max(ids) + 1
+    planted = {}
+    for q in range(5):
+        v = np.asarray(emb[q], dtype=np.float32)
+        v = v + 0.001 * np.abs(v).mean()
+        emb.append(list(v))
+        ids.append(next_id)
+        labels.append(labels[q])
+        planted[q] = next_id
+        next_id += 1
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(out, tmp_path / "embeddings.parquet")
+    res = ann_ivf_topk(str(tmp_path), nprobe=1).to_pandas()
+    for q, pid in planted.items():
+        got = res[res["query_id"] == q]
+        assert pid in set(got["vec_id"]), (q, pid)
+        assert int(got[got["vec_id"] == pid]["rank"].iloc[0]) == 1
