@@ -274,13 +274,21 @@ class _FoldProbeStage:
         self._warned = False
 
     def _degenerate_mask(self, bk: np.ndarray, tot: np.ndarray) -> np.ndarray:
-        """True where the estimated c·d exceeds max_block_pairs."""
+        """True where the estimated c·d exceeds 2× max_block_pairs.
+
+        The 2× margin makes this a RUNAWAY stop, not the exact cap: a
+        block the shuffle path keeps (true c·d ≤ cap) is skipped here
+        only if the 1/16-sampled estimate errs 2×, which at the d
+        values that can matter (d ≥ cap/c) has negligible probability —
+        so the two candidate paths stay byte-identical on everything
+        but genuinely degenerate keys (measured: same 1,180,801 pairs
+        at 600k pages with the guard on)."""
         if not len(self.hot_keys):
             return np.zeros(len(bk), dtype=bool)
         pos = np.searchsorted(self.hot_keys, bk)
         pos_c = np.minimum(pos, len(self.hot_keys) - 1)
         est_d = np.where(self.hot_keys[pos_c] == bk, self.hot_counts[pos_c], 0)
-        deg = tot * est_d > self.cfg.max_block_pairs
+        deg = tot * est_d > 2 * self.cfg.max_block_pairs
         if deg.any() and not self._warned:
             self._warned = True
             import logging
