@@ -229,7 +229,9 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.ann import ANN_QUERIES
     from rayrl.dedup import DEDUP_QUERIES
+    from rayrl.quantiles import QUANTILE_QUERIES
     from rayrl.relational import QUERIES as REL_QUERIES
+    from rayrl.temporal import TEMPORAL_QUERIES
     from rayrl.text import TEXT_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
@@ -237,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(ANN_QUERIES)
+    out.update(TEMPORAL_QUERIES)
+    out.update(QUANTILE_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -264,7 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rayrl.ann import ANN_TOPK_ORACLE
+    from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
+    from rayrl.temporal import TEMPORAL_ORACLES
     from rayrl.text import TEXT_ORACLES
 
     from rayrl.linkage.features import MAJOR_TOKENS_ORACLE
@@ -272,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(REL_ORACLES)
     out.update(TEXT_ORACLES)
+    out.update(TEMPORAL_ORACLES)
+    out.update(QUANTILE_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
     return out
