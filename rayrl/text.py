@@ -63,9 +63,13 @@ def char_class_counts(sf_dir: str):
 
 class QualityScorer:
     """Actor-pool stage: heuristic quality score per doc (length,
-    stopword ratio, digit ratio, repetition) — the web-pipeline
-    quality-filter shape (stopword set + compiled regex built once per
-    actor)."""
+    stopword ratio, repetition) — the web-pipeline quality-filter
+    shape (stopword set + compiled regex built once per actor).
+
+    Outputs are UNROUNDED doubles whose arithmetic mirrors the DuckDB
+    oracle expression term-for-term (same division, same left-assoc
+    additions), so the two engines produce bit-identical values —
+    rounding would reintroduce half-even-vs-half-away divergence."""
 
     STOPWORDS = {"the", "a", "and", "of", "to", "in", "is", "for", "on", "with"}
 
@@ -85,11 +89,10 @@ class QualityScorer:
                 continue
             stop = sum(tok in self.STOPWORDS for tok in toks) / n
             uniq = len(set(toks)) / n
-            length_ok = min(1.0, n / 20.0)
-            score = 0.4 * length_ok + 0.3 * min(1.0, stop * 5) + 0.3 * uniq
-            scores.append(round(score, 4))
-            stop_ratios.append(round(stop, 4))
-            rep_ratios.append(round(1 - uniq, 4))
+            score = 0.4 * min(1.0, n / 20.0) + 0.3 * min(1.0, stop * 5) + 0.3 * uniq
+            scores.append(score)
+            stop_ratios.append(stop)
+            rep_ratios.append(1 - uniq)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -246,5 +249,29 @@ TEXT_ORACLES = {
                CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
         FROM documents
+    """,
+    # term-for-term mirror of QualityScorer.__call__ — identical IEEE
+    # expression order makes the unrounded doubles bit-equal
+    "quality_scores": """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id, len(toks) AS n,
+                   len(list_filter(toks, x -> x IN
+                       ('the','a','and','of','to','in','is','for','on','with'))) AS stop_cnt,
+                   len(list_distinct(toks)) AS uniq_cnt
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE 0.4 * least(1.0, n / 20.0)
+                         + 0.3 * least(1.0, (stop_cnt / CAST(n AS DOUBLE)) * 5)
+                         + 0.3 * (uniq_cnt / CAST(n AS DOUBLE)) END AS quality,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE stop_cnt / CAST(n AS DOUBLE) END AS stop_ratio,
+               CASE WHEN n = 0 THEN 1.0
+                    ELSE 1 - uniq_cnt / CAST(n AS DOUBLE) END AS repetition
+        FROM m
     """,
 }

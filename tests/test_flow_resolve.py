@@ -187,6 +187,38 @@ def test_calc_threshold_for_metric_value():
     assert calc_threshold_for_metric_value(truth, prob, "precision", 1.01) is None
 
 
+def test_calc_threshold_distributed_matches_driver(ray_session):
+    """The distributed grid scan must equal the driver scan exactly —
+    every metric, both directions, across block layouts."""
+    import ray.data
+
+    from rayrl.linkage.resolve import calc_threshold_distributed
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    truth = rng.random(n) < 0.3
+    prob = np.clip(truth * 0.5 + rng.random(n) * 0.6, 0, 1)
+    df = pd.DataFrame(
+        {
+            "truth_a": np.where(truth, 1, np.arange(n) + 2),
+            "truth_b": 1,
+            "score": prob,
+        }
+    )
+    edges = ray.data.from_pandas(df).repartition(7)
+    for metric, value, lowest in [
+        ("precision", 0.9, True),
+        ("precision", 0.6, False),
+        ("recall", 0.5, True),
+        ("f1", 0.7, True),
+    ]:
+        want = calc_threshold_for_metric_value(
+            truth.astype(np.int64), prob, metric, value, lowest=lowest
+        )
+        got = calc_threshold_distributed(edges, metric, value, lowest=lowest)
+        assert got == want, (metric, value, lowest, got, want)
+
+
 def test_find_best_links_aggregated(ray_session):
     df = pd.DataFrame(
         {
