@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rayrl.ann import ANN_TOPK_ORACLE
+    from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
     from rayrl.temporal import TEMPORAL_ORACLES
@@ -282,4 +283,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(QUANTILE_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
+    out["ngram_jaccard_exact"] = NGRAM_JACCARD_EXACT_ORACLE
     return out

@@ -582,11 +582,120 @@ def embedding_near_dups(
     return hydrated.map_batches(verify, batch_format="pandas")
 
 
+# ------------------------------------- exact n-gram Jaccard (sparse)
+
+def ngram_jaccard_exact(sf_dir: str, n: int = 3, threshold: float = 0.5):
+    """EXACT word-n-gram Jaccard over ALL doc pairs — the oracle-parity
+    twin of ``ngram_jaccard_pairs`` (which verifies LSH candidates
+    only). Sparse-join algorithm, never O(n²) over docs: per-doc
+    DISTINCT shingle hashes self-join on the shingle (bucketed), pair
+    intersection counts reduce by summation, and per-doc shingle
+    counts hydrate via two more bucketed joins. Shuffle volume is
+    Σ_shingles C(df, 2) — exact sparse Jaccard explodes on hot
+    shingles at corpus scale, which is exactly why the LSH variant is
+    the scale path; this one exists for bounded doc tables and the
+    DuckDB oracle. The jaccard column is an unrounded double computed
+    with the same integer division the oracle uses (bit-identical)."""
+    from .bytekernels import content_hash64
+    from .shuffle import bucketed_group_apply, bucketed_join, group_agg
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def emit_shingles(batch: pa.Table) -> pd.DataFrame:
+        ids, codes = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = (t or "").split(" ")
+            if len(toks) < n:
+                grams = {" ".join(toks)}
+            else:
+                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            h = np.unique(content_hash64(pa.array(sorted(grams), pa.string())))
+            ids.append(np.full(len(h), did, dtype=np.int64))
+            codes.append(h)
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids), "code": np.concatenate(codes)}
+        )
+
+    shingles = docs.map_batches(
+        emit_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    nsh = group_agg(shingles, ["doc_id"], {"nsh": ("code", "size")})
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="code", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return (
+            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+
+    inter = group_agg(
+        bucketed_group_apply(shingles, ["code"], pairs_in_bucket),
+        ["doc_id_a", "doc_id_b"],
+        {"inter": ("inter", "sum")},
+    )
+
+    a_n = nsh.map_batches(
+        lambda t: t.rename_columns(["doc_id_a", "nsh_a"]), batch_format="pyarrow"
+    )
+    b_n = nsh.map_batches(
+        lambda t: t.rename_columns(["doc_id_b", "nsh_b"]), batch_format="pyarrow"
+    )
+    hyd = bucketed_join(bucketed_join(inter, a_n, ["doc_id_a"]), b_n, ["doc_id_b"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        inter_c = df["inter"].to_numpy(dtype=np.int64)
+        union = df["nsh_a"].to_numpy(dtype=np.int64) + df["nsh_b"].to_numpy(dtype=np.int64) - inter_c
+        j = inter_c / union
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_id_a"].to_numpy()[keep],
+                "doc_b": df["doc_id_b"].to_numpy()[keep],
+                "ngram_jaccard": j[keep],
+            }
+        )
+
+    return hyd.map_batches(score, batch_format="pandas")
+
+
+NGRAM_JACCARD_EXACT_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                    ELSE list_transform(generate_series(1, len(ts) - 2),
+                                        i -> array_to_string(ts[i:i+2], ' '))
+               END AS grams
+        FROM toks
+    ), s AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, unnest(grams) AS sh FROM g)
+    ), cnt AS (
+        SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           i / CAST(na.nsh + nb.nsh - i AS DOUBLE) AS ngram_jaccard
+    FROM inter
+    JOIN cnt na ON na.doc_id = doc_a
+    JOIN cnt nb ON nb.doc_id = doc_b
+    WHERE i / CAST(na.nsh + nb.nsh - i AS DOUBLE) >= 0.5
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_exact": ngram_jaccard_exact,
     "embedding_near_dups": embedding_near_dups,
 }
