@@ -208,13 +208,17 @@ def _dirty_hot_key_table(dirty_payload, cfg: LinkageConfig):
     """Estimated dirty-side count per HOT block key, as (sorted keys,
     counts) numpy arrays — the c·d cap the shuffle path applies exactly
     needs a global dirty count the streaming probe never sees. A
-    deterministic 1/16 occurrence sample (rng on (key, node)) is
-    counted per batch and summed on the driver: a key with true count d
-    is estimated at d±25%/√(d/16); keys that stay under ``floor`` =
+    deterministic 1/16 ROW sample (rng on node — a key occurs once per
+    row, so row sampling IS occurrence sampling per key) is counted per
+    batch and summed on the driver: a key with true count d is
+    estimated at d±25%/√(d/16); keys that stay under ``floor`` =
     max_block_pairs/cap may be missed, but those satisfy
     c·d ≤ cap·floor = max_block_pairs by construction, so only
     genuinely degenerate keys matter — and they are caught w.p.
-    ~1 − e^(−d/16). Sample volume collected: band_rows/16 × 16 B."""
+    ~1 − e^(−d/16). Sampling rows BEFORE folding keys keeps this pass
+    ~16× cheaper than the probe scan it guards (the first cut of this
+    pass folded keys for every row and showed up in the candidates
+    phase); sample volume collected: band_rows/16 × 16 B."""
     from .blocking import folded_block_keys
 
     cut = np.uint64(1 << (64 - _GUARD_SHIFT))
@@ -223,12 +227,12 @@ def _dirty_hot_key_table(dirty_payload, cfg: LinkageConfig):
     def sample_counts(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "node" not in batch.column_names:
             return pa.table({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
-        keys_mat = folded_block_keys(batch, cfg)
-        bk = keys_mat.reshape(-1)
-        dn = np.repeat(batch.column("node").to_numpy(), keys_mat.shape[1])
-        h = rng.hash_u64(bk * 0x9E3779B1 + dn, cfg.seed, tag)
-        bk = bk[h < cut]
-        u, c = np.unique(bk, return_counts=True)
+        h = rng.hash_u64(batch.column("node").to_numpy(), cfg.seed, tag)
+        sel = h < cut
+        if not sel.any():
+            return pa.table({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        keys_mat = folded_block_keys(batch.filter(pa.array(sel)), cfg)
+        u, c = np.unique(keys_mat.reshape(-1), return_counts=True)
         return pa.table({"key": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())})
 
     parts = dirty_payload.map_batches(
