@@ -204,48 +204,56 @@ def _build_band_index_shard(refs: list, shard: int) -> dict:
 _GUARD_SHIFT = 4  # dirty-count guard samples occurrences at 1/16
 
 
-def _dirty_hot_key_table(dirty_payload, cfg: LinkageConfig):
-    """Estimated dirty-side count per HOT block key, as (sorted keys,
-    counts) numpy arrays — the c·d cap the shuffle path applies exactly
-    needs a global dirty count the streaming probe never sees. A
+@ray.remote
+def _guard_sample_shard(tbl: pa.Table, cfg: LinkageConfig):
+    """One payload block's contribution to the dirty-count guard: a
     deterministic 1/16 ROW sample (rng on node — a key occurs once per
-    row, so row sampling IS occurrence sampling per key) is counted per
-    batch and summed on the driver: a key with true count d is
-    estimated at d±25%/√(d/16); keys that stay under ``floor`` =
-    max_block_pairs/cap may be missed, but those satisfy
-    c·d ≤ cap·floor = max_block_pairs by construction, so only
-    genuinely degenerate keys matter — and they are caught w.p.
-    ~1 − e^(−d/16). Sampling rows BEFORE folding keys keeps this pass
-    ~16× cheaper than the probe scan it guards (the first cut of this
-    pass folded keys for every row and showed up in the candidates
-    phase); sample volume collected: band_rows/16 × 16 B."""
+    row, so row sampling IS occurrence sampling per key), keys folded
+    only for the sampled rows, returned as small (key, cnt) arrays."""
+    import pyarrow.compute as pc
+
     from .blocking import folded_block_keys
 
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if tbl.num_rows == 0 or "node" not in tbl.column_names:
+        return empty
+    tbl = tbl.filter(pc.equal(pc.bit_wise_and(tbl.column("node"), 1), 1))
+    if tbl.num_rows == 0:
+        return empty
     cut = np.uint64(1 << (64 - _GUARD_SHIFT))
-    tag = rng.tag_for("scoring.dirty_guard")
+    h = rng.hash_u64(tbl.column("node").to_numpy(), cfg.seed, rng.tag_for("scoring.dirty_guard"))
+    sel = h < cut
+    if not sel.any():
+        return empty
+    keys_mat = folded_block_keys(tbl.filter(pa.array(sel)), cfg)
+    u, c = np.unique(keys_mat.reshape(-1), return_counts=True)
+    return u.astype(np.int64), c.astype(np.int64)
 
-    def sample_counts(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "node" not in batch.column_names:
-            return pa.table({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
-        h = rng.hash_u64(batch.column("node").to_numpy(), cfg.seed, tag)
-        sel = h < cut
-        if not sel.any():
-            return pa.table({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
-        keys_mat = folded_block_keys(batch.filter(pa.array(sel)), cfg)
-        u, c = np.unique(keys_mat.reshape(-1), return_counts=True)
-        return pa.table({"key": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())})
 
-    parts = dirty_payload.map_batches(
-        sample_counts, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    if not len(parts):
+def _combine_hot_keys(parts, cfg: LinkageConfig):
+    """Reduce the per-shard guard samples to (sorted hot keys, estimated
+    dirty counts) — the c·d cap the shuffle path applies exactly needs a
+    global dirty count the streaming probe never sees. A key with true
+    count d is estimated at d±25%/√(d/16); keys that stay under
+    ``floor`` = max_block_pairs/cap may be missed, but those satisfy
+    c·d ≤ cap·floor = max_block_pairs by construction, so only genuinely
+    degenerate keys matter — and they are caught w.p. ~1 − e^(−d/16).
+    Sample volume on the driver: band_rows/16 × 16 B."""
+    keys = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    if not len(keys):
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    agg = parts.groupby("key", sort=True)["cnt"].sum()
-    est = agg.to_numpy() << _GUARD_SHIFT
+    cnts = np.concatenate([p[1] for p in parts])
+    order = np.argsort(keys, kind="stable")
+    keys, cnts = keys[order], cnts[order]
+    new = np.ones(len(keys), dtype=bool)
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(cnts, starts)
+    est = sums << _GUARD_SHIFT
     cap = max(64, int(cfg.max_block_pairs**0.5))
     floor = max(1, cfg.max_block_pairs // cap)
     hot = est >= floor
-    return agg.index.to_numpy()[hot], est[hot]
+    return keys[starts][hot], est[hot]
 
 
 class _FoldProbeStage:
@@ -369,6 +377,12 @@ def candidate_pairs_broadcast(payload_ds, cfg: LinkageConfig):
 
     from .blocking import band_rows_from_payload
 
+    # degenerate-key guard tasks launch FIRST, straight over the
+    # materialized payload's arrow refs — they run concurrently with
+    # the clean-band materialize + index-shard build below instead of
+    # costing a serial Dataset execution (measured: the blocking
+    # variant added ~2 s to the candidates phase at 600k pages)
+    guard_tasks = [_guard_sample_shard.remote(r, cfg) for r in payload_ds.to_arrow_refs()]
     clean_payload = payload_ds.map_batches(
         lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("node"), 1), 0)),
         batch_format="pyarrow",
@@ -388,10 +402,7 @@ def candidate_pairs_broadcast(payload_ds, cfg: LinkageConfig):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # degenerate-key guard: estimated dirty-side counts for hot block
-    # keys so the probe can apply the shuffle path's c·d cap (one cheap
-    # int-only pre-pass; see _dirty_hot_key_table)
-    hot_ref = ray.put(_dirty_hot_key_table(dirty_payload, cfg))
+    hot_ref = ray.put(_combine_hot_keys(ray.get(guard_tasks), cfg))
     # few chunky actors: the per-batch work is one vectorized probe, so
     # a big pool only adds actor-startup ramp to the critical path
     pairs = dirty_payload.map_batches(
