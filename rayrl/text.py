@@ -225,12 +225,95 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+WINNOW_K = 8  # k-gram length (bytes)
+WINNOW_W = 16  # winnowing window (k-grams)
+
+
+def winnow_doc(data: "object", k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowed fingerprints of one byte string (Schleimer et al.,
+    SIGMOD'03 robust winnowing): rolling polynomial hash per k-gram,
+    then the rightmost-minimum hash of each window of w consecutive
+    k-grams, deduplicated by position. Guarantee: any shared substring
+    of length ≥ w+k−1 between two docs yields a shared fingerprint.
+    Vectorized within the doc: the k-gram hashes are k shift-multiply
+    passes and the window minimum is a prefix/suffix block min (no
+    per-position Python)."""
+    import numpy as np
+
+    b = np.frombuffer(data if isinstance(data, bytes) else str(data).encode(), dtype=np.uint8)
+    if len(b) < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    n = len(b) - k + 1
+    P = np.uint64(0x100000001B3)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * P + b[j : j + n]
+    h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+    if n <= w:
+        pos = int(n - 1 - np.argmin(h[::-1]))  # rightmost min
+        return np.array([pos], np.int64), h[pos : pos + 1].view(np.int64)
+    m = n - w + 1  # number of windows
+    # rightmost window minimum via reversed prefix/suffix block mins
+    r = h[::-1]
+    nb = (len(r) + w - 1) // w
+    pad = np.full(nb * w, np.iinfo(np.uint64).max, dtype=np.uint64)
+    pad[: len(r)] = r
+    blocks = pad.reshape(nb, w)
+    pre = np.minimum.accumulate(blocks, axis=1).reshape(-1)
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    idx = np.arange(m)
+    rev_start = len(r) - w - idx  # window [rev_start, rev_start+w) in r
+    wmin = np.minimum(suf[rev_start], pre[rev_start + w - 1])
+    # rightmost occurrence in the original = first occurrence in r
+    first = np.zeros(m, dtype=np.int64)
+    # find position of wmin in the window: scan via argmax of equality
+    # on the reversed array using a strided view (w is small)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(r, w)[rev_start]
+    first = np.argmax(win == wmin[:, None], axis=1)
+    pos = len(h) - 1 - (rev_start + first)
+    keep = np.ones(m, dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    pos = pos[keep]
+    return pos.astype(np.int64), h[pos].view(np.int64)
+
+
+def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Rolling-hash document fingerprints (winnowing) — the
+    plagiarism/near-dup fingerprint set per doc, exploded to
+    (doc_id, pos, fp) rows. Per-doc vectorized kernel inside a
+    stateless map_batches; output is a narrow int table (the shape a
+    fingerprint-index join would consume)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, poss, fps = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            p, f = winnow_doc((t or "").encode(), k, w)
+            ids.append(np.full(len(p), did, dtype=np.int64))
+            poss.append(p)
+            fps.append(f)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids) if ids else [], pa.int64()),
+                "pos": pa.array(np.concatenate(poss) if poss else [], pa.int64()),
+                "fp": pa.array(np.concatenate(fps) if fps else [], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 TEXT_QUERIES = {
     "token_counts": token_counts,
     "char_class_counts": char_class_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "winnow_fingerprints": winnow_fingerprints,
 }
 
 TEXT_ORACLES = {
