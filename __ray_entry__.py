@@ -221,6 +221,33 @@ def multimodal_features(sf_dir: str):
     return media_features(_clean_pages(sf_dir).select_columns(["record_id", "html"]))
 
 
+def multimodal_frames(sf_dir: str):
+    """Video-style frame sampling over the pages html payload: every
+    n-th fixed-size chunk as its own (media_id, frame_index,
+    frame_bytes) row — the row-fanout layout of a real frame sampler."""
+    import pyarrow.compute as pc
+
+    from rayrl.multimodal import frame_sample
+
+    ds = _clean_pages(sf_dir).select_columns(["record_id", "html"])
+    ds = ds.map_batches(
+        lambda t: t.rename_columns(["media_id", "payload"]), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("payload"),
+            "payload",
+            pc.cast(t.column("payload"), "binary"),
+        ),
+        batch_format="pyarrow",
+    )
+    # frame_bytes is opaque binary; count frames per media for a
+    # compact, hashable driver result
+    frames = frame_sample(ds, every_n=4)
+    return frames.groupby("media_id").count().map_batches(
+        lambda t: t.rename_columns(["media_id", "n_frames"]), batch_format="pyarrow"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return er_linkage_metrics("/root/testdata/sf0.001")
@@ -261,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_links_1to1": er_links_1to1,
             "er_perturb_flow": er_perturb_flow,
             "multimodal_features": multimodal_features,
+            "multimodal_frames": multimodal_frames,
         }
     )
     return out
