@@ -126,17 +126,7 @@ def er_labeled_pairs(sf_dir: str):
 def er_feature_vectors(sf_dir: str):
     """23-metric feature vectors + match label over the labeled pair
     set (add_feature_vector, utils.R:189-311)."""
-    from rayrl import pipeline, synth
-    from rayrl.errors.injector import strip_ledger
-    from rayrl.linkage.blocking import LinkageConfig
-    from rayrl.linkage.features import feature_vectors
-
-    n = max(2000, _n_pages(sf_dir) // 4)
-    clean = synth.pages_dataset(n).materialize()
-    dirty = strip_ledger(
-        pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
-    ).materialize()
-    return feature_vectors(clean, dirty, LinkageConfig(), seed=3)
+    return _feature_vectors(sf_dir)
 
 
 def _feature_vectors(sf_dir: str):

@@ -106,7 +106,15 @@ def run_bench() -> dict:
     # --- operator queries over the sf tables (min-of-reps like the
     # headline: 1-rep numbers on this VM measure steal windows, not
     # the engine — see BASELINE.md's jitter notes) ---
-    for qname in ("pricing_summary", "token_frequencies", "dedup_exact", "events_hourly", "ann_topk"):
+    for qname in (
+        "pricing_summary",
+        "token_frequencies",
+        "dedup_exact",
+        "events_hourly",
+        "ann_topk",
+        "sessionized_events",
+        "order_price_quantiles",
+    ):
         fn = entry_mod.queries()[qname]
         best = None
         for _ in range(n_reps):
