@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.dedup import DEDUP_QUERIES
     from rayrl.quantiles import QUANTILE_QUERIES
     from rayrl.relational import QUERIES as REL_QUERIES
+    from rayrl.sketches import SKETCH_QUERIES
     from rayrl.temporal import TEMPORAL_QUERIES
     from rayrl.text import TEXT_QUERIES
 
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(ANN_QUERIES)
     out.update(TEMPORAL_QUERIES)
     out.update(QUANTILE_QUERIES)
+    out.update(SKETCH_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
+    from rayrl.sketches import SKETCH_ORACLES
     from rayrl.temporal import TEMPORAL_ORACLES
     from rayrl.text import TEXT_ORACLES
 
@@ -299,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXT_ORACLES)
     out.update(TEMPORAL_ORACLES)
     out.update(QUANTILE_ORACLES)
+    out.update(SKETCH_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
     out["ngram_jaccard_exact"] = NGRAM_JACCARD_EXACT_ORACLE

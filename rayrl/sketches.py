@@ -1,0 +1,149 @@
+"""Mergeable sketches as Ray Data aggregates.
+
+The reference has no approximate aggregates (SURVEY §2.4); a 100-TB
+corpus needs them — COUNT(DISTINCT) over trillions of tokens cannot
+shuffle every token. The sketch rides Ray Data's native
+``AggregateFn`` contract: per-block vectorized accumulation, an
+associative register merge, one tiny state per block — the canonical
+mergeable-sketch shape (nothing but 2^p bytes ever crosses the wire).
+
+``approx_distinct_tokens`` (HyperLogLog, Flajolet et al. 2007) is the
+scale path; ``distinct_tokens_exact`` is its DuckDB-oracle-checked
+exact twin (bucketed distinct — fine at fixture scale, the thing HLL
+replaces at corpus scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+HLL_P = 14  # 2^14 registers → ~0.81% standard error
+
+
+def _token_hashes(texts: pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash per whitespace token of every row (single-space
+    split, matching the token_counts / SQL oracle semantics)."""
+    from .bytekernels import content_hash64
+    from .rng import _splitmix64
+
+    flat = pa.compute.split_pattern(texts.combine_chunks(), " ")
+    tokens = pa.compute.list_flatten(flat)
+    if len(tokens) == 0:
+        return np.zeros(0, np.uint64)
+    return _splitmix64(content_hash64(tokens).view(np.uint64))
+
+
+def _hll_accumulate(regs: np.ndarray, h: np.ndarray, p: int) -> np.ndarray:
+    """Elementwise-max fold of token hashes into 2^p rank registers."""
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    # bit_length via log2 on the float mantissa is unsafe near 2^64;
+    # use a 4-bit-nibble scan: positions of the highest set bit
+    r = rest[nz]
+    lead = np.zeros(len(r), dtype=np.uint8)
+    shift = np.uint64(32)
+    cur = r.copy()
+    width = np.full(len(r), 64, dtype=np.uint8)
+    while shift >= 1:
+        hi = cur >> shift
+        is_lo = hi == 0
+        lead[is_lo] += np.uint8(shift)
+        cur = np.where(is_lo, cur, hi)
+        if shift == 1:
+            break
+        shift >>= np.uint64(1)
+    rank[nz] = np.minimum(lead + 1, 64 - p + 1).astype(np.uint8)
+    out = regs.copy()
+    np.maximum.at(out, idx, rank)
+    return out
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small n
+    return float(est)
+
+
+def hll_distinct_agg(column: str, p: int = HLL_P, name: str = "approx_distinct") -> AggregateFn:
+    """A mergeable HyperLogLog distinct-count over a string column's
+    whitespace tokens, as a native Ray Data ``AggregateFn``: blocks
+    accumulate vectorized, states merge by register max, only 2^p
+    bytes per block ever move."""
+
+    def init(_key):
+        return np.zeros(2**p, dtype=np.uint8)
+
+    def accumulate_block(regs, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        return _hll_accumulate(regs, _token_hashes(tbl.column(column)), p)
+
+    def merge(a, b):
+        return np.maximum(a, b)
+
+    def finalize(regs):
+        return _hll_estimate(regs)
+
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        name=name,
+        accumulate_block=accumulate_block,
+        finalize=finalize,
+    )
+
+
+# ----------------------------------------------------------- queries
+
+def approx_distinct_tokens(sf_dir: str):
+    """Approximate distinct whitespace-token count over documents.text
+    (HLL p=14, ~0.8% s.e.) — the 100-TB path for what
+    ``distinct_tokens_exact`` computes exactly."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = ds.aggregate(hll_distinct_agg("text"))
+    return pd.DataFrame({"approx_distinct": [round(float(out["approx_distinct"]), 1)]})
+
+
+def distinct_tokens_exact(sf_dir: str):
+    """Exact distinct whitespace-token count (bucketed distinct over
+    exploded tokens — the shape HLL replaces at corpus scale)."""
+    import pandas as pd
+
+    from .shuffle import distinct_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pa.compute.list_flatten(
+            pa.compute.split_pattern(batch.column("text").combine_chunks(), " ")
+        )
+        return pa.table({"token": toks})
+
+    tokens = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return pd.DataFrame({"n_distinct": [int(distinct_count(tokens, ["token"]))]})
+
+
+DISTINCT_TOKENS_ORACLE = """
+    SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+"""
+
+SKETCH_QUERIES = {
+    "distinct_tokens_exact": distinct_tokens_exact,
+    "approx_distinct_tokens": approx_distinct_tokens,
+}
+SKETCH_ORACLES = {"distinct_tokens_exact": DISTINCT_TOKENS_ORACLE}
