@@ -287,7 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rayrl.ann import ANN_TOPK_ORACLE
+    from rayrl.ann import ANN_TOPK_ORACLE, LABEL_CENTROIDS_ORACLE
     from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
@@ -304,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(QUANTILE_ORACLES)
     out.update(SKETCH_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
+    out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
     out["ngram_jaccard_exact"] = NGRAM_JACCARD_EXACT_ORACLE
     return out

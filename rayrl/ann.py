@@ -267,8 +267,68 @@ def ann_ivf_topk(
     return partials.groupby("query_id").map_groups(head, batch_format="pandas")
 
 
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (element-wise mean) — the vector
+    aggregate behind IVF training and class prototypes. Partial
+    (label, pos, sum, cnt) rows per batch (labels bounded; the flat
+    list values reshape zero-copy to an (n, dim) float matrix), one
+    tiny bucketed reduce, finalize sum/cnt on the driver-sized result.
+    Accumulation is float64 so the round(6) output matches DuckDB's
+    avg-over-float exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(labels), -1).astype(np.float64)
+        dim = mat.shape[1]
+        rows = []
+        for lab in np.unique(labels):
+            m = labels == lab
+            s = mat[m].sum(axis=0)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(dim, lab, dtype=np.int64),
+                        "pos": np.arange(1, dim + 1, dtype=np.int64),
+                        "s": s,
+                        "cnt": np.full(dim, int(m.sum()), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    red = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "pos"],
+        {"s": ("s", "sum"), "cnt": ("cnt", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    red["centroid"] = (red["s"] / red["cnt"]).round(6)
+    return red[["label", "pos", "centroid"]]
+
+
+LABEL_CENTROIDS_ORACLE = """
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           round(avg(e), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2
+"""
+
+
 ANN_QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "label_centroids": label_centroids,
 }
