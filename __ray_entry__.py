@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.quantiles import QUANTILE_QUERIES
     from rayrl.relational import QUERIES as REL_QUERIES
     from rayrl.sketches import SKETCH_QUERIES
+    from rayrl.stats import STATS_QUERIES
     from rayrl.temporal import TEMPORAL_QUERIES
     from rayrl.text import TEXT_QUERIES
 
@@ -260,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(TEMPORAL_QUERIES)
     out.update(QUANTILE_QUERIES)
     out.update(SKETCH_QUERIES)
+    out.update(STATS_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -292,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
     from rayrl.sketches import SKETCH_ORACLES
+    from rayrl.stats import STATS_ORACLES
     from rayrl.temporal import TEMPORAL_ORACLES
     from rayrl.text import TEXT_ORACLES
 
@@ -303,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEMPORAL_ORACLES)
     out.update(QUANTILE_ORACLES)
     out.update(SKETCH_ORACLES)
+    out.update(STATS_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE

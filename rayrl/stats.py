@@ -1,0 +1,195 @@
+"""Statistical aggregates the reference lacks but a corpus-scale
+pipeline needs (SURVEY §2.4 gap list): two-column moment aggregates
+(correlation / covariance) as a native mergeable Ray Data
+``AggregateFn``, a multi-grain ROLLUP computed in ONE shuffle by
+emitting every grain from the per-batch partial, and a deterministic
+multiplicative-hash row sample whose gate is pure BIGINT arithmetic so
+DuckDB reproduces it bit-for-bit (the cross-system determinism check
+``rng.py`` gives us engine-side).
+
+All three are oracle-backed (`stats_*` entries in __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+# ------------------------------------------------- corr / covar agg
+
+def corr_covar_agg(xcol: str, ycol: str) -> AggregateFn:
+    """Pearson correlation + sample covariance of two numeric columns
+    as one mergeable aggregate. State is six float64 moments
+    (n, Σx, Σy, Σx², Σy², Σxy): blocks accumulate vectorized, states
+    merge by addition, finalize does the algebra — the textbook
+    mergeable-moment shape (48 bytes per block cross the wire, like
+    the HLL sibling in sketches.py)."""
+
+    def init(_key):
+        return np.zeros(6, dtype=np.float64)
+
+    def accumulate_block(state, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        x = tbl.column(xcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = tbl.column(ycol).to_numpy(zero_copy_only=False).astype(np.float64)
+        return state + np.array(
+            [len(x), x.sum(), y.sum(), (x * x).sum(), (y * y).sum(), (x * y).sum()]
+        )
+
+    def merge(a, b):
+        return a + b
+
+    def finalize(s):
+        n, sx, sy, sxx, syy, sxy = s
+        if n < 2:
+            return {"corr": float("nan"), "covar_samp": float("nan"), "n": int(n)}
+        cov = (sxy - sx * sy / n) / (n - 1)
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+        return {"corr": float(corr), "covar_samp": float(cov), "n": int(n)}
+
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        name="corr_covar",
+        accumulate_block=accumulate_block,
+        finalize=finalize,
+    )
+
+
+def price_qty_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag correlation / covariance between quantity and
+    extended price. Bounded key cardinality (3), so the native grouped
+    aggregate is the right shape (the bucketed helpers in shuffle.py
+    are for unbounded keys, CLAUDE.md rule 1)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    rows = ds.groupby("l_returnflag").aggregate(
+        corr_covar_agg("l_quantity", "l_extendedprice")
+    ).take_all()  # ≤ |returnflag| = 3 rows
+    out = pd.DataFrame(
+        {
+            "l_returnflag": [r["l_returnflag"] for r in rows],
+            "corr_qty_price": [round(r["corr_covar"]["corr"], 6) for r in rows],
+            "covar_qty_price": [round(r["corr_covar"]["covar_samp"], 3) for r in rows],
+            "n": [int(r["corr_covar"]["n"]) for r in rows],
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+PRICE_QTY_CORR_ORACLE = """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------- rollup
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) over orders in
+    ONE shuffle: the per-batch partial emits all three grains
+    ((a,b), (a,ALL), (ALL,ALL)) as ordinary keyed rows, so a single
+    bucketed reduce finishes every grain — no per-grain re-scan, no
+    second aggregation pass, and the 3× key-row inflation is ints +
+    short strings only (never payload; CLAUDE.md rule 2)."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False, as_index=False)
+            .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        )
+        mid = g.assign(o_orderstatus="ALL")
+        top = g.assign(o_orderpriority="ALL", o_orderstatus="ALL")
+        return pd.concat([g, mid, top], ignore_index=True)
+
+    red = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"],
+        {"revenue": ("revenue", "sum"), "n_orders": ("n_orders", "sum")},
+        num_buckets=16,
+    ).to_pandas()  # ≤ |priority|×|status| + |priority| + 1 rows
+    red["revenue"] = red["revenue"].round(2)
+    red["n_orders"] = red["n_orders"].astype("int64")
+    red = red.rename(columns={"o_orderpriority": "priority", "o_orderstatus": "status"})
+    return red[["priority", "status", "revenue", "n_orders"]]
+
+
+REVENUE_ROLLUP_ORACLE = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+# ------------------------------------------- deterministic sample
+
+SAMPLE_MOD = 2147483647  # 2^31-1: keeps the product < 2^63 for any int64 id
+SAMPLE_MUL = 2654435761  # Knuth multiplicative constant
+SAMPLE_PRIME = 1000000007
+
+
+def hash_sample_mask(ids: np.ndarray, pct: int) -> np.ndarray:
+    """Deterministic keep-mask over integer ids: pure BIGINT-safe
+    arithmetic ((id mod 2^31-1) · K mod p mod 100 < pct), identical in
+    numpy int64 and ANSI-SQL BIGINT — so the sample an engine takes is
+    reproducible by any other engine, which is what makes sampled
+    pipelines auditable."""
+    h = (ids.astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
+    return h < pct
+
+
+def sampled_documents(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
+    """~pct% deterministic document sample (doc_id-keyed multiplicative
+    hash): the corpus-subsetting primitive for eval splits and pilot
+    runs. Text column is pruned at the read — the sample gate needs
+    only ids + cheap metadata."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_sample_mask(ids, pct)))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLED_DOCUMENTS_ORACLE = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME} % 100 < 10
+"""
+
+
+STATS_QUERIES = {
+    "price_qty_corr": price_qty_corr,
+    "revenue_rollup": revenue_rollup,
+    "sampled_documents": sampled_documents,
+}
+STATS_ORACLES = {
+    "price_qty_corr": PRICE_QTY_CORR_ORACLE,
+    "revenue_rollup": REVENUE_ROLLUP_ORACLE,
+    "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
+}
