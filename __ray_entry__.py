@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.dedup import DEDUP_QUERIES
     from rayrl.quantiles import QUANTILE_QUERIES
     from rayrl.relational import QUERIES as REL_QUERIES
+    from rayrl.packing import PACKING_QUERIES
     from rayrl.sketches import SKETCH_QUERIES
     from rayrl.stats import STATS_QUERIES
     from rayrl.temporal import TEMPORAL_QUERIES
@@ -262,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(QUANTILE_QUERIES)
     out.update(SKETCH_QUERIES)
     out.update(STATS_QUERIES)
+    out.update(PACKING_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -293,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
+    from rayrl.packing import PACKING_ORACLES
     from rayrl.sketches import SKETCH_ORACLES
     from rayrl.stats import STATS_ORACLES
     from rayrl.temporal import TEMPORAL_ORACLES
@@ -307,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(QUANTILE_ORACLES)
     out.update(SKETCH_ORACLES)
     out.update(STATS_ORACLES)
+    out.update(PACKING_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE

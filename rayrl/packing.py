@@ -1,0 +1,157 @@
+"""Sequence packing — assigning documents to fixed token-budget
+training sequences — as a distributed prefix sum. The reference has
+nothing like it (it is an LLM-training-data op, SURVEY §2.4's gap
+list); at corpus scale it is the step between "deduped documents" and
+"tokenized shards".
+
+The pack boundary rule is deterministic and engine-independent:
+documents are laid out in doc_id order and ``pack_id =
+exclusive_prefix_tokens // budget`` — i.e. a document goes into the
+pack its first token lands in. That rule is a window function in SQL
+(the oracle) and a classic two-level scan here:
+
+1. one narrow pass computes (doc_id, n_tokens, range_key) — ints only,
+   texts never leave the read;
+2. per-range token sums (``range_key = doc_id >> range_bits``, so a
+   range is a contiguous id span) reduce to a tiny table whose
+   exclusive prefix is computed driver-side and broadcast — at true
+   corpus scale (> ~1e8 ranges) this level recurses, same shape;
+3. each range finishes its own exclusive cumsum locally: offset +
+   within-range scan, floor-div budget.
+
+``packed_texts`` then materializes the actual training rows — the one
+stage where text legitimately rides a shuffle (each byte moves exactly
+once, to its pack)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+PACK_BUDGET = 2048
+RANGE_BITS = 12  # 4096 ids per range at fixture scale; widen with the corpus
+
+
+def _token_ranges(sf_dir: str, range_bits: int):
+    """Narrow (doc_id, n_tokens, range_key) dataset — single-space
+    token counts (token_counts/SQL semantics) via the byte kernels."""
+    from .bytekernels import token_count_kernels
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = token_count_kernels(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(k["n_tokens"].astype(np.int64)),
+                "range_key": pa.array(ids >> range_bits),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_assignments(
+    sf_dir: str, budget: int = PACK_BUDGET, range_bits: int = RANGE_BITS
+):
+    """(doc_id, n_tokens, pack_id) for every document — the scale path:
+    only int rows move, the driver touches one row per id-range."""
+    from .shuffle import bucketed_group_apply, group_agg
+
+    narrow = _token_ranges(sf_dir, range_bits).materialize()  # ints only, reused twice
+
+    sums = group_agg(
+        narrow, ["range_key"], {"s": ("n_tokens", "sum")}, num_buckets=16
+    ).to_pandas()  # one row per id-range
+    sums = sums.sort_values("range_key").reset_index(drop=True)
+    offsets = pd.Series(
+        np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]),
+        index=sums["range_key"].to_numpy(),
+    )
+    off_ref = ray.put(offsets)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["range_key", "doc_id"])
+        excl = df.groupby("range_key")["n_tokens"].cumsum() - df["n_tokens"]
+        start = df["range_key"].map(off).to_numpy() + excl.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "pack_id": (start // budget).astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(narrow, ["range_key"], pack, num_buckets=32)
+
+
+PACK_ASSIGNMENTS_ORACLE = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER
+                    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM t
+"""
+
+
+def packed_texts(
+    sf_dir: str, budget: int = PACK_BUDGET, range_bits: int = RANGE_BITS
+):
+    """Materialized training sequences: one row per pack with the
+    doc_id-ordered concatenated text. Texts ride exactly one bucketed
+    shuffle (assignment join + pack grouping fused on the same key
+    pass), the legitimate payload move packing requires."""
+    from .shuffle import bucketed_group_apply, bucketed_join
+
+    assign = pack_assignments(sf_dir, budget, range_bits)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    joined = bucketed_join(assign, docs, ["doc_id"], num_buckets=32)
+
+    def concat(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["pack_id", "doc_id"]).groupby("pack_id", sort=False)
+        return pd.DataFrame(
+            {
+                "pack_id": np.fromiter(g.groups.keys(), dtype=np.int64),
+                "n_docs": g.size().to_numpy(),
+                "n_tokens": g["n_tokens"].sum().to_numpy(),
+                "text": g["text"].agg(" ".join).to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(joined, ["pack_id"], concat, num_buckets=32)
+
+
+PACKED_TEXTS_ORACLE = f"""
+    WITH t AS (SELECT doc_id, text,
+                      CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    a AS (SELECT doc_id, text, n_tokens,
+                 CAST(floor(coalesce(sum(n_tokens) OVER
+                          (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+          FROM t)
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tokens) AS n_tokens,
+           string_agg(text, ' ' ORDER BY doc_id) AS text
+    FROM a GROUP BY pack_id
+"""
+
+
+PACKING_QUERIES = {
+    "pack_assignments": pack_assignments,
+    "packed_texts": packed_texts,
+}
+PACKING_ORACLES = {
+    "pack_assignments": PACK_ASSIGNMENTS_ORACLE,
+    "packed_texts": PACKED_TEXTS_ORACLE,
+}
