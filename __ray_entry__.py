@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.stats import STATS_QUERIES
     from rayrl.temporal import TEMPORAL_QUERIES
     from rayrl.text import TEXT_QUERIES
+    from rayrl.tfidf import TFIDF_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(REL_QUERIES)
@@ -264,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(SKETCH_QUERIES)
     out.update(STATS_QUERIES)
     out.update(PACKING_QUERIES)
+    out.update(TFIDF_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -300,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.stats import STATS_ORACLES
     from rayrl.temporal import TEMPORAL_ORACLES
     from rayrl.text import TEXT_ORACLES
+    from rayrl.tfidf import TFIDF_ORACLES
 
     from rayrl.linkage.features import MAJOR_TOKENS_ORACLE
 
@@ -311,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SKETCH_ORACLES)
     out.update(STATS_ORACLES)
     out.update(PACKING_ORACLES)
+    out.update(TFIDF_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
