@@ -245,6 +245,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.ann import ANN_QUERIES
+    from rayrl.bloom import BLOOM_QUERIES
     from rayrl.dedup import DEDUP_QUERIES
     from rayrl.quantiles import QUANTILE_QUERIES
     from rayrl.relational import QUERIES as REL_QUERIES
@@ -266,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(STATS_QUERIES)
     out.update(PACKING_QUERIES)
     out.update(TFIDF_QUERIES)
+    out.update(BLOOM_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -294,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rayrl.ann import ANN_TOPK_ORACLE, LABEL_CENTROIDS_ORACLE
+    from rayrl.bloom import BLOOM_ORACLES
     from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
@@ -315,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(STATS_ORACLES)
     out.update(PACKING_ORACLES)
     out.update(TFIDF_ORACLES)
+    out.update(BLOOM_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE

@@ -114,6 +114,8 @@ def run_bench() -> dict:
         "ann_topk",
         "sessionized_events",
         "order_price_quantiles",
+        "tfidf_top_terms",
+        "pack_assignments",
     ):
         fn = entry_mod.queries()[qname]
         best = None
