@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(PACKING_QUERIES)
     out.update(TFIDF_QUERIES)
     out.update(BLOOM_QUERIES)
+    from rayrl.streamdedup import STREAM_DEDUP_QUERIES
+
+    out.update(STREAM_DEDUP_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(

@@ -1,0 +1,122 @@
+"""Streaming (arrival-order) exact dedup against a shared mutable
+fingerprint index — the one shape in this repo built on raw Ray actors
+instead of Dataset ops, because its semantics (cross-batch mutable
+state: "have I EVER seen this fingerprint, in any earlier batch of
+this run?") is exactly what a stateless ``map_batches`` cannot
+express. This is the online twin of ``dedup.dedup_exact``: batch
+dedup re-shuffles the corpus per run; the streaming index admits new
+documents as they arrive, which is how an ingest pipeline runs.
+
+Scale shape: the index is SHARDED by fingerprint range across
+``n_shards`` actors (each holds a Python set — C-speed per-lookup
+hashing beats numpy rebuild-and-isin here, CLAUDE.md rule 9), so
+memory and lookup load spread evenly across the cluster and the
+map stage talks to each shard with one bulk call per batch.
+Fingerprints are the 64-bit content hashes of ``bytekernels`` — texts
+never travel to the index.
+
+Determinism: the SET of surviving distinct fingerprints (and thus the
+keeper COUNT) is parallelism-independent; WHICH duplicate becomes the
+keeper is arrival order, the defining semantics of streaming dedup
+(the batch path keeps min-doc_id instead)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+N_SHARDS = 8
+
+
+@ray.remote(num_cpus=0.25)
+class FingerprintShard:
+    """One shard of the shared mutable index."""
+
+    def __init__(self):
+        self._seen: set = set()
+
+    def check_and_add(self, fps: np.ndarray) -> np.ndarray:
+        """Register fingerprints; mask[i] = True iff fps[i] is the
+        first occurrence ever seen by this shard (within-call dups
+        resolve in array order)."""
+        seen = self._seen
+        out = np.empty(len(fps), dtype=bool)
+        for i, f in enumerate(fps.tolist()):
+            if f in seen:
+                out[i] = False
+            else:
+                seen.add(f)
+                out[i] = True
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+
+class _StreamDedupStage:
+    """map_batches stage: route each batch's fingerprints to their
+    shards (one bulk RPC per shard per batch), flag first occurrences."""
+
+    def __init__(self, shards):
+        self._shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .bytekernels import content_hash64
+
+        fps = content_hash64(batch.column("text")).view(np.uint64)
+        shard_of = (fps % np.uint64(len(self._shards))).astype(np.int64)
+        mask = np.empty(len(fps), dtype=bool)
+        refs, slots = [], []
+        for s in range(len(self._shards)):
+            ix = np.flatnonzero(shard_of == s)
+            if len(ix):
+                refs.append(self._shards[s].check_and_add.remote(fps[ix]))
+                slots.append(ix)
+        for ix, res in zip(slots, ray.get(refs)):
+            mask[ix] = res
+        return batch.append_column("is_first", pa.array(mask))
+
+
+def stream_dedup_flags(ds: "ray.data.Dataset", n_shards: int = N_SHARDS):
+    """Append an ``is_first`` column to a text dataset via the shared
+    index. Returns (flagged_dataset, shard_handles) — the caller owns
+    the actors' lifetime (they die with the handles)."""
+    shards = [FingerprintShard.remote() for _ in range(n_shards)]
+    flagged = ds.map_batches(
+        _StreamDedupStage,
+        fn_constructor_args=(shards,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        batch_size=4096,
+    )
+    return flagged, shards
+
+
+def stream_dedup_summary(sf_dir: str) -> pd.DataFrame:
+    """One-row summary of an arrival-order dedup pass over documents:
+    total docs, distinct keepers, duplicates dropped. Keeper COUNT is
+    parallelism-independent (asserted against the batch path in
+    tests); keeper identity is arrival order by design."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    flagged, shards = stream_dedup_flags(ds)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        first = batch.column("is_first").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"n_docs": [len(first)], "n_keepers": [int(first.sum())]})
+
+    parts = flagged.map_batches(counts, batch_format="pyarrow").to_pandas()
+    for s in shards:
+        ray.kill(s)
+    n_docs = int(parts["n_docs"].sum())
+    n_keep = int(parts["n_keepers"].sum())
+    return pd.DataFrame(
+        {"n_docs": [n_docs], "n_keepers": [n_keep], "n_dups": [n_docs - n_keep]}
+    )
+
+
+STREAM_DEDUP_QUERIES = {"stream_dedup_summary": stream_dedup_summary}
