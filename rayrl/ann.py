@@ -290,21 +290,18 @@ def label_centroids(sf_dir: str):
         flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
         mat = flat.reshape(len(labels), -1).astype(np.float64)
         dim = mat.shape[1]
-        rows = []
-        for lab in np.unique(labels):
-            m = labels == lab
-            s = mat[m].sum(axis=0)
-            rows.append(
-                pd.DataFrame(
-                    {
-                        "label": np.full(dim, lab, dtype=np.int64),
-                        "pos": np.arange(1, dim + 1, dtype=np.int64),
-                        "s": s,
-                        "cnt": np.full(dim, int(m.sum()), dtype=np.int64),
-                    }
-                )
-            )
-        return pd.concat(rows, ignore_index=True)
+        labs, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(labs), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv, minlength=len(labs)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labs, dim),
+                "pos": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(labs)),
+                "s": sums.ravel(),
+                "cnt": np.repeat(cnts, dim),
+            }
+        )
 
     red = group_agg(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
