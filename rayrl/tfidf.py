@@ -7,9 +7,15 @@ minimum-shuffle plan:
 - **df pre-aggregates before its shuffle**: each batch emits one
   (term, partial_df) row per distinct term it saw, so the term-keyed
   reduce moves a vocabulary-sized stream, not a token-sized one.
-- tf⋈df is a bucketed hash join on term (ints + terms only), and the
-  top-k cut regroups by doc_id — two narrow shuffles end to end;
-  the text column never leaves the read stage.
+- **the df lookup broadcasts, it does not join**: vocabulary is
+  sublinear in the corpus (Heaps' law), so the (term → df) map rides
+  one ``ray.put`` and the weighting + per-doc top-k fuse into the SAME
+  batch pass that computed tf — zero token-level rows ever shuffle.
+  Measured at 500k docs / 32 cpus: 90.2 s (join plan, two ~10⁸-row
+  exchanges) → see BASELINE.md for the fused number.
+- Above ``broadcast_vocab_max`` the plan falls back to the bucketed
+  tf⋈df hash join + doc_id regroup (still narrow rows only), the
+  unbounded-vocabulary path.
 
 Single-space tokenization matches the token_counts / SQL-oracle
 semantics (the oracle is the window-function formulation)."""
@@ -42,11 +48,26 @@ def _tf_rows(sf_dir: str):
     return ds.map_batches(tf, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def tfidf_top_terms(sf_dir: str, k: int = TOP_K):
+BROADCAST_VOCAB_MAX = 20_000_000  # (term, df) pairs; ~1-2 GB broadcast
+
+
+def _topk_frame(g: pd.DataFrame, n_docs: int, k: int) -> pd.DataFrame:
+    """Weight + per-doc top-k over a frame of (doc_id, term, tf, df)
+    rows in which every doc is complete."""
+    g = g.copy()
+    g["_w"] = g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy())
+    g = g.sort_values(["doc_id", "_w", "term"], ascending=[True, False, True])
+    g = g.groupby("doc_id", sort=False).head(k)
+    g["tfidf"] = g["_w"].round(6)
+    return g[["doc_id", "term", "tf", "df", "tfidf"]]
+
+
+def tfidf_top_terms(
+    sf_dir: str, k: int = TOP_K, broadcast_vocab_max: int = BROADCAST_VOCAB_MAX
+):
     """Top-k terms per doc by tf·ln(N/df), ties broken by term asc."""
     from .shuffle import bucketed_group_apply, bucketed_join, group_agg
 
-    tf = _tf_rows(sf_dir).materialize()  # (doc_id, term, tf) ints+terms, reused twice
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()
@@ -55,27 +76,50 @@ def tfidf_top_terms(sf_dir: str, k: int = TOP_K):
     # reduce is vocabulary-sized
     def partial_df(batch: pa.Table) -> pd.DataFrame:
         t = batch.column("term").to_pandas()
-        out = t.value_counts(sort=False).rename_axis("term").reset_index(name="df")
-        return out
+        return t.value_counts(sort=False).rename_axis("term").reset_index(name="df")
 
+    tf_for_df = _tf_rows(sf_dir)
     df_tbl = group_agg(
-        tf.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True),
+        tf_for_df.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True),
         ["term"],
         {"df": ("df", "sum")},
         num_buckets=32,
-    )
+    ).materialize()  # vocabulary-sized
 
+    if df_tbl.count() <= broadcast_vocab_max:
+        # fused path: broadcast (term → df) once; tf, the df lookup and
+        # the per-doc top-k all happen inside the tokenizing batch pass
+        # (a doc lives in one row, so its tf rows are batch-local) —
+        # nothing token-level ever shuffles.
+        dfp = df_tbl.to_pandas()
+        df_ref = ray.put(pd.Series(dfp["df"].to_numpy(), index=dfp["term"].to_numpy()))
+
+        def fused(batch: pa.Table) -> pd.DataFrame:
+            dfmap = ray.get(df_ref)  # shared-memory-backed, fetched once per task
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+            lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+            terms = pc.list_flatten(split).to_pandas()
+            g = (
+                pd.DataFrame({"doc_id": np.repeat(ids, lens), "term": terms})
+                .groupby(["doc_id", "term"], sort=False, as_index=False)
+                .size()
+                .rename(columns={"size": "tf"})
+            )
+            g["df"] = g["term"].map(dfmap).to_numpy()
+            return _topk_frame(g, n_docs, k)
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return docs.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
+
+    # unbounded-vocabulary fallback: bucketed tf⋈df + doc regroup
+    tf = _tf_rows(sf_dir)
     joined = bucketed_join(tf, df_tbl, ["term"], num_buckets=32)
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["_w"] = g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy())
-        g = g.sort_values(["doc_id", "_w", "term"], ascending=[True, False, True])
-        g = g.groupby("doc_id", sort=False).head(k)
-        g["tfidf"] = g["_w"].round(6)
-        return g[["doc_id", "term", "tf", "df", "tfidf"]]
-
-    return bucketed_group_apply(joined, ["doc_id"], topk, num_buckets=32)
+    return bucketed_group_apply(
+        joined, ["doc_id"], lambda g: _topk_frame(g, n_docs, k), num_buckets=32
+    )
 
 
 TFIDF_TOP_TERMS_ORACLE = f"""
