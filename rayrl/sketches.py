@@ -105,6 +105,74 @@ def hll_distinct_agg(column: str, p: int = HLL_P, name: str = "approx_distinct")
     )
 
 
+# ---------------------------------------------- quantile log-sketch
+
+QSKETCH_BITS = 16  # 2^16 bins = 512 KiB state; 4 mantissa bits ≈ 3% rel. err
+
+
+def _u2f(u: np.ndarray) -> np.ndarray:
+    """Inverse of quantiles._f2u (monotone uint64 → float64)."""
+    u = u.astype(np.uint64)
+    top = u >= np.uint64(2**63)
+    bu = np.where(top, u - np.uint64(2**63), ~u)
+    return bu.view(np.float64)
+
+
+def quantile_sketch_agg(
+    column: str, qs: tuple, p_bits: int = QSKETCH_BITS, name: str = "approx_quantiles"
+) -> AggregateFn:
+    """One-pass mergeable quantile sketch (DDSketch-flavored): values
+    bin by the top ``p_bits`` of their monotone uint64 image — sign +
+    exponent + 4 mantissa bits — so bins are relative-width (~2^-4)
+    across the entire double range with no prior knowledge of the data.
+    Blocks accumulate via one bincount, states merge by addition,
+    finalize walks the cumulative histogram and answers each q with the
+    bin midpoint (≤ ~3% relative error). The exact twin is
+    quantiles.distributed_quantiles (multi-pass refinement); this is
+    what replaces it when one streaming pass over 100 TB is all you
+    get."""
+    n_bins = 2**p_bits
+    shift = np.uint64(64 - p_bits)
+
+    def init(_key):
+        return np.zeros(n_bins, dtype=np.int64)
+
+    def accumulate_block(counts, block):
+        from .quantiles import _f2u
+
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        v = tbl.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(v):
+            return counts
+        idx = (_f2u(v) >> shift).astype(np.int64)
+        return counts + np.bincount(idx, minlength=n_bins)
+
+    def merge(a, b):
+        return a + b
+
+    def finalize(counts):
+        n = int(counts.sum())
+        if n == 0:
+            return {f"q{q}": float("nan") for q in qs}
+        cum = np.cumsum(counts)
+        out = {}
+        for q in qs:
+            rank = int(q * (n - 1))  # "lower" order statistic, like the exact twin
+            b = int(np.searchsorted(cum, rank + 1))
+            lo = _u2f(np.array([b], dtype=np.uint64) << shift)[0]
+            hi = _u2f((np.array([b + 1], dtype=np.uint64) << shift) - np.uint64(1))[0]
+            out[f"q{q}"] = float((lo + hi) / 2.0)
+        return out
+
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        name=name,
+        accumulate_block=accumulate_block,
+        finalize=finalize,
+    )
+
+
 # ----------------------------------------------------------- queries
 
 def approx_distinct_tokens(sf_dir: str):
@@ -142,8 +210,36 @@ DISTINCT_TOKENS_ORACLE = """
     FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 """
 
+
+def approx_order_price_quantiles(sf_dir: str):
+    """One-pass approximate o_totalprice quartiles per priority (the
+    log-sketch twin of the exact ★order_price_quantiles; tested within
+    3% relative of the exact values)."""
+    import pandas as pd
+
+    qs = (0.25, 0.50, 0.75)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    rows = ds.groupby("o_orderpriority").aggregate(
+        quantile_sketch_agg("o_totalprice", qs)
+    ).take_all()  # ≤ |priority| rows
+    out = []
+    for r in rows:
+        for q in qs:
+            out.append(
+                {
+                    "o_orderpriority": r["o_orderpriority"],
+                    "q": q,
+                    "value": round(r["approx_quantiles"][f"q{q}"], 4),
+                }
+            )
+    return pd.DataFrame(out)
+
+
 SKETCH_QUERIES = {
     "distinct_tokens_exact": distinct_tokens_exact,
     "approx_distinct_tokens": approx_distinct_tokens,
+    "approx_order_price_quantiles": approx_order_price_quantiles,
 }
 SKETCH_ORACLES = {"distinct_tokens_exact": DISTINCT_TOKENS_ORACLE}

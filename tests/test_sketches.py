@@ -46,3 +46,55 @@ def test_hll_agg_vs_exact_and_parallelism(ray_session):
     a = ds.repartition(2).aggregate(hll_distinct_agg("text"))["approx_distinct"]
     b = ds.repartition(17).aggregate(hll_distinct_agg("text"))["approx_distinct"]
     assert a == b == pytest.approx(approx, abs=0.51)
+
+
+# ------------------------------------------- quantile log-sketch
+
+def test_qsketch_accuracy_and_merge():
+    import pyarrow as pa
+
+    from rayrl.sketches import quantile_sketch_agg, _u2f
+    from rayrl.quantiles import _f2u
+
+    rng = np.random.default_rng(3)
+    v = rng.lognormal(8, 2, 200_000)  # heavy-tailed, 5 decades of range
+    qs = (0.25, 0.5, 0.75, 0.99)
+    agg = quantile_sketch_agg("x", qs)
+    whole = agg.accumulate_block(agg.init(None), pa.table({"x": v}))
+    # merge law: chunked accumulation sums to the same histogram
+    merged = agg.init(None)
+    for lo in range(0, len(v), 30_000):
+        merged = agg.merge(
+            merged, agg.accumulate_block(agg.init(None), pa.table({"x": v[lo:lo + 30_000]}))
+        )
+    assert np.array_equal(whole, merged)
+    est = agg.finalize(whole)
+    for q in qs:
+        exact = np.quantile(v, q, method="lower")
+        assert abs(est[f"q{q}"] - exact) / exact < 0.04, (q, est[f"q{q}"], exact)
+
+
+def test_u2f_inverts_f2u():
+    from rayrl.sketches import _u2f
+    from rayrl.quantiles import _f2u
+
+    rng = np.random.default_rng(4)
+    v = np.concatenate([rng.normal(0, 1e6, 1000), [-1.5, 0.0, 2.25, 1e-300, -1e300]])
+    assert np.array_equal(_u2f(_f2u(v)), v)
+    # monotone: sorted floats give sorted uints
+    u = _f2u(np.sort(v))
+    assert (np.diff(u.astype(np.float64)) >= 0).all()
+
+
+def test_approx_matches_exact_query(ray_session):
+    from rayrl.sketches import approx_order_price_quantiles
+    from rayrl.quantiles import order_price_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    approx = approx_order_price_quantiles(sf)
+    exact = order_price_quantiles(sf)
+    exact = exact.to_pandas() if hasattr(exact, "to_pandas") else exact
+    m = approx.merge(exact, on=["o_orderpriority", "q"], suffixes=("_a", "_e"))
+    assert len(m) == len(approx) > 0
+    rel = (m["value_a"] - m["value_e"]).abs() / m["value_e"]
+    assert (rel < 0.04).all(), m[rel >= 0.04]
