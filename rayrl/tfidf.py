@@ -62,6 +62,33 @@ def _topk_frame(g: pd.DataFrame, n_docs: int, k: int) -> pd.DataFrame:
     return g[["doc_id", "term", "tf", "df", "tfidf"]]
 
 
+class _FusedTfidfStage:
+    """Actor-pool stage: the (term → df) map deserializes ONCE per
+    actor in ``__init__`` (a string-indexed Series is not zero-copy —
+    per-batch ``ray.get`` in a task would pay it every batch); each
+    batch then computes tf, the df lookup and the per-doc top-k
+    locally (a doc is one input row, so its tf rows are batch-local)."""
+
+    def __init__(self, df_ref, n_docs: int, k: int):
+        self._dfmap = ray.get(df_ref)
+        self._n_docs = n_docs
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = pc.list_flatten(split).to_pandas()
+        g = (
+            pd.DataFrame({"doc_id": np.repeat(ids, lens), "term": terms})
+            .groupby(["doc_id", "term"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        g["df"] = g["term"].map(self._dfmap).to_numpy()
+        return _topk_frame(g, self._n_docs, self._k)
+
+
 def tfidf_top_terms(
     sf_dir: str, k: int = TOP_K, broadcast_vocab_max: int = BROADCAST_VOCAB_MAX
 ):
@@ -94,25 +121,16 @@ def tfidf_top_terms(
         dfp = df_tbl.to_pandas()
         df_ref = ray.put(pd.Series(dfp["df"].to_numpy(), index=dfp["term"].to_numpy()))
 
-        def fused(batch: pa.Table) -> pd.DataFrame:
-            dfmap = ray.get(df_ref)  # shared-memory-backed, fetched once per task
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-            lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
-            terms = pc.list_flatten(split).to_pandas()
-            g = (
-                pd.DataFrame({"doc_id": np.repeat(ids, lens), "term": terms})
-                .groupby(["doc_id", "term"], sort=False, as_index=False)
-                .size()
-                .rename(columns={"size": "tf"})
-            )
-            g["df"] = g["term"].map(dfmap).to_numpy()
-            return _topk_frame(g, n_docs, k)
-
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        return docs.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
+        return docs.map_batches(
+            _FusedTfidfStage,
+            fn_constructor_args=(df_ref, n_docs, k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 16),
+        )
 
     # unbounded-vocabulary fallback: bucketed tf⋈df + doc regroup
     tf = _tf_rows(sf_dir)
