@@ -108,27 +108,102 @@ def packed_texts(
     sf_dir: str, budget: int = PACK_BUDGET, range_bits: int = RANGE_BITS
 ):
     """Materialized training sequences: one row per pack with the
-    doc_id-ordered concatenated text. Texts ride exactly one bucketed
-    shuffle (assignment join + pack grouping fused on the same key
-    pass), the legitimate payload move packing requires."""
-    from .shuffle import bucketed_group_apply, bucketed_join
+    doc_id-ordered concatenated text.
 
-    assign = pack_assignments(sf_dir, budget, range_bits)
+    pack_id is MONOTONE in doc_id, so pack grouping has the same
+    locality as id-range bucketing: texts ride exactly ONE wide shuffle
+    (range-keyed), every pack whose token interval [P·B, (P+1)·B) lies
+    inside its range's token interval [off_r, off_{r+1}) assembles
+    locally, and only boundary packs — at most one piece per range edge
+    — go through a second, range-count-sized merge pass. (The first
+    version joined assignments to texts and regrouped by pack_id:
+    the payload moved twice — 46.7 s at 500k docs vs this plan's
+    number in BASELINE.md.)"""
+    from .shuffle import bucketed_group_apply
+
+    # range-level token offsets (same two cheap narrow passes as
+    # pack_assignments; texts stay in the read)
+    narrow = _token_ranges(sf_dir, range_bits)
+    from .shuffle import group_agg
+
+    sums = group_agg(
+        narrow, ["range_key"], {"s": ("n_tokens", "sum")}, num_buckets=16
+    ).to_pandas().sort_values("range_key").reset_index(drop=True)
+    starts = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())])
+    off = pd.Series(starts[:-1], index=sums["range_key"].to_numpy())
+    off_end = pd.Series(starts[1:], index=sums["range_key"].to_numpy())
+    bounds_ref = ray.put((off, off_end))
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    joined = bucketed_join(assign, docs, ["doc_id"], num_buckets=32)
 
-    def concat(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(["pack_id", "doc_id"]).groupby("pack_id", sort=False)
-        return pd.DataFrame(
+    def add_range(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("range_key", pa.array(ids >> range_bits))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        from .bytekernels import token_count_kernels
+
+        lo, hi = ray.get(bounds_ref)
+        df = df.sort_values(["range_key", "doc_id"])
+        toks = token_count_kernels(pa.array(df["text"].to_numpy(dtype=object)))[
+            "n_tokens"
+        ].astype(np.int64)
+        excl = (
+            pd.Series(toks, index=df.index).groupby(df["range_key"], sort=False).cumsum()
+            - toks
+        )
+        start = df["range_key"].map(lo).to_numpy() + excl.to_numpy()
+        pack = start // budget
+        r_lo = df["range_key"].map(lo).to_numpy()
+        r_hi = df["range_key"].map(hi).to_numpy()
+        interior = (pack * budget >= r_lo) & ((pack + 1) * budget <= r_hi)
+        work = pd.DataFrame(
             {
-                "pack_id": np.fromiter(g.groups.keys(), dtype=np.int64),
-                "n_docs": g.size().to_numpy(),
-                "n_tokens": g["n_tokens"].sum().to_numpy(),
-                "text": g["text"].agg(" ".join).to_numpy(),
+                "pack_id": pack,
+                "range_key": df["range_key"].to_numpy(),
+                "n_tokens": toks,
+                "text": df["text"].to_numpy(),
+                "interior": interior,
             }
         )
+        out = []
+        for flag, grp_keys in ((True, ["pack_id"]), (False, ["pack_id", "range_key"])):
+            part = work[work["interior"] == flag]
+            if len(part):
+                g = part.groupby(grp_keys, sort=False, as_index=False).agg(
+                    n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum"),
+                    text=("text", " ".join),
+                )
+                g["final"] = np.int8(1 if flag else 0)
+                if flag:
+                    g["range_key"] = -1
+                out.append(g[["pack_id", "range_key", "n_docs", "n_tokens", "text", "final"]])
+        return pd.concat(out, ignore_index=True)
 
-    return bucketed_group_apply(joined, ["pack_id"], concat, num_buckets=32)
+    assembled = bucketed_group_apply(
+        docs.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True),
+        ["range_key"],
+        assemble,
+        num_buckets=32,
+    )
+
+    def merge_pieces(df: pd.DataFrame) -> pd.DataFrame:
+        # boundary pieces arrive (pack_id, range_key)-keyed; ranges are
+        # doc_id-ordered, so sorting by range_key restores text order
+        g = df.sort_values(["pack_id", "range_key"]).groupby(
+            "pack_id", sort=False, as_index=False
+        ).agg(
+            n_docs=("n_docs", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            text=("text", " ".join),
+        )
+        return g[["pack_id", "n_docs", "n_tokens", "text"]]
+
+    final = assembled.filter(expr="final == 1").drop_columns(["range_key", "final"])
+    pieces = assembled.filter(expr="final == 0").drop_columns(["final"])
+    merged = bucketed_group_apply(pieces, ["pack_id"], merge_pieces, num_buckets=8)
+    return final.union(merged)
 
 
 PACKED_TEXTS_ORACLE = f"""
