@@ -117,9 +117,21 @@ class _MinHashBands:
         )
 
 
-def minhash_candidate_pairs(sf_dir: str, k: int = 64, bands: int = 16, seed: int = 0):
+def minhash_candidate_pairs(
+    sf_dir: str, k: int = 64, bands: int = 16, seed: int = 0, pair_mode: str = "star"
+):
     """Shingle → MinHash → band → bucket groupby → candidate pairs
-    (doc_a < doc_b), deduped."""
+    (doc_a < doc_b), deduped.
+
+    ``pair_mode="star"`` (default): each bucket contributes edges from
+    its min doc to every other member — O(n) per bucket instead of
+    C(n,2), the spanning topology production dedup uses (a bucket's
+    members end up in one component either way). Dense boilerplate
+    clusters make this the difference between linear and quadratic
+    candidate volume: 100-copy clusters at 500k docs emit 396M pair
+    rows under all-pairs vs ~8M under star (BASELINE.md). ``"all"``
+    keeps the complete in-bucket pair list (the shape
+    ngram_jaccard_pairs / exact pair-list consumers need)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     band_ds = ds.map_batches(_MinHashBands(k, bands, seed), batch_format="pyarrow", zero_copy_batch=True)
 
@@ -129,10 +141,14 @@ def minhash_candidate_pairs(sf_dir: str, k: int = 64, bands: int = 16, seed: int
             ids = np.sort(bucket_df["doc_id"].to_numpy()[idx])
             if len(ids) < 2 or len(ids) > 1000:  # salt cap for degenerate buckets
                 continue
-            a, b = np.meshgrid(ids, ids)
-            m = a < b
-            out_a.append(a[m])
-            out_b.append(b[m])
+            if pair_mode == "star":
+                out_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+                out_b.append(ids[1:])
+            else:
+                a, b = np.meshgrid(ids, ids)
+                m = a < b
+                out_a.append(a[m])
+                out_b.append(b[m])
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
         return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
@@ -170,18 +186,24 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
     PREFILTER → exact shingle-Jaccard verify → connected components →
     (doc_id, cluster) rows for docs in any near-dup cluster.
 
-    Verification shape (round-3 fix, ADVICE r2): a k=128 signature
-    estimate has σ = √(J(1−J)/k) ≈ 0.035 at J = 0.8, so thresholding
-    the estimate alone coin-flips pairs within ~1σ of the cutoff. The
-    estimate is now only a PREFILTER with 3σ of slack
-    (est ≥ threshold − 3σ — true pairs above threshold survive w.p.
-    ≈ 99.9%); survivors are hydrated with their two texts via bucketed
-    hash joins (the ngram_jaccard_pairs shape — texts ride once per
-    side, candidates only) and decided by the EXACT unique-shingle
-    Jaccard, which is also the emitted ``jaccard`` value. Sub-threshold
-    pairs the slack lets through are killed exactly. Clustering goes
-    through the size-gated ``cluster_edges`` (driver numpy below the
-    gate, distributed label propagation above it).
+    Candidates use star edges per LSH bucket (minhash_candidate_pairs
+    pair_mode="star"): clustering consumes components, not pair lists,
+    and a bucket's members land in one component under either topology
+    while dense boilerplate clusters stop costing C(n,2) rows.
+
+    Verification shape (round-3, the full ADVICE-r2 slack-band design):
+    a k=128 signature estimate has σ = √(J(1−J)/k) ≈ 0.035 at J = 0.8,
+    so thresholding the estimate alone coin-flips pairs within ~1σ of
+    the cutoff. Pairs therefore split in three bands:
+    est < threshold − 3σ → dropped (true pairs land here w.p. ≲ 0.1%);
+    est ≥ threshold + 3σ → accepted from the signature alone (false
+    accepts ≲ 0.1%, and no text ever moves for them — on dense
+    boilerplate corpora this is nearly every pair); the borderline band
+    in between is hydrated with its two texts via bucketed hash joins
+    (the ngram_jaccard_pairs shape — texts ride once per side,
+    borderline candidates only) and decided by the EXACT unique-shingle
+    Jaccard. Clustering goes through the size-gated ``cluster_edges``
+    (driver numpy below the gate, distributed label propagation above).
 
     The narrow pair streams (cands / survivors / edges — int rows,
     bounded by candidate volume) are materialized: each is consumed
@@ -210,11 +232,16 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
     )
     sigma = (threshold * (1.0 - threshold) / sig_k) ** 0.5
     prefilter_cut = threshold - 3.0 * sigma
+    confident_cut = threshold + 3.0 * sigma
 
     def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "confident": pd.Series([], dtype="int8"),
+                }
             )
         sig_a = np.frombuffer(b"".join(batch["sig_a"]), dtype=np.uint8).reshape(len(batch), -1)
         sig_b = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint8).reshape(len(batch), -1)
@@ -224,32 +251,56 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
             {
                 "doc_a": pd.Series(batch["doc_a"].to_numpy()[keep], dtype="int64"),
                 "doc_b": pd.Series(batch["doc_b"].to_numpy()[keep], dtype="int64"),
+                "confident": pd.Series(
+                    (est[keep] >= confident_cut).astype(np.int8), dtype="int8"
+                ),
             }
         )
 
-    survivors = hydrated.map_batches(prefilter, batch_format="pandas").materialize()
-    docs = _prune_to_ids(
-        _read_docs(sf_dir, ["doc_id", "text"]), survivors, ["doc_a", "doc_b"], "doc_id"
+    flagged = hydrated.map_batches(prefilter, batch_format="pandas").materialize()
+    # est ≥ threshold + 3σ: the one-sided error is < 0.1% — accept from
+    # the signature alone, no text hydration (ADVICE-r2's slack-band
+    # shape). Only the borderline band pays the text join.
+    confident = flagged.filter(expr="confident == 1").select_columns(["doc_a", "doc_b"])
+    survivors = (
+        flagged.filter(expr="confident == 0")
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
     )
-    ta_side = docs.map_batches(
-        lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
-    )
-    tb_side = docs.map_batches(
-        lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
-    )
-    with_texts = bucketed_join(
-        bucketed_join(survivors, ta_side, ["doc_a"]), tb_side, ["doc_b"]
-    )
+    if survivors.count() == 0:
+        with_texts = None  # no borderline band: nothing to hydrate
+    else:
+        docs = _prune_to_ids(
+            _read_docs(sf_dir, ["doc_id", "text"]), survivors, ["doc_a", "doc_b"], "doc_id"
+        )
+        ta_side = docs.map_batches(
+            lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+        )
+        tb_side = docs.map_batches(
+            lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+        )
+        with_texts = bucketed_join(
+            bucketed_join(survivors, ta_side, ["doc_a"]), tb_side, ["doc_b"]
+        )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         from .linkage.stringsim import shingle_codes
+
+        memo: dict = {}  # star edges repeat the hub doc ~bucket-size times
+
+        def codes(doc_id, text):
+            c = memo.get(doc_id)
+            if c is None:
+                c = np.unique(shingle_codes(text or ""))
+                memo[doc_id] = c
+            return c
 
         rows = []
         for a, b, ta, tb in zip(
             batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
         ):
-            ca = np.unique(shingle_codes(ta or ""))
-            cb = np.unique(shingle_codes(tb or ""))
+            ca = codes(a, ta)
+            cb = codes(b, tb)
             inter = len(np.intersect1d(ca, cb, assume_unique=True))
             j = inter / max(len(ca) + len(cb) - inter, 1)
             if j >= threshold:
@@ -258,7 +309,16 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
             {"node_a": "int64", "node_b": "int64", "jaccard": "float64"}
         )
 
-    edges = with_texts.map_batches(verify, batch_format="pandas").materialize()
+    conf_edges = confident.map_batches(
+        lambda t: t.rename_columns(["node_a", "node_b"]), batch_format="pyarrow"
+    )
+    if with_texts is None:
+        edges = conf_edges.materialize()
+    else:
+        verified = with_texts.map_batches(verify, batch_format="pandas").select_columns(
+            ["node_a", "node_b"]
+        )
+        edges = verified.union(conf_edges).materialize()
     labels = cluster_edges(edges)
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
@@ -388,7 +448,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5):
     whole-corpus driver broadcast (the round-1 shape)."""
     from .shuffle import bucketed_join
 
-    cands = minhash_candidate_pairs(sf_dir).materialize()
+    # complete in-bucket pair list: this op's product IS the pairs
+    cands = minhash_candidate_pairs(sf_dir, pair_mode="all").materialize()
     docs = _prune_to_ids(
         _read_docs(sf_dir, ["doc_id", "text"]), cands, ["doc_a", "doc_b"], "doc_id"
     )
