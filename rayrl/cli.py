@@ -35,6 +35,15 @@ def main(argv=None) -> int:
     inj.add_argument("--seed", type=int, default=7)
     inj.add_argument("--out", required=True)
 
+    pk = sub.add_parser(
+        "pack-corpus",
+        help="checkpointed sequence packing of a documents dir (resumable)",
+    )
+    pk.add_argument("--sf-dir", required=True, help="dir containing documents.parquet")
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--range-bits", type=int, default=12)
+    pk.add_argument("--out", required=True, help="checkpoint/output directory")
+
     args = parser.parse_args(argv)
 
     import ray
@@ -70,6 +79,35 @@ def main(argv=None) -> int:
             out = pipeline.mess_dataset(clean, specs, seed=args.seed)
             manifest = pipeline.checkpoint_combined(out, args.out)
             print(json.dumps(manifest))
+        elif args.cmd == "pack-corpus":
+            from .checkpoint import Run
+            from .packing import pack_assignments, packed_texts
+
+            run = Run(args.out)
+            params = {
+                "sf_dir": args.sf_dir,
+                "budget": args.budget,
+                "range_bits": args.range_bits,
+            }
+            resumed = run.manifest("assignments") is not None
+            assign = run.stage(
+                "assignments",
+                params,
+                lambda: pack_assignments(args.sf_dir, args.budget, args.range_bits),
+            )
+            packs = run.stage(
+                "packs",
+                params,
+                lambda: packed_texts(args.sf_dir, args.budget, args.range_bits),
+            )
+            summary = {
+                "docs": assign.count(),
+                "packs": packs.count(),
+                "assignments": run.manifest("assignments")["rows"],
+                "resumed": resumed,
+            }
+            run.write_result("summary", summary)
+            print(json.dumps(summary))
     finally:
         ray.shutdown()
     return 0
