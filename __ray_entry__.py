@@ -268,6 +268,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(PACKING_QUERIES)
     out.update(TFIDF_QUERIES)
     out.update(BLOOM_QUERIES)
+    from rayrl.decontam import DECONTAM_QUERIES
+    from rayrl.jsonops import JSON_QUERIES
+    from rayrl.windows import WINDOW_QUERIES
+
+    out.update(WINDOW_QUERIES)
+    out.update(JSON_QUERIES)
+    out.update(DECONTAM_QUERIES)
     from rayrl.streamdedup import STREAM_DEDUP_QUERIES
 
     out.update(STREAM_DEDUP_QUERIES)
@@ -322,6 +329,13 @@ def oracle_sql() -> dict[str, str]:
     out.update(PACKING_ORACLES)
     out.update(TFIDF_ORACLES)
     out.update(BLOOM_ORACLES)
+    from rayrl.decontam import DECONTAM_ORACLES
+    from rayrl.jsonops import JSON_ORACLES
+    from rayrl.windows import WINDOW_ORACLES
+
+    out.update(WINDOW_ORACLES)
+    out.update(JSON_ORACLES)
+    out.update(DECONTAM_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE

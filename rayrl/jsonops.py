@@ -1,0 +1,86 @@
+"""Semi-structured (JSON) column extraction — the event-props /
+metadata-sidecar shape: a string column carrying a JSON object whose
+fields the pipeline needs as typed columns. Parsing is inherently
+per-record (there is no Arrow kernel for arbitrary JSON), so it runs
+as an actor-pool stage with the stdlib parser and a strict-then-null
+contract (malformed rows yield NULL, mirroring SQL ``json_extract``),
+and everything downstream of the parse is columnar again.
+
+Scale notes: the parse stage is embarrassingly parallel (stateless per
+row, autoscaling pool); the aggregate that follows pre-reduces per
+batch before ONE bounded-key groupby-free bucketed reduce — the JSON
+strings themselves never ride a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .shuffle import group_agg
+
+
+class JsonExtract:
+    """Extract one integer field from a JSON-string column."""
+
+    def __init__(self, col: str = "props", field: str = "k"):
+        self.col, self.field = col, field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = []
+        for s in batch.column(self.col).to_pylist():
+            try:
+                v = json.loads(s).get(self.field) if s else None
+            except (ValueError, AttributeError):
+                v = None
+            vals.append(int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None)
+        out = batch.drop_columns([self.col])
+        return out.append_column(self.field, pa.array(vals, pa.int64()))
+
+
+def props_value_by_k(sf_dir: str):
+    """Parse events.props JSON, extract integer field ``k``, aggregate
+    value by it: the parse → typed-column → grouped-metric chain.
+    The partial aggregate runs inside the same batch pass that parsed
+    (JSON never shuffles); one bucketed int-keyed reduce finishes."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "value"])
+    parsed = ds.map_batches(
+        JsonExtract, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby("k", sort=False, as_index=False, dropna=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    red = group_agg(
+        parsed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        num_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = np.round(df["sum_value"], 2)
+        return df
+
+    return red.map_batches(finish, batch_format="pandas")
+
+
+PROPS_VALUE_BY_K_ORACLE = """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+"""
+
+JSON_QUERIES = {"props_value_by_k": props_value_by_k}
+JSON_ORACLES = {"props_value_by_k": PROPS_VALUE_BY_K_ORACLE}

@@ -183,13 +183,76 @@ SAMPLED_DOCUMENTS_ORACLE = f"""
 """
 
 
+# ------------------------------------------- per-source document cap
+
+CAP_K = 10
+
+
+def source_capped_documents(sf_dir: str, k: int = CAP_K):
+    """Per-domain document cap (the Common-Crawl "at most k docs per
+    host" subsetting rule): keep the k docs per source with the
+    smallest deterministic hash rank — a fair per-domain sample that
+    any engine can reproduce (rank = the `hash_sample_mask`
+    multiplicative hash, ties broken by doc_id).
+
+    Scale shape: a hot domain with billions of docs must not funnel
+    through one shuffle group, so a per-batch COMBINER keeps only the
+    local top-k per source first (≤ k·|sources-in-block| rows leave
+    each block, ids only), and the bucketed per-source finish ranks
+    the survivors exactly — top-k is mergeable, so local-then-global
+    equals global (equivalence-tested against a pandas global ranking
+    across block layouts in test_newops)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return cap_per_group(ds, k)
+
+
+def cap_per_group(ds, k: int = CAP_K):
+    """The cap kernel over any (doc_id, source) dataset (see
+    source_capped_documents)."""
+    from .shuffle import bucketed_group_apply
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        df = df.assign(hrank=(ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+        df = df.sort_values(["source", "hrank", "doc_id"], kind="mergesort")
+        return df[df.groupby("source", sort=False).cumcount() < k]
+
+    partial = ds.map_batches(local_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "hrank", "doc_id"], kind="mergesort")
+        rank = df.groupby("source", sort=False).cumcount()
+        out = df[rank < k][["doc_id", "source"]].copy()
+        out["rk"] = (rank[rank < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partial, ["source"], final_topk)
+
+
+SOURCE_CAP_ORACLE = f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {CAP_K}
+"""
+
+
 STATS_QUERIES = {
     "price_qty_corr": price_qty_corr,
     "revenue_rollup": revenue_rollup,
     "sampled_documents": sampled_documents,
+    "source_capped_documents": source_capped_documents,
 }
 STATS_ORACLES = {
     "price_qty_corr": PRICE_QTY_CORR_ORACLE,
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
+    "source_capped_documents": SOURCE_CAP_ORACLE,
 }

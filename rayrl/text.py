@@ -307,6 +307,109 @@ def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class RepetitionScorer:
+    """Actor-pool stage: Gopher-style repetition filters per doc (Rae
+    et al. 2021 §A1.1 shapes): duplicate-line fraction, duplicate-word
+    fraction, and top-word mass fraction — the signals that drop
+    boilerplate / spam pages from a web corpus. Regex compiled once
+    per actor; every ratio mirrors the DuckDB oracle's expression
+    term-for-term (same divisions, same CASE fallbacks) so the
+    unrounded doubles compare exactly."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_lines, n_uniq_lines, dup_line = [], [], []
+        top_word, dup_word, n_toks_out = [], [], []
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            lines = [x for x in t.split("\n") if len(x) > 0]
+            nl, nul = len(lines), len(set(lines))
+            n_lines.append(nl)
+            n_uniq_lines.append(nul)
+            dup_line.append(0.0 if nl == 0 else 1 - nul / nl)
+            toks = self.word.findall(t.lower())
+            n = len(toks)
+            n_toks_out.append(n)
+            if n == 0:
+                top_word.append(0.0)
+                dup_word.append(0.0)
+                continue
+            counts: dict[str, int] = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            top_word.append(max(counts.values()) / n)
+            dup_word.append(1 - len(counts) / n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_uniq_lines": pa.array(n_uniq_lines, pa.int64()),
+                "dup_line_frac": pa.array(dup_line, pa.float64()),
+                "n_toks": pa.array(n_toks_out, pa.int64()),
+                "top_word_frac": pa.array(top_word, pa.float64()),
+                "dup_word_frac": pa.array(dup_word, pa.float64()),
+            }
+        )
+
+
+def repetition_scores(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
+    )
+
+
+# PII patterns: RE2-compatible subset (no lookaround, no backrefs) so
+# Python `re` and DuckDB produce identical non-overlapping match sets.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"),
+)
+
+
+class PiiScanner:
+    """Actor-pool stage: PII detection + redaction per doc — the
+    compliance pass every web-scale training corpus runs. Counts each
+    pattern on the ORIGINAL text (independent, mirroring the oracle's
+    per-pattern regexp_extract_all), then redacts in the fixed order
+    email → ipv4 → phone (ipv4 before phone so dotted quads are
+    claimed by the more specific tag). Patterns compiled once per
+    actor. The benchmark corpus is digit-free word soup, so the
+    sf-fixture result is the all-clean row set — the planted-PII
+    pytest (`test_text_ops`) is where the semantics are exercised."""
+
+    def __init__(self):
+        self.pats = [(name, re.compile(p)) for name, p in PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {name: [] for name, _ in self.pats}
+        redacted = []
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            r = t
+            for name, pat in self.pats:
+                counts[name].append(len(pat.findall(t)))
+                r = pat.sub(f"[{name.upper()}]", r)
+            redacted.append(r)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_email": pa.array(counts["email"], pa.int64()),
+                "n_ipv4": pa.array(counts["ipv4"], pa.int64()),
+                "n_phone": pa.array(counts["phone"], pa.int64()),
+                "text_redacted": pa.array(redacted, pa.string()),
+            }
+        )
+
+
+def pii_scan(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiScanner, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
+    )
+
+
 TEXT_QUERIES = {
     "token_counts": token_counts,
     "char_class_counts": char_class_counts,
@@ -314,6 +417,8 @@ TEXT_QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "winnow_fingerprints": winnow_fingerprints,
+    "repetition_scores": repetition_scores,
+    "pii_scan": pii_scan,
 }
 
 TEXT_ORACLES = {
@@ -356,5 +461,44 @@ TEXT_ORACLES = {
                CASE WHEN n = 0 THEN 1.0
                     ELSE 1 - uniq_cnt / CAST(n AS DOUBLE) END AS repetition
         FROM m
+    """,
+    # term-for-term mirror of RepetitionScorer (same divisions / CASEs)
+    "repetition_scores": """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                   list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines
+            FROM documents
+        ), w AS (
+            SELECT doc_id AS wid, unnest(toks) AS tok FROM t
+        ), c AS (
+            SELECT wid, tok, count(*) AS cnt FROM w GROUP BY 1, 2
+        ), top AS (
+            SELECT wid, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n,
+                   count(*) AS n_uniq
+            FROM c GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_distinct(lines)) AS BIGINT) AS n_uniq_lines,
+               CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE 1 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+               END AS dup_line_frac,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_toks,
+               CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+                    ELSE top_cnt / CAST(n AS DOUBLE) END AS top_word_frac,
+               CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+                    ELSE 1 - n_uniq / CAST(n AS DOUBLE) END AS dup_word_frac
+        FROM t LEFT JOIN top ON t.doc_id = top.wid
+    """,
+    "pii_scan": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_PATTERNS[0][1]}', '[EMAIL]', 'g'),
+                   '{PII_PATTERNS[1][1]}', '[IPV4]', 'g'),
+                   '{PII_PATTERNS[2][1]}', '[PHONE]', 'g') AS text_redacted
+        FROM documents
     """,
 }

@@ -1,0 +1,127 @@
+"""Round-3 second-batch operators: PII scan, repetition filters,
+per-source caps, decontamination — the semantics the sf-fixture
+oracles can't exercise (planted PII, planted contamination, combiner
+equivalence across block layouts, scale-path equivalence)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rayrl.decontam import contaminated_docs
+from rayrl.stats import CAP_K, SAMPLE_MOD, SAMPLE_MUL, SAMPLE_PRIME, cap_per_group
+from rayrl.text import PiiScanner, RepetitionScorer
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------- PII
+
+def test_pii_scanner_planted():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail me at jo.doe+x@ex-ample.co.uk or admin@host.org now",
+                    "server 10.0.255.3 and 192.168.1.12 both up",
+                    "call 555-123-4567 or 555.987.6543",
+                    "clean text, no identifiers here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = PiiScanner()(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 2 and out.loc[1, "n_ipv4"] == 0
+    assert out.loc[2, "n_ipv4"] == 2 and out.loc[2, "n_phone"] == 0
+    assert out.loc[3, "n_phone"] == 2
+    assert (out.loc[4, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
+    assert out.loc[1, "text_redacted"] == "mail me at [EMAIL] or [EMAIL] now"
+    assert out.loc[2, "text_redacted"] == "server [IPV4] and [IPV4] both up"
+    assert out.loc[3, "text_redacted"] == "call [PHONE] or [PHONE]"
+    assert out.loc[4, "text_redacted"] == "clean text, no identifiers here"
+
+
+def test_pii_scanner_ip_claims_dotted_quads_before_phone():
+    # 4-octet dotted quad must be tagged IPV4, not partially eaten by
+    # the phone pattern (redaction order: email -> ipv4 -> phone)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["quad 123.456.789.012 stays one token"], pa.string()),
+        }
+    )
+    out = PiiScanner()(batch).to_pandas()
+    assert out.loc[0, "text_redacted"] == "quad [IPV4] stays one token"
+
+
+# ------------------------------------------------------ repetition
+
+def test_repetition_scorer_planted():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "spam line\nspam line\nspam line\nreal line",
+                    "aa aa aa aa bb",  # top word 4/5, dup words 1 - 2/5
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = RepetitionScorer()(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_uniq_lines"] == 2
+    assert out.loc[1, "dup_line_frac"] == pytest.approx(0.5)
+    assert out.loc[2, "top_word_frac"] == pytest.approx(0.8)
+    assert out.loc[2, "dup_word_frac"] == pytest.approx(1 - 2 / 5)
+    assert out.loc[3, "n_toks"] == 0 and out.loc[3, "dup_line_frac"] == 0.0
+
+
+# -------------------------------------------------- per-source cap
+
+def test_cap_per_group_matches_global_ranking_any_layout(ray_session):
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) * 13 + 7,
+            "source": [f"s{int(x)}" for x in rng.integers(0, 37, n)],
+        }
+    )
+    hr = (df["doc_id"].to_numpy() % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+    ref = df.assign(hrank=hr).sort_values(["source", "hrank", "doc_id"])
+    rank = ref.groupby("source", sort=False).cumcount()
+    ref = ref[rank < CAP_K].assign(rk=(rank[rank < CAP_K] + 1)).drop(columns="hrank")
+    ref = ref.sort_values(["source", "rk"]).reset_index(drop=True)
+
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = (
+            cap_per_group(ds)
+            .to_pandas()
+            .sort_values(["source", "rk"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "source", "rk"]], ref[["doc_id", "source", "rk"]],
+            check_dtype=False,
+        )
+
+
+# -------------------------------------------------- decontamination
+
+def test_contaminated_docs_paths_agree(ray_session):
+    broad = contaminated_docs(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    joined = (
+        contaminated_docs(SF_DIR, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(broad) > 0  # the fixture plants real 8-gram overlap
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
