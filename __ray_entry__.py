@@ -268,10 +268,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(PACKING_QUERIES)
     out.update(TFIDF_QUERIES)
     out.update(BLOOM_QUERIES)
+    from rayrl.analytics import ANALYTICS_QUERIES
     from rayrl.decontam import DECONTAM_QUERIES
     from rayrl.jsonops import JSON_QUERIES
     from rayrl.windows import WINDOW_QUERIES
 
+    out.update(ANALYTICS_QUERIES)
     out.update(WINDOW_QUERIES)
     out.update(JSON_QUERIES)
     out.update(DECONTAM_QUERIES)
@@ -329,10 +331,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(PACKING_ORACLES)
     out.update(TFIDF_ORACLES)
     out.update(BLOOM_ORACLES)
+    from rayrl.analytics import ANALYTICS_ORACLES
     from rayrl.decontam import DECONTAM_ORACLES
     from rayrl.jsonops import JSON_ORACLES
     from rayrl.windows import WINDOW_ORACLES
 
+    out.update(ANALYTICS_ORACLES)
     out.update(WINDOW_ORACLES)
     out.update(JSON_ORACLES)
     out.update(DECONTAM_ORACLES)

@@ -1,0 +1,210 @@
+"""Analytic reshaping operators: global ranking, pivot-to-wide, and
+per-group z-score normalization — the feature-engineering shapes
+between raw tables and model-ready matrices.
+
+Scale notes per op:
+
+- ``ranked_orders`` — global ``row_number() OVER (ORDER BY ...)``
+  without any driver materialization of rows: ONE range-partition
+  sort (Ray Data's distributed sort, the only all-to-all), then a
+  per-block metadata pass (first key + row count, O(blocks) rows to
+  the driver) whose exclusive prefix sum is broadcast back and added
+  to each block's local arange. The two block-level passes use
+  ``batch_size=None`` so both see identical (whole-block) batching —
+  the composite first-row key identifies a block because blocks
+  partition a total order on unique (value, id) tuples.
+- ``user_event_type_pivot`` — long→wide over a BOUNDED category set
+  (the pivot columns must be enumerable up front; unbounded pivots
+  are a different op). Counts pivot inside the per-batch partial, so
+  the shuffle carries one row per (user × batch), ints only.
+- ``normalized_order_prices`` — two-phase: bounded-cardinality moment
+  aggregate (native groupby, 48-byte states), driver finalizes
+  mean/std per group, broadcast dict, then a stateless vectorized
+  transform pass. The data rows ride NO shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .shuffle import group_agg
+
+EVENT_TYPES = ("click", "view", "purchase", "error")
+
+
+# ------------------------------------------------------ global rank
+
+def ranked_orders(sf_dir: str):
+    """Global revenue rank per order (row_number over totalprice DESC,
+    orderkey ASC tie-break)."""
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .materialize()
+    )
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"fp": pa.array([], pa.float64()), "fk": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "fp": [t.column("o_totalprice")[0].as_py()],
+                "fk": [t.column("o_orderkey")[0].as_py()],
+                "n": [t.num_rows],
+            }
+        )
+
+    meta = ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None).to_pandas()
+    meta = meta.sort_values(["fp", "fk"], ascending=[False, True])
+    offs = np.concatenate([[0], np.cumsum(meta["n"].to_numpy())[:-1]])
+    table = {(p, k): int(o) for p, k, o in zip(meta["fp"], meta["fk"], offs)}
+    ref = ray.put(table)
+
+    def rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        off = ray.get(ref)[
+            (t.column("o_totalprice")[0].as_py(), t.column("o_orderkey")[0].as_py())
+        ]
+        return t.append_column(
+            "rank", pa.array(off + 1 + np.arange(t.num_rows, dtype=np.int64), pa.int64())
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+RANKED_ORDERS_ORACLE = """
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rank
+    FROM orders
+"""
+
+
+# ------------------------------------------------------------ pivot
+
+def user_event_type_pivot(sf_dir: str):
+    """Long→wide: per-user event counts by type + purchase revenue."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ct = (
+            pd.crosstab(df["user_id"], df["event_type"])
+            .reindex(columns=list(EVENT_TYPES), fill_value=0)
+            .add_prefix("n_")
+        )
+        pv = df.loc[df["event_type"] == "purchase"].groupby("user_id")["value"].sum()
+        ct["purchase_value"] = pv.reindex(ct.index, fill_value=0.0)
+        return ct.reset_index()
+
+    red = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {f"n_{et}": (f"n_{et}", "sum") for et in EVENT_TYPES}
+        | {"purchase_value": ("purchase_value", "sum")},
+        num_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for et in EVENT_TYPES:
+            df[f"n_{et}"] = df[f"n_{et}"].astype("int64")
+        df["purchase_value"] = np.round(df["purchase_value"], 2)
+        return df
+
+    return red.map_batches(finish, batch_format="pandas")
+
+
+USER_PIVOT_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 2)
+               AS purchase_value
+    FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------- z-score normalize
+
+def normalized_order_prices(sf_dir: str):
+    """Per-priority z-score of o_totalprice (the per-group feature
+    standardization pass; sample stddev)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            n=("o_totalprice", "size"),
+            s=("o_totalprice", "sum"),
+            ss=("o_totalprice", lambda x: float((x.to_numpy() ** 2).sum())),
+        )
+
+    m = (
+        group_agg(
+            ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+            ["o_orderpriority"],
+            {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
+            num_buckets=4,
+        ).to_pandas()  # ≤ |priorities| rows
+    )
+    stats = {}
+    for _, r in m.iterrows():
+        n, s, ss = float(r["n"]), float(r["s"]), float(r["ss"])
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1) if n > 1 else float("nan")
+        stats[r["o_orderpriority"]] = (mean, float(np.sqrt(var)))
+    ref = ray.put(stats)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        pr = batch.column("o_orderpriority").to_pylist()
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        mean = np.array([st[p][0] for p in pr])
+        std = np.array([st[p][1] for p in pr])
+        z = np.round((v - mean) / std, 6)
+        return batch.append_column("z_price", pa.array(z, pa.float64()))
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZED_PRICES_ORACLE = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 6) AS z_price
+    FROM orders WINDOW w AS (PARTITION BY o_orderpriority)
+"""
+
+
+ANALYTICS_QUERIES = {
+    "ranked_orders": ranked_orders,
+    "user_event_type_pivot": user_event_type_pivot,
+    "normalized_order_prices": normalized_order_prices,
+}
+ANALYTICS_ORACLES = {
+    "ranked_orders": RANKED_ORDERS_ORACLE,
+    "user_event_type_pivot": USER_PIVOT_ORACLE,
+    "normalized_order_prices": NORMALIZED_PRICES_ORACLE,
+}

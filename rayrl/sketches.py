@@ -237,9 +237,91 @@ def approx_order_price_quantiles(sf_dir: str):
     return pd.DataFrame(out)
 
 
+MG_K = 64  # Misra-Gries summary capacity
+
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Keep ≤ k entries by subtracting the (k+1)-th largest count from
+    all (ties at the threshold drop to 0 and vanish)."""
+    if len(counts) <= k:
+        return counts
+    thresh = sorted(counts.values())[-(k + 1)]
+    return {t: c - thresh for t, c in counts.items() if c > thresh}
+
+
+def misra_gries_agg(column: str, k: int = MG_K, name: str = "heavy_hitters") -> AggregateFn:
+    """Heavy-hitter tokens (Misra-Gries summary, mergeable per Agarwal
+    et al. 2012): one pass, ≤ k (token, count) pairs per block state —
+    the bounded-memory path for "top tokens" when the vocabulary is
+    too large to shuffle (`token_frequencies` is the exact twin).
+
+    Guarantee (layout-independent, verified in test_sketches): every
+    token with true frequency > n_total/(k+1) survives any block
+    layout / merge order, and for each stored token
+    ``est ≤ true ≤ est + err`` with err = (n_total − Σest)/(k+1).
+    The stored ESTIMATES themselves may differ between layouts — the
+    summary's contract is the bound, not the point value."""
+
+    def init(_key):
+        return ({}, 0)  # (token -> residual count, total token count)
+
+    def accumulate_block(state, block):
+        counts, total = state
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        import collections
+
+        c = collections.Counter()
+        for t in tbl.column(column).to_pylist():
+            if t:
+                c.update(t.split(" "))
+        merged = dict(counts)
+        for t, n in c.items():
+            merged[t] = merged.get(t, 0) + n
+        return (_mg_compress(merged, k), total + sum(c.values()))
+
+    def merge(a, b):
+        merged = dict(a[0])
+        for t, n in b[0].items():
+            merged[t] = merged.get(t, 0) + n
+        return (_mg_compress(merged, k), a[1] + b[1])
+
+    def finalize(state):
+        counts, total = state
+        err = (total - sum(counts.values())) / (k + 1)
+        return {"counts": counts, "n_total": total, "err": err}
+
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        name=name,
+        accumulate_block=accumulate_block,
+        finalize=finalize,
+    )
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = MG_K, top: int = 20):
+    """Approximate top tokens over documents.text via the Misra-Gries
+    aggregate (exact ★twin: token_frequencies). Output: the `top`
+    stored tokens by estimate (desc, token asc tie-break) with the
+    per-run error bound attached."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = ds.aggregate(misra_gries_agg("text", k))["heavy_hitters"]
+    rows = sorted(out["counts"].items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return pd.DataFrame(
+        {
+            "token": [t for t, _ in rows],
+            "est_count": [int(c) for _, c in rows],
+            "err_bound": [round(out["err"], 2)] * len(rows),
+        }
+    )
+
+
 SKETCH_QUERIES = {
     "distinct_tokens_exact": distinct_tokens_exact,
     "approx_distinct_tokens": approx_distinct_tokens,
     "approx_order_price_quantiles": approx_order_price_quantiles,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
 }
 SKETCH_ORACLES = {"distinct_tokens_exact": DISTINCT_TOKENS_ORACLE}

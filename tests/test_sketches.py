@@ -98,3 +98,36 @@ def test_approx_matches_exact_query(ray_session):
     assert len(m) == len(approx) > 0
     rel = (m["value_a"] - m["value_e"]).abs() / m["value_e"]
     assert (rel < 0.04).all(), m[rel >= 0.04]
+
+
+def test_misra_gries_guarantees_any_layout(ray_session):
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from rayrl.sketches import MG_K, misra_gries_agg
+
+    # zipf-skewed synthetic corpus: a few heavy tokens + long tail
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(2000)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
+    weights /= weights.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=30, p=weights)) for _ in range(400)
+    ]
+    truth = collections.Counter(t for d in docs for t in d.split(" "))
+    n_total = sum(truth.values())
+    k = MG_K
+    sure_heavy = {t for t, c in truth.items() if c > n_total / (k + 1)}
+    assert len(sure_heavy) >= 5  # the fixture actually exercises the bound
+
+    for nblocks in (2, 13):
+        ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(nblocks)
+        out = ds.aggregate(misra_gries_agg("text", k))["heavy_hitters"]
+        counts, err = out["counts"], out["err"]
+        assert out["n_total"] == n_total
+        assert len(counts) <= k
+        assert sure_heavy <= set(counts), sure_heavy - set(counts)
+        for t, est in counts.items():
+            assert 0 <= truth[t] - est <= err + 1e-9, (t, est, truth[t], err)
