@@ -116,6 +116,10 @@ def run_bench() -> dict:
         "order_price_quantiles",
         "tfidf_top_terms",
         "pack_assignments",
+        "user_event_windows",
+        "ranked_orders",
+        "repetition_scores",
+        "contaminated_docs",
     ):
         fn = entry_mod.queries()[qname]
         best = None
