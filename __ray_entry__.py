@@ -271,9 +271,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.analytics import ANALYTICS_QUERIES
     from rayrl.decontam import DECONTAM_QUERIES
     from rayrl.jsonops import JSON_QUERIES
+    from rayrl.snapshot import SNAPSHOT_QUERIES
     from rayrl.windows import WINDOW_QUERIES
 
     out.update(ANALYTICS_QUERIES)
+    out.update(SNAPSHOT_QUERIES)
     out.update(WINDOW_QUERIES)
     out.update(JSON_QUERIES)
     out.update(DECONTAM_QUERIES)
@@ -334,9 +336,11 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.analytics import ANALYTICS_ORACLES
     from rayrl.decontam import DECONTAM_ORACLES
     from rayrl.jsonops import JSON_ORACLES
+    from rayrl.snapshot import SNAPSHOT_ORACLES
     from rayrl.windows import WINDOW_ORACLES
 
     out.update(ANALYTICS_ORACLES)
+    out.update(SNAPSHOT_ORACLES)
     out.update(WINDOW_ORACLES)
     out.update(JSON_ORACLES)
     out.update(DECONTAM_ORACLES)

@@ -404,6 +404,35 @@ class PiiScanner:
         )
 
 
+def normalized_documents(sf_dir: str):
+    """Text normalization entirely in Arrow compute kernels — zero
+    Python per row: lowercase, collapse whitespace runs, trim. The
+    cheapest stage class in the engine (memory-bandwidth bound over
+    the zero-copy string buffers); placed before hashing/dedup stages
+    so byte-identicalness means semantic identicalness."""
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # utf8_trim(" ") matches SQL trim() (spaces only — not \n/\t)
+        t = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), pattern=" +", replacement=" "
+            ),
+            characters=" ",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_norm": t,
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pii_scan(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         PiiScanner, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
@@ -419,6 +448,7 @@ TEXT_QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "repetition_scores": repetition_scores,
     "pii_scan": pii_scan,
+    "normalized_documents": normalized_documents,
 }
 
 TEXT_ORACLES = {
@@ -499,6 +529,13 @@ TEXT_ORACLES = {
                    '{PII_PATTERNS[0][1]}', '[EMAIL]', 'g'),
                    '{PII_PATTERNS[1][1]}', '[IPV4]', 'g'),
                    '{PII_PATTERNS[2][1]}', '[PHONE]', 'g') AS text_redacted
+        FROM documents
+    """,
+    "normalized_documents": """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text_norm,
+               CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                    AS BIGINT) AS n_chars_norm
         FROM documents
     """,
 }

@@ -28,10 +28,12 @@ from .temporal import _events_micros
 
 def user_event_windows(sf_dir: str):
     """Per-user event windows ordered by (ts, event_id): 1-based
-    ``rn`` = row_number, ``delta_prev`` = value − lag(value) (0.0 for
+    ``rn`` = row_number, ``ntile4`` = NTILE(4) (SQL's exact uneven-tile
+    distribution rule), ``delta_prev`` = value − lag(value) (0.0 for
     the first row, COALESCE parity), ``movavg3`` = mean over the
     trailing 3-row frame, ``running_sum`` = unbounded-preceding sum."""
     ds = _events_micros(sf_dir, ["user_id", "event_id", "ts", "value"])
+    n_tiles = 4
 
     def win(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "tsu", "event_id"], kind="mergesort")
@@ -63,12 +65,26 @@ def user_event_windows(sf_dir: str):
         base = np.repeat(cs[first_ix] - v[first_ix], counts)
         running = cs - base
 
+        # NTILE(n): the first (cnt % n) tiles hold ceil(cnt/n) rows
+        # (exact SQL distribution rule)
+        cnt = np.repeat(counts, counts)
+        big = cnt % n_tiles
+        small_sz = cnt // n_tiles
+        boundary = big * (small_sz + 1)
+        in_big = pos < boundary
+        tile = np.where(
+            in_big,
+            pos // np.maximum(small_sz + 1, 1),
+            big + (pos - boundary) // np.maximum(small_sz, 1),
+        ) + 1
+
         return pd.DataFrame(
             {
                 "user_id": user,
                 "event_id": df["event_id"].to_numpy(),
                 "tsu": df["tsu"].to_numpy(),
                 "rn": pos + 1,
+                "ntile4": tile.astype(np.int64),
                 "delta_prev": np.round(delta, 6),
                 "movavg3": np.round(movavg3, 6),
                 "running_sum": np.round(running, 6),
@@ -84,6 +100,7 @@ USER_EVENT_WINDOWS_ORACLE = """
     )
     SELECT user_id, event_id, tsu,
            CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
            round(COALESCE(value - lag(value) OVER w, 0.0), 6) AS delta_prev,
            round(AVG(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS movavg3,
            round(SUM(value) OVER (w ROWS UNBOUNDED PRECEDING), 6) AS running_sum
