@@ -323,9 +323,52 @@ LABEL_CENTROIDS_ORACLE = """
 """
 
 
+def embedding_norms(sf_dir: str):
+    """Per-vector L2 norm + dimension — the vector-column hygiene pass
+    (norm-0 / wrong-dim detection before any similarity stage). The
+    flat list values square-sum per segment via ``np.add.reduceat``
+    over the list offsets (zero Python per row); float64 accumulation,
+    round(6) output to absorb last-ulp summation-order variance vs the
+    SQL list_sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dims = (offs[1:] - offs[:-1]).astype(np.int64)
+        sq = flat * flat
+        sums = np.add.reduceat(sq, offs[:-1]) if len(flat) else np.zeros(0)
+        sums = np.where(dims == 0, 0.0, sums)  # reduceat repeats on empty segments
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "dim": pa.array(dims, pa.int64()),
+                "l2_norm": pa.array(np.round(np.sqrt(sums), 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EMBEDDING_NORMS_ORACLE = """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+"""
+
+
 ANN_QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "label_centroids": label_centroids,
+    "embedding_norms": embedding_norms,
 }

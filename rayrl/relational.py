@@ -287,7 +287,91 @@ def links_1to1_orders(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+CUSTOMER_BROADCAST_GATE = 5_000_000
+
+
+def segment_revenue_3way(sf_dir: str):
+    """Three-table join (customer ⋈ orders ⋈ lineitem → revenue per
+    market segment) — the multi-way join plan pattern: the BIG⋈BIG
+    side (lineitem⋈orders) pre-aggregates lineitem per orderkey inside
+    the scan (60k rows → ≤ n_orders partial rows) before ONE bucketed
+    hash join; the sublinear side (customer) broadcasts as an id→
+    segment lookup fused into the post-join pass (CLAUDE.md rule 12),
+    with a bucketed-join fallback above a size gate; the final grain
+    is bounded (|segments|), so a 16-bucket reduce finishes."""
+    from .shuffle import bucketed_join, group_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("l_orderkey", sort=False, as_index=False).agg(
+            rev=("rev", "sum"), n_items=("rev", "size")
+        ).rename(columns={"l_orderkey": "o_orderkey"})
+
+    li_agg = group_agg(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"],
+        {"rev": ("rev", "sum"), "n_items": ("n_items", "sum")},
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_join(li_agg, orders, ["o_orderkey"])
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=False, as_index=False).agg(
+            rev=("rev", "sum"), n_items=("n_items", "sum")
+        )
+
+    per_cust = joined.map_batches(cust_partial, batch_format="pandas")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    n_cust = cust.count()
+    if n_cust <= CUSTOMER_BROADCAST_GATE:
+        cdf = cust.to_pandas()  # gated: |customer| is sublinear in lineitem
+        lookup = ray.put(dict(zip(cdf["c_custkey"], cdf["c_mktsegment"])))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(lookup)
+            df = df.copy()
+            df["c_mktsegment"] = df["o_custkey"].map(lk)
+            return df.dropna(subset=["c_mktsegment"])  # inner-join parity
+
+        seg_rows = per_cust.map_batches(attach, batch_format="pandas")
+    else:  # unbounded-customer fallback: one more bucketed hash join
+        seg_rows = bucketed_join(
+            per_cust.map_batches(
+                lambda d: d.rename(columns={"o_custkey": "c_custkey"}),
+                batch_format="pandas",
+            ),
+            cust,
+            ["c_custkey"],
+        )
+
+    red = group_agg(
+        seg_rows,
+        ["c_mktsegment"],
+        {"rev": ("rev", "sum"), "n_items": ("n_items", "sum")},
+        num_buckets=4,
+    ).to_pandas()  # ≤ |segments| rows
+    red["revenue"] = red["rev"].round(2)
+    red["n_items"] = red["n_items"].astype("int64")
+    return red[["c_mktsegment", "revenue", "n_items"]]
+
+
+SEGMENT_REVENUE_ORACLE = """
+    SELECT c_mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment
+"""
+
+
 ORACLES = {
+    "segment_revenue_3way": SEGMENT_REVENUE_ORACLE,
     "links_1to1_orders": """
         WITH e AS (SELECT o_custkey, o_orderkey % 4999 AS slot,
                           round(max(o_totalprice), 2) AS score
@@ -369,6 +453,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "segment_revenue_3way": segment_revenue_3way,
     "links_1to1_orders": links_1to1_orders,
     "best_event_per_user": best_event_per_user,
     "pricing_summary": pricing_summary,
