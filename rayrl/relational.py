@@ -290,7 +290,7 @@ def links_1to1_orders(sf_dir: str):
 CUSTOMER_BROADCAST_GATE = 5_000_000
 
 
-def segment_revenue_3way(sf_dir: str):
+def segment_revenue_3way(sf_dir: str, broadcast_gate: int = CUSTOMER_BROADCAST_GATE):
     """Three-table join (customer ⋈ orders ⋈ lineitem → revenue per
     market segment) — the multi-way join plan pattern: the BIG⋈BIG
     side (lineitem⋈orders) pre-aggregates lineitem per orderkey inside
@@ -327,7 +327,7 @@ def segment_revenue_3way(sf_dir: str):
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     n_cust = cust.count()
-    if n_cust <= CUSTOMER_BROADCAST_GATE:
+    if n_cust <= broadcast_gate:
         cdf = cust.to_pandas()  # gated: |customer| is sublinear in lineitem
         lookup = ray.put(dict(zip(cdf["c_custkey"], cdf["c_mktsegment"])))
 

@@ -125,3 +125,16 @@ def test_contaminated_docs_paths_agree(ray_session):
     )
     assert len(broad) > 0  # the fixture plants real 8-gram overlap
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_segment_revenue_paths_agree(ray_session):
+    from rayrl.relational import segment_revenue_3way
+
+    broad = segment_revenue_3way(SF_DIR).sort_values("c_mktsegment").reset_index(drop=True)
+    joined = (
+        segment_revenue_3way(SF_DIR, broadcast_gate=0)
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert len(broad) == 5
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
