@@ -44,6 +44,14 @@ def main(argv=None) -> int:
     pk.add_argument("--range-bits", type=int, default=12)
     pk.add_argument("--out", required=True, help="checkpoint/output directory")
 
+    sc = sub.add_parser(
+        "score-corpus",
+        help="checkpointed per-doc scorecard (lang/quality/repetition/PII), resumable",
+    )
+    sc.add_argument("--sf-dir", required=True, help="dir containing documents.parquet")
+    sc.add_argument("--redact", action="store_true", help="include redacted text column")
+    sc.add_argument("--out", required=True, help="checkpoint/output directory")
+
     args = parser.parse_args(argv)
 
     import ray
@@ -106,6 +114,30 @@ def main(argv=None) -> int:
                 "assignments": run.manifest("assignments")["rows"],
                 "resumed": resumed,
             }
+            run.write_result("summary", summary)
+            print(json.dumps(summary))
+        elif args.cmd == "score-corpus":
+            from .checkpoint import Run
+            from .text import score_corpus_ds
+
+            run = Run(args.out)
+            params = {"sf_dir": args.sf_dir, "redact": bool(args.redact)}
+            resumed = run.manifest("scores") is not None
+            scores = run.stage(
+                "scores",
+                params,
+                lambda: score_corpus_ds(
+                    ray.data.read_parquet(
+                        f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                    ),
+                    redact=args.redact,
+                ),
+            )
+            n_docs = scores.count()
+            n_pii = scores.filter(
+                expr="n_email > 0 or n_ipv4 > 0 or n_phone > 0"
+            ).count()
+            summary = {"docs": int(n_docs), "pii_docs": int(n_pii), "resumed": resumed}
             run.write_result("summary", summary)
             print(json.dumps(summary))
     finally:

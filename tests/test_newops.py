@@ -138,3 +138,70 @@ def test_segment_revenue_paths_agree(ray_session):
     )
     assert len(broad) == 5
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_fused_scorer_matches_individual_stages(ray_session):
+    from rayrl.text import (
+        FusedDocScorer,
+        LangId,
+        PiiScanner,
+        QualityScorer,
+        RepetitionScorer,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox and the lazy dog in the sun",
+                    "mail admin@host.org from 10.0.0.1\nsame line\nsame line",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    fused = FusedDocScorer(redact=True)(batch).to_pandas()
+    assert fused["lang_pred"].tolist() == LangId()(batch).to_pandas()["lang_pred"].tolist()
+    q = QualityScorer()(batch).to_pandas()
+    for c in ("quality", "stop_ratio", "repetition"):
+        assert fused[c].tolist() == q[c].tolist()
+    r = RepetitionScorer()(batch).to_pandas()
+    for c in ("dup_line_frac", "top_word_frac", "dup_word_frac"):
+        assert fused[c].tolist() == r[c].tolist()
+    p = PiiScanner()(batch).to_pandas()
+    for c in ("n_email", "n_ipv4", "n_phone", "text_redacted"):
+        assert fused[c].tolist() == p[c].tolist()
+
+
+def test_score_corpus_stage_resumes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayrl.checkpoint import Run
+    from rayrl.text import score_corpus_ds
+
+    out = str(tmp_path / "score_run")
+    params = {"sf_dir": SF_DIR, "redact": False}
+
+    def build():
+        return score_corpus_ds(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        )
+
+    run = Run(out)
+    first = run.stage("scores", params, build).to_pandas()
+    assert run.manifest("scores")["complete"]
+
+    calls = []
+
+    def build_traced():
+        calls.append(1)
+        return build()
+
+    second = Run(out).stage("scores", params, build_traced).to_pandas()
+    assert not calls  # cache hit: build never ran
+    pd.testing.assert_frame_equal(
+        first.sort_values("doc_id").reset_index(drop=True),
+        second.sort_values("doc_id").reset_index(drop=True),
+    )
