@@ -24,6 +24,8 @@ import ray.data
 
 from .shuffle import group_agg
 
+NULL_K = -(2**62) - 1  # sentinel for the NULL group through the shuffle
+
 
 class JsonExtract:
     """Extract one integer field from a JSON-string column."""
@@ -49,15 +51,25 @@ def props_value_by_k(sf_dir: str):
     The partial aggregate runs inside the same batch pass that parsed
     (JSON never shuffles); one bucketed int-keyed reduce finishes."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "value"])
+    return props_value_agg(ds)
+
+
+def props_value_agg(ds: "ray.data.Dataset"):
+    """The parse + aggregate kernel over any (props, value) dataset."""
     parsed = ds.map_batches(
         JsonExtract, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        return df.groupby("k", sort=False, as_index=False, dropna=False).agg(
+        out = df.groupby("k", sort=False, as_index=False, dropna=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
+        # malformed rows carry k = NULL; a null key would silently drop
+        # out of the bucketed shuffle, so it rides as a sentinel and is
+        # decoded after the reduce (SQL GROUP BY keeps the NULL group)
+        out["k"] = out["k"].astype("Int64").fillna(NULL_K).astype("int64")
+        return out
 
     red = group_agg(
         parsed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
@@ -68,6 +80,7 @@ def props_value_by_k(sf_dir: str):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        df["k"] = df["k"].astype("Int64").replace(NULL_K, pd.NA)
         df["n_events"] = df["n_events"].astype("int64")
         df["sum_value"] = np.round(df["sum_value"], 2)
         return df

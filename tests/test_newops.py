@@ -205,3 +205,22 @@ def test_score_corpus_stage_resumes(ray_session, tmp_path):
         first.sort_values("doc_id").reset_index(drop=True),
         second.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_props_value_agg_keeps_null_group(ray_session):
+    from rayrl.jsonops import props_value_agg
+
+    ds = ray.data.from_items(
+        [
+            {"props": '{"k": 1}', "value": 1.0},
+            {"props": "not json", "value": 2.0},
+            {"props": None, "value": 3.0},
+            {"props": '{"k": 1}', "value": 4.0},
+        ]
+    )
+    out = props_value_agg(ds).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(out) == 2  # the NULL group survives the shuffle
+    good = out[out["k"].notna()].iloc[0]
+    assert good["k"] == 1 and good["n_events"] == 2 and good["sum_value"] == 5.0
+    bad = out[out["k"].isna()].iloc[0]
+    assert bad["n_events"] == 2 and bad["sum_value"] == 5.0
