@@ -8,6 +8,13 @@ into a BOUNDED number of buckets, shuffle by bucket, and do the real
 per-key work with a vectorized pandas groupby inside each bucket. One
 Ray group = one heavyweight vectorized task; skew is capped by bucket
 count and salt-able by raising it.
+
+NULL-key contract: rows with a null key are DROPPED by the in-bucket
+pandas groupby (dropna default) — correct for joins (SQL null never
+equals null) but NOT for GROUP BY, where SQL keeps a NULL group. Ops
+whose key can legitimately be null must encode it as an out-of-domain
+sentinel before the shuffle and decode after (see
+jsonops.props_value_agg).
 """
 
 from __future__ import annotations
