@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(TFIDF_QUERIES)
     out.update(BLOOM_QUERIES)
     from rayrl.analytics import ANALYTICS_QUERIES
+    from rayrl.corpuspipe import CORPUS_PIPE_QUERIES
     from rayrl.decontam import DECONTAM_QUERIES
     from rayrl.jsonops import JSON_QUERIES
     from rayrl.snapshot import SNAPSHOT_QUERIES
@@ -276,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out.update(ANALYTICS_QUERIES)
     out.update(SNAPSHOT_QUERIES)
+    out.update(CORPUS_PIPE_QUERIES)
     out.update(WINDOW_QUERIES)
     out.update(JSON_QUERIES)
     out.update(DECONTAM_QUERIES)
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TFIDF_ORACLES)
     out.update(BLOOM_ORACLES)
     from rayrl.analytics import ANALYTICS_ORACLES
+    from rayrl.corpuspipe import CORPUS_PIPE_ORACLES
     from rayrl.decontam import DECONTAM_ORACLES
     from rayrl.jsonops import JSON_ORACLES
     from rayrl.snapshot import SNAPSHOT_ORACLES
@@ -341,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
 
     out.update(ANALYTICS_ORACLES)
     out.update(SNAPSHOT_ORACLES)
+    out.update(CORPUS_PIPE_ORACLES)
     out.update(WINDOW_ORACLES)
     out.update(JSON_ORACLES)
     out.update(DECONTAM_ORACLES)

@@ -62,9 +62,16 @@ def pack_assignments(
 ):
     """(doc_id, n_tokens, pack_id) for every document — the scale path:
     only int rows move, the driver touches one row per id-range."""
+    return pack_assignments_ds(_token_ranges(sf_dir, range_bits), budget)
+
+
+def pack_assignments_ds(narrow_ds: "ray.data.Dataset", budget: int = PACK_BUDGET):
+    """The packing kernel over any (doc_id, n_tokens, range_key)
+    dataset (see pack_assignments; range_key must be a monotone
+    bucketing of doc_id so the range prefix sums order correctly)."""
     from .shuffle import bucketed_group_apply, group_agg
 
-    narrow = _token_ranges(sf_dir, range_bits).materialize()  # ints only, reused twice
+    narrow = narrow_ds.materialize()  # ints only, reused twice
 
     sums = group_agg(
         narrow, ["range_key"], {"s": ("n_tokens", "sum")}, num_buckets=16
