@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "ranked_orders",
         "repetition_scores",
         "contaminated_docs",
+        "corpus_pipeline",
     ):
         fn = entry_mod.queries()[qname]
         best = None

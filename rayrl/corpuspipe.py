@@ -45,19 +45,41 @@ def corpus_pipeline(
     from .bytekernels import content_hash64, token_count_kernels
     from .packing import pack_assignments_ds
     from .shuffle import group_agg
-    from .text import QualityScorer, RepetitionScorer
+    from .text import QualityScorer
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     class ScoreFilter:
+        """Quality + dup-word filter with ONE tokenization per doc —
+        the two metric families share the token multiset, so running
+        QualityScorer and RepetitionScorer separately would tokenize
+        every doc twice (measured: ~1.4× the whole stage). Arithmetic
+        mirrors those scorers (and the oracle) term-for-term."""
+
         def __init__(self):
-            self.q = QualityScorer()
-            self.r = RepetitionScorer()
+            import re
+
+            self.word = re.compile(r"[a-z]+")
+            self.stopwords = QualityScorer.STOPWORDS
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            q = self.q(batch).column("quality").to_numpy(zero_copy_only=False)
-            dw = self.r(batch).column("dup_word_frac").to_numpy(zero_copy_only=False)
-            keep = (q >= quality_min) & (dw <= dup_word_max)
+            keep = np.zeros(batch.num_rows, dtype=bool)
+            for i, t in enumerate(batch.column("text").to_pylist()):
+                toks = self.word.findall((t or "").lower())
+                n = len(toks)
+                if n == 0:
+                    keep[i] = 0.0 >= quality_min and 0.0 <= dup_word_max
+                    continue
+                counts: dict[str, int] = {}
+                stop_cnt = 0
+                for tok in toks:
+                    counts[tok] = counts.get(tok, 0) + 1
+                    if tok in self.stopwords:
+                        stop_cnt += 1
+                stop = stop_cnt / n
+                uniq = len(counts) / n
+                q = 0.4 * min(1.0, n / 20.0) + 0.3 * min(1.0, stop * 5) + 0.3 * uniq
+                keep[i] = (q >= quality_min) and ((1 - uniq) <= dup_word_max)
             kept = batch.filter(pa.array(keep))
             k = token_count_kernels(kept.column("text"))
             ids = kept.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -224,3 +224,28 @@ def test_props_value_agg_keeps_null_group(ray_session):
     assert good["k"] == 1 and good["n_events"] == 2 and good["sum_value"] == 5.0
     bad = out[out["k"].isna()].iloc[0]
     assert bad["n_events"] == 2 and bad["sum_value"] == 5.0
+
+
+def test_cap_per_group_under_heavy_skew(ray_session):
+    # 90% of rows in ONE source: the combiner must keep the shuffle
+    # bounded (k per source per block) and the result exact
+    n = 20000
+    src = np.where(np.arange(n) % 10 == 0, "cold", "hot")
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "source": src})
+    hr = (df["doc_id"].to_numpy() % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+    ref = df.assign(hrank=hr).sort_values(["source", "hrank", "doc_id"])
+    rank = ref.groupby("source", sort=False).cumcount()
+    ref = (
+        ref[rank < CAP_K]
+        .assign(rk=(rank[rank < CAP_K] + 1))
+        .drop(columns="hrank")
+        .sort_values(["source", "rk"])
+        .reset_index(drop=True)
+    )
+    ds = ray.data.from_pandas(df).repartition(32)
+    got = (
+        cap_per_group(ds).to_pandas().sort_values(["source", "rk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "rk"]], ref[["doc_id", "source", "rk"]], check_dtype=False
+    )
