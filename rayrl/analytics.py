@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import group_agg
+from .shuffle import bucketed_group_apply, group_agg
 
 EVENT_TYPES = ("click", "view", "purchase", "error")
 
@@ -198,13 +198,48 @@ NORMALIZED_PRICES_ORACLE = """
 """
 
 
+# ------------------------------------------------ grouped string agg
+
+def customer_order_list(sf_dir: str):
+    """LISTAGG / collect_list: per customer, the comma-joined ordered
+    order-key list — the feature-store "events as one string/array"
+    shape. One bucketed shuffle on the group key; the join itself is
+    per-group Python (inherent: the output IS a per-group string), but
+    each group is touched exactly once and the shuffle carries two int
+    columns."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderkey"], kind="mergesort")
+        g = df.groupby("o_custkey", sort=False)["o_orderkey"]
+        out = g.agg(lambda s: ",".join(map(str, s))).reset_index()
+        out.columns = ["o_custkey", "order_keys"]
+        out["n_orders"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, ["o_custkey"], agg)
+
+
+CUSTOMER_ORDER_LIST_ORACLE = """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+               AS order_keys,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "ranked_orders": ranked_orders,
     "user_event_type_pivot": user_event_type_pivot,
     "normalized_order_prices": normalized_order_prices,
+    "customer_order_list": customer_order_list,
 }
 ANALYTICS_ORACLES = {
     "ranked_orders": RANKED_ORDERS_ORACLE,
     "user_event_type_pivot": USER_PIVOT_ORACLE,
     "normalized_order_prices": NORMALIZED_PRICES_ORACLE,
+    "customer_order_list": CUSTOMER_ORDER_LIST_ORACLE,
 }
