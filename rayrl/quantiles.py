@@ -248,5 +248,57 @@ ORDER_QUANTILES_ORACLE = """
     SELECT o_orderpriority, 0.75 AS q, round(q75, 4) AS value FROM t
 """
 
-QUANTILE_QUERIES = {"order_price_quantiles": order_price_quantiles}
-QUANTILE_ORACLES = {"order_price_quantiles": ORDER_QUANTILES_ORACLE}
+def order_price_mad(sf_dir: str):
+    """Median absolute deviation per group — the robust-statistics
+    two-phase composition: phase 1 finds each group's exact median
+    (histogram refinement, no sort), the medians broadcast into a
+    stateless |x − m| transform, and phase 2 runs the SAME refinement
+    over the deviations. Nothing but histogram partials ever reaches
+    the driver — MAD at 100 TB costs two quantile scans."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).materialize()
+
+    med = distributed_quantiles(ds, "o_totalprice", ["o_orderpriority"], qs=(0.5,))
+    med_map = dict(zip(med["o_orderpriority"], med["value"]))
+    import ray as _ray
+
+    ref = _ray.put(med_map)
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        med_col = df["o_orderpriority"].map(m).to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "adev": np.abs(df["o_totalprice"].to_numpy(dtype=np.float64) - med_col),
+            }
+        )
+
+    devs = ds.map_batches(dev, batch_format="pandas")
+    mad = distributed_quantiles(devs, "adev", ["o_orderpriority"], qs=(0.5,))
+    out = mad.rename(columns={"value": "mad"})[["o_orderpriority", "mad"]]
+    out["median"] = out["o_orderpriority"].map(med_map)
+    return out[["o_orderpriority", "median", "mad"]]
+
+
+ORDER_MAD_ORACLE = """
+    WITH med AS (
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS m
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, med.m AS median,
+           round(quantile_cont(abs(o.o_totalprice - med.m), 0.5), 4) AS mad
+    FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+    GROUP BY o.o_orderpriority, med.m
+"""
+
+QUANTILE_QUERIES = {
+    "order_price_quantiles": order_price_quantiles,
+    "order_price_mad": order_price_mad,
+}
+QUANTILE_ORACLES = {
+    "order_price_quantiles": ORDER_QUANTILES_ORACLE,
+    "order_price_mad": ORDER_MAD_ORACLE,
+}

@@ -244,13 +244,83 @@ SOURCE_CAP_ORACLE = f"""
 """
 
 
+# -------------------------------------- distribution divergence (QA)
+
+def source_lang_divergence(sf_dir: str):
+    """Per-source KL divergence of the language distribution vs the
+    whole corpus — the data-QA op that flags domains whose language
+    mix drifts from the corpus (crawl contamination, mislabeled
+    feeds). Counts reduce per (source, lang) in one bucketed shuffle;
+    the global lang vector (bounded: |langs|) broadcasts; the
+    per-source KL is a vectorized kernel inside a second bucketed
+    pass — sources never collect to the driver."""
+    from .shuffle import bucketed_group_apply, group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby(["source", "lang"], sort=False, as_index=False).agg(
+            n=("lang", "size")
+        )
+
+    counts = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    ).materialize()  # narrow (source, lang, n) rows, scanned twice
+
+    glob = group_agg(counts, ["lang"], {"n": ("n", "sum")}, num_buckets=4).to_pandas()
+    n_total = float(glob["n"].sum())
+    q_map = {l: float(n) / n_total for l, n in zip(glob["lang"], glob["n"])}
+    ref = ray.put(q_map)
+
+    def kl(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(ref)
+        ns = df.groupby("source", sort=False)["n"].transform("sum").to_numpy(dtype=np.float64)
+        p = df["n"].to_numpy(dtype=np.float64) / ns
+        qv = df["lang"].map(q).to_numpy(dtype=np.float64)
+        term = p * np.log(p / qv)
+        out = pd.DataFrame({"source": df["source"], "term": term, "n": df["n"]})
+        res = out.groupby("source", sort=False, as_index=False).agg(
+            kl_lang=("term", "sum"), n_docs=("n", "sum")
+        )
+        res["kl_lang"] = np.round(res["kl_lang"], 6)
+        res["n_docs"] = res["n_docs"].astype("int64")
+        return res
+
+    return bucketed_group_apply(counts, ["source"], kl)
+
+
+SOURCE_LANG_DIVERGENCE_ORACLE = """
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY 1, 2
+    ), s AS (
+        SELECT source, sum(n) AS ns FROM c GROUP BY 1
+    ), t AS (
+        SELECT lang, sum(n) AS ng, sum(sum(n)) OVER () AS nt FROM c GROUP BY 1
+    )
+    SELECT c.source,
+           round(sum((c.n / s.ns) * ln((c.n / s.ns) / (t.ng / t.nt))), 6) AS kl_lang,
+           CAST(sum(c.n) AS BIGINT) AS n_docs
+    FROM c JOIN s ON c.source = s.source JOIN t ON c.lang = t.lang
+    GROUP BY c.source
+"""
+
+
 STATS_QUERIES = {
     "price_qty_corr": price_qty_corr,
     "revenue_rollup": revenue_rollup,
     "sampled_documents": sampled_documents,
     "source_capped_documents": source_capped_documents,
+    "source_lang_divergence": source_lang_divergence,
 }
 STATS_ORACLES = {
+    "source_lang_divergence": SOURCE_LANG_DIVERGENCE_ORACLE,
     "price_qty_corr": PRICE_QTY_CORR_ORACLE,
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
