@@ -500,7 +500,56 @@ TEXT_QUERIES = {
     "normalized_documents": normalized_documents,
 }
 
+def _lang_id_oracle() -> str:
+    """SQL mirror of LangId: weights VALUES generated from the SAME
+    PROFILES the actors load, char-bigram explode + weighted argmax
+    with the profile-order tie-break, the non-ascii ratio override and
+    the empty/und fallbacks. Validated bigram-equivalence note: a
+    valid [a-z][a-z] char pair is byte-adjacent in UTF-8, so the
+    engine's byte-pair kernel and this char-level SQL score the same
+    multiset."""
+    rows = []
+    for ord_, (lang, prof) in enumerate(LangId.PROFILES.items()):
+        for i, bg in enumerate(prof):
+            rows.append(f"('{lang}', {ord_}, '{bg}', {len(prof) - i})")
+    values = ", ".join(rows)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+    ), met AS (
+        SELECT doc_id, length(t) AS n_chars,
+               length(t) - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g')) AS non_ascii
+        FROM d
+    ), pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i FROM d
+    ), valid AS (
+        SELECT doc_id, substr(t, i, 2) AS bg, count(*) AS n
+        FROM pos WHERE regexp_matches(substr(t, i, 2), '^[a-z]{{2}}$')
+        GROUP BY 1, 2
+    ), w(lang, ord, bg, wt) AS (
+        VALUES {values}
+    ), sc AS (
+        SELECT v.doc_id, w.lang, w.ord, sum(v.n * w.wt) AS score
+        FROM valid v JOIN w ON v.bg = w.bg GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn
+        FROM sc
+    ), pick AS (
+        SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+        FROM best WHERE rn = 1
+    )
+    SELECT met.doc_id,
+           CASE WHEN met.n_chars = 0 THEN 'und'
+                WHEN CAST(met.non_ascii AS DOUBLE) / greatest(1, met.n_chars) > 0.3
+                    THEN 'zh'
+                ELSE coalesce(pick.lang_pred, 'und') END AS lang_pred
+    FROM met LEFT JOIN pick ON met.doc_id = pick.doc_id
+    """
+
+
 TEXT_ORACLES = {
+    "lang_id": _lang_id_oracle(),
     "token_counts": r"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
