@@ -281,8 +281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(WINDOW_QUERIES)
     out.update(JSON_QUERIES)
     out.update(DECONTAM_QUERIES)
+    from rayrl.boilerplate import BOILERPLATE_QUERIES
     from rayrl.streamdedup import STREAM_DEDUP_QUERIES
 
+    out.update(BOILERPLATE_QUERIES)
     out.update(STREAM_DEDUP_QUERIES)
     from rayrl.linkage.features import major_tokens
 
@@ -348,6 +350,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(WINDOW_ORACLES)
     out.update(JSON_ORACLES)
     out.update(DECONTAM_ORACLES)
+    from rayrl.boilerplate import BOILERPLATE_ORACLES
+
+    out.update(BOILERPLATE_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["embedding_norms"] = EMBEDDING_NORMS_ORACLE

@@ -249,3 +249,62 @@ def test_cap_per_group_under_heavy_skew(ray_session):
     pd.testing.assert_frame_equal(
         got[["doc_id", "source", "rk"]], ref[["doc_id", "source", "rk"]], check_dtype=False
     )
+
+
+# ------------------------------------------- line-boilerplate removal
+
+def _boiler_fixture_dir(tmp_path):
+    """Planted multi-line docs: 'SUBSCRIBE NOW TODAY' rides 5 docs
+    (boilerplate at K=4); 'only here twice' repeats twice inside ONE
+    doc (counts that doc once -> kept); 'hi' is everywhere but under
+    min_len -> kept."""
+    import pyarrow.parquet as pq
+
+    texts = [
+        "alpha body line one\nSUBSCRIBE NOW TODAY\nhi",
+        "beta body line\nSUBSCRIBE NOW TODAY\nonly here twice\nonly here twice",
+        "gamma content\nSUBSCRIBE NOW TODAY\nhi",
+        "delta content\nSUBSCRIBE NOW TODAY",
+        "epsilon content\nSUBSCRIBE NOW TODAY\nhi\nhi",
+        "zeta clean document body",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s0", "s1", "s2", "s0", "s1", "s2"], pa.string()),
+        }
+    )
+    d = tmp_path / "boiler_sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_boilerplate_planted_and_paths_agree(tmp_path):
+    from rayrl.boilerplate import boilerplate_cleaned
+
+    sf = _boiler_fixture_dir(tmp_path)
+    got = (
+        boilerplate_cleaned(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every planted footer is gone; nothing else is
+    assert got["n_removed"].tolist() == [1, 1, 1, 1, 1, 0]
+    assert not got["text"].str.contains("SUBSCRIBE NOW TODAY").any()
+    # in-doc-only repeat survives (per-doc dedup before the count)
+    assert "only here twice\nonly here twice" in got.loc[1, "text"]
+    # sub-min_len line survives everywhere (footer follows it in the view)
+    assert "\nhi\n" in got.loc[0, "text"]
+    # unique header kept: every doc still opens with its DOC marker
+    assert (got["text"].str.split("\n").str[0] == "DOC " + got["doc_id"].astype(str)).all()
+
+    joined = (
+        boilerplate_cleaned(sf, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, joined, check_dtype=False)
