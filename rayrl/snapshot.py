@@ -96,5 +96,120 @@ SNAPSHOT_DIFF_ORACLE = f"""
     FROM old FULL JOIN new ON old.doc_id = new.doc_id
 """
 
-SNAPSHOT_QUERIES = {"snapshot_diff": snapshot_diff}
-SNAPSHOT_ORACLES = {"snapshot_diff": SNAPSHOT_DIFF_ORACLE}
+MERGE_BROADCAST_GATE = 5_000_000  # max delta keys to ship as one array
+
+
+def merge_upsert(
+    base: "ray.data.Dataset",
+    delta: "ray.data.Dataset",
+    key: str = "doc_id",
+    broadcast_gate: int = MERGE_BROADCAST_GATE,
+) -> "ray.data.Dataset":
+    """Latest-wins upsert: every base row whose key also appears in
+    delta is replaced by the delta row; delta-only keys are inserts.
+    Keys are unique per side (snapshot semantics). Output = base
+    columns + ``origin`` ('base' | 'delta').
+
+    Scale shape: the winner per key depends ONLY on delta's key set, so
+    payloads never need to co-locate. Below the gate the delta key set
+    (8-byte ints, sublinear in the corpus for an incremental crawl)
+    broadcasts once via ``ray.put`` and base rows drop batch-side with a
+    ``searchsorted`` probe — NO shuffle at all, both sides stream
+    straight through. Above the gate (a delta comparable to the
+    corpus), both sides meet in ONE bucketed shuffle keyed on ``key``
+    and a vectorized drop_duplicates keeps the delta row. Paths are
+    equivalence-tested with the gate forced to 0 (test_newops)."""
+
+    def tag(origin: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "origin", pa.array(np.repeat(origin, batch.num_rows))
+            )
+
+        return fn
+
+    n_delta = delta.count()
+    if n_delta <= broadcast_gate:
+        parts = [
+            b.column(key).to_numpy()
+            for b in delta.select_columns([key]).iter_batches(batch_format="pyarrow")
+        ]
+        arr = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+        ref = ray.put(arr)
+
+        def drop_overridden(batch: pa.Table) -> pa.Table:
+            ids = batch.column(key).to_numpy(zero_copy_only=False)
+            ds_arr = ray.get(ref)
+            if not len(ds_arr):
+                return batch
+            pos = np.searchsorted(ds_arr, ids)
+            hit = ds_arr[np.minimum(pos, len(ds_arr) - 1)] == ids
+            return batch.filter(pa.array(~hit))
+
+        kept = base.map_batches(
+            drop_overridden, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return kept.map_batches(tag("base"), batch_format="pyarrow").union(
+            delta.map_batches(tag("delta"), batch_format="pyarrow")
+        )
+
+    # big-delta fallback: one bucketed shuffle, delta row wins per key
+    both = base.map_batches(tag("base"), batch_format="pyarrow").union(
+        delta.map_batches(tag("delta"), batch_format="pyarrow")
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("origin").drop_duplicates(subset=[key], keep="last")
+        # 'base' < 'delta' lexically; keep='last' keeps the delta row
+
+    return bucketed_group_apply(both, [key], pick)
+
+
+def _snapshot_views(sf_dir: str):
+    """The deterministic (base, delta) pair of the documents table —
+    the same views SNAPSHOT_DIFF_ORACLE's CTEs define."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % OLD_MOD == 0))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % NEW_MOD != 0
+        texts = batch.column("text").to_pylist()
+        mut = ids % MUT_MOD == 0
+        new_texts = [(t or "") + " v2" if m else t for t, m in zip(texts, mut)]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(new_texts, pa.string())}
+        ).filter(pa.array(keep))
+
+    base = ds.map_batches(old_side, batch_format="pyarrow", zero_copy_batch=True)
+    delta = ds.map_batches(new_side, batch_format="pyarrow", zero_copy_batch=True)
+    return base, delta
+
+
+def merged_snapshot(sf_dir: str, broadcast_gate: int = MERGE_BROADCAST_GATE):
+    base, delta = _snapshot_views(sf_dir)
+    return merge_upsert(base, delta, broadcast_gate=broadcast_gate)
+
+
+MERGED_SNAPSHOT_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {OLD_MOD} = 0
+    ), delta AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {MUT_MOD} = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % {NEW_MOD} != 0
+    )
+    SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+           COALESCE(d.text, b.text) AS text,
+           CASE WHEN d.doc_id IS NULL THEN 'base' ELSE 'delta' END AS origin
+    FROM base b FULL JOIN delta d ON b.doc_id = d.doc_id
+"""
+
+SNAPSHOT_QUERIES = {"snapshot_diff": snapshot_diff, "merged_snapshot": merged_snapshot}
+SNAPSHOT_ORACLES = {
+    "snapshot_diff": SNAPSHOT_DIFF_ORACLE,
+    "merged_snapshot": MERGED_SNAPSHOT_ORACLE,
+}

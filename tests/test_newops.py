@@ -308,3 +308,34 @@ def test_boilerplate_planted_and_paths_agree(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, joined, check_dtype=False)
+
+
+# ------------------------------------------------- merge/upsert
+
+def test_merge_upsert_paths_and_semantics():
+    from rayrl.snapshot import MUT_MOD, NEW_MOD, OLD_MOD, merged_snapshot
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        merged_snapshot(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    forced = (
+        merged_snapshot(sf, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, forced, check_dtype=False)
+
+    ids = got["doc_id"].to_numpy()
+    origin = got["origin"].to_numpy()
+    in_base, in_delta = ids % OLD_MOD == 0, ids % NEW_MOD != 0
+    # delta wins wherever present; base survives only where delta absent
+    assert (origin[in_delta] == "delta").all()
+    assert (origin[~in_delta] == "base").all()
+    assert (in_base | in_delta).all()  # nothing from outside either side
+    # the delta re-crawl mutation is the text that survives
+    mut = got[(ids % MUT_MOD == 0) & in_delta]
+    assert len(mut) and mut["text"].str.endswith(" v2").all()
+    non_mut = got[(ids % MUT_MOD != 0) | ~in_delta]
+    assert not non_mut["text"].str.endswith(" v2").any()
