@@ -165,24 +165,29 @@ def boilerplate_cleaned(
                 pos = np.searchsorted(bad_set, h)
                 pos_c = np.minimum(pos, len(bad_set) - 1)
                 bad[cand] = bad_set[pos_c] == h
-            lines_py = flat.to_pylist()
-            out_ids, out_text, out_rm = [], [], []
-            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            for i, did in enumerate(doc_ids):
-                s, e = starts[i], starts[i] + lens[i]
-                kept = [lines_py[j] for j in range(s, e) if not bad[j]]
-                if not kept:  # fully-boilerplate doc drops out (oracle parity)
-                    continue
-                out_ids.append(did)
-                out_text.append("\n".join(kept))
-                out_rm.append(int(lens[i]) - len(kept))
-            return pa.table(
+            # vectorized reassembly: kept lines become a list column
+            # re-sliced at per-doc offsets, joined by one Arrow kernel
+            keep = ~bad
+            kept_per_doc = (
+                np.add.reduceat(keep, starts) if len(starts) else np.array([], np.int64)
+            ).astype(np.int64)
+            kept_per_doc[lens == 0] = 0  # reduceat reads past empty slices
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            kept_flat = flat.filter(pa.array(keep))
+            offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets), kept_flat), "\n"
+            )
+            out = pa.table(
                 {
-                    "doc_id": pa.array(out_ids, pa.int64()),
-                    "text": pa.array(out_text, pa.string()),
-                    "n_removed": pa.array(out_rm, pa.int64()),
+                    "doc_id": batch.column("doc_id"),
+                    "text": joined,
+                    "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
                 }
             )
+            # fully-boilerplate docs drop out (oracle parity)
+            return out.filter(pa.array(kept_per_doc > 0))
 
         return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
 
