@@ -294,11 +294,50 @@ ORDER_MAD_ORACLE = """
     GROUP BY o.o_orderpriority, med.m
 """
 
+P90 = 0.9
+
+
+def docs_above_p90_length(sf_dir: str, q: float = P90):
+    """Quantile-gated corpus filter — the statistical length/quality
+    cut every training pipeline runs (keep docs above the corpus p90
+    length). The gate pattern: ONE distributed statistic (histogram
+    refinement, no sort, no driver rows beyond histogram partials)
+    broadcasts as a scalar into a stateless streaming filter — the
+    corpus itself never shuffles."""
+    import pyarrow as pa
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int8))
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    qdf = distributed_quantiles(tagged, "n_chars", ["g"], qs=(q,))
+    thr = float(qdf["value"].iloc[0])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v > thr))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_P90_ORACLE = f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars > (SELECT round(quantile_cont(n_chars, {P90}), 4) FROM documents)
+"""
+
 QUANTILE_QUERIES = {
     "order_price_quantiles": order_price_quantiles,
     "order_price_mad": order_price_mad,
+    "docs_above_p90_length": docs_above_p90_length,
 }
 QUANTILE_ORACLES = {
     "order_price_quantiles": ORDER_QUANTILES_ORACLE,
     "order_price_mad": ORDER_MAD_ORACLE,
+    "docs_above_p90_length": DOCS_P90_ORACLE,
 }

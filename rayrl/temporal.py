@@ -272,8 +272,71 @@ TOP_PER_CUSTOMER_ORACLE = """
 """
 
 
+# ------------------------------------------------------ ordered funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Ordered conversion funnel: n_users who reached each step, where
+    step i counts only events STRICTLY AFTER the user's step-(i−1)
+    completion time (the classic product-analytics funnel, not a mere
+    per-type distinct count). Output: (step, n_users).
+
+    Scale shape: users hash into buckets and never straddle them, so
+    the whole per-user cascade is a chain of vectorized merges + one
+    groupby-min per step inside each bucket; each bucket emits
+    len(steps) count rows and one bounded group-sum finishes. Events
+    ride the shuffle once as (user_id, tsu, event_type)."""
+    ds = _events_micros(sf_dir, ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        reached = None  # user_id -> completion time of previous step
+        counts = []
+        for step in steps:
+            rows = df.loc[df["event_type"] == step, ["user_id", "tsu"]]
+            if reached is not None:
+                rows = rows.merge(reached, on="user_id")
+                rows = rows[rows["tsu"] > rows["t_prev"]].drop(columns="t_prev")
+            reached = (
+                rows.groupby("user_id", sort=False)["tsu"]
+                .min()
+                .rename("t_prev")
+                .reset_index()
+            )
+            counts.append(len(reached))
+        return pd.DataFrame(
+            {"step": list(steps), "n_users": np.array(counts, np.int64)}
+        )
+
+    partials = bucketed_group_apply(ds, ["user_id"], partial)
+    from .shuffle import group_agg
+
+    return group_agg(partials, ["step"], {"n_users": ("n_users", "sum")}, num_buckets=4)
+
+
+EVENT_FUNNEL_ORACLE = f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t GROUP BY e.user_id
+    )
+    SELECT '{FUNNEL_STEPS[0]}' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT '{FUNNEL_STEPS[1]}', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '{FUNNEL_STEPS[2]}', CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
 TEMPORAL_QUERIES = {
     "sessionized_events": sessionize_events,
+    "event_funnel": event_funnel,
     "last_touch_attribution": last_touch_attribution,
     "error_click_window": error_click_window,
     "top_orders_per_customer": top_orders_per_customer,
@@ -281,6 +344,7 @@ TEMPORAL_QUERIES = {
 
 TEMPORAL_ORACLES = {
     "sessionized_events": SESSIONIZE_ORACLE,
+    "event_funnel": EVENT_FUNNEL_ORACLE,
     "last_touch_attribution": LAST_TOUCH_ORACLE,
     "error_click_window": ERROR_CLICK_ORACLE,
     "top_orders_per_customer": TOP_PER_CUSTOMER_ORACLE,
