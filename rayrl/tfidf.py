@@ -158,5 +158,60 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 """
 
 
-TFIDF_QUERIES = {"tfidf_top_terms": tfidf_top_terms}
-TFIDF_ORACLES = {"tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE}
+BIGRAM_MIN_COUNT = 10
+
+
+def bigram_counts(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT):
+    """Corpus-wide adjacent-token-pair counts above a threshold — the
+    vocabulary-building pass of a BPE/WordPiece-style tokenizer (which
+    merges the most frequent adjacent pair each round) and the raw
+    material for PMI collocation scores.
+
+    Scale shape: bigrams never leave their batch as occurrences — each
+    batch emits one (t1, t2, partial n) row per DISTINCT pair it saw
+    (the tfidf df-emit shape), so the single bucketed reduce moves a
+    bigram-vocabulary-sized stream (Heaps-sublinear), not a
+    token-sized one; the threshold then prunes inside the reduce."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(split).to_pandas().to_numpy()
+        n_bi = np.maximum(lens - 1, 0)
+        if not n_bi.sum():
+            return pd.DataFrame({"t1": [], "t2": [], "n": pd.Series([], dtype=np.int64)})
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        idx = np.repeat(starts, n_bi) + (
+            np.arange(int(n_bi.sum())) - np.repeat(np.cumsum(n_bi) - n_bi, n_bi)
+        )
+        pairs = pd.DataFrame({"t1": flat[idx], "t2": flat[idx + 1]})
+        out = pairs.groupby(["t1", "t2"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = group_agg(partials, ["t1", "t2"], {"n": ("n", "sum")})
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n"] >= min_count]
+
+    return counts.map_batches(thresh, batch_format="pandas")
+
+
+BIGRAM_COUNTS_ORACLE = f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ), p AS (
+        SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+    )
+    SELECT toks[i] AS t1, toks[i + 1] AS t2, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY t1, t2 HAVING count(*) >= {BIGRAM_MIN_COUNT}
+"""
+
+TFIDF_QUERIES = {"tfidf_top_terms": tfidf_top_terms, "bigram_counts": bigram_counts}
+TFIDF_ORACLES = {
+    "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
+    "bigram_counts": BIGRAM_COUNTS_ORACLE,
+}
