@@ -312,7 +312,147 @@ SOURCE_LANG_DIVERGENCE_ORACLE = """
 """
 
 
+# -------------------------------------- per-source vocabulary stats
+
+
+def _distinct_source_terms(sf_dir: str):
+    """DISTINCT (source, term) stream: per-batch dedup first (docs are
+    whole in the read batch), then one bucketed global distinct — the
+    shuffle moves a vocabulary×sources-sized stream, not tokens."""
+    from .shuffle import distinct_rows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column("source").to_pandas().to_numpy()
+        df = pd.DataFrame(
+            {"source": np.repeat(src, lens), "term": pc.list_flatten(split).to_pandas()}
+        )
+        return df.drop_duplicates()
+
+    return distinct_rows(
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "term"],
+    )
+
+
+def source_vocab_stats(sf_dir: str) -> pd.DataFrame:
+    """(source, n_tokens, n_distinct, ttr): corpus vocabulary richness
+    per source (type–token ratio — the data-QA signal for template-
+    generated / low-diversity sources). Token totals reduce as one
+    int partial per (batch, source); distinct counts ride the shared
+    distinct-(source, term) stream. Result is |sources| rows."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def totals(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"source": batch.column("source").to_pandas(), "n": lens})
+        return df.groupby("source", sort=False, as_index=False)["n"].sum()
+
+    tot = group_agg(
+        ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_tokens": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()  # ≤ |sources| rows
+
+    def dcount(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", sort=False, as_index=False).size()
+
+    dis = (
+        group_agg(
+            _distinct_source_terms(sf_dir).map_batches(dcount, batch_format="pandas"),
+            ["source"],
+            {"n_distinct": ("size", "sum")},
+            num_buckets=8,
+        ).to_pandas()  # ≤ |sources| rows
+    )
+    out = tot.merge(dis, on="source")
+    out["ttr"] = (out["n_distinct"] / out["n_tokens"]).round(6)
+    return out
+
+
+SOURCE_VOCAB_STATS_ORACLE = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
+           round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) AS ttr
+    FROM tok GROUP BY source
+"""
+
+
+def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """(src_a, src_b, jaccard): vocabulary overlap between every source
+    pair — the cross-source contamination/diversity QA matrix. Per
+    TERM the source set is bounded (≤ |sources|), so pair emission is
+    a batch-local self-merge inside the term-bucketed shuffle; only
+    (src_a, src_b, partial count) int rows reduce. Per-source vocab
+    sizes are the |sources|-row frame from the same distinct stream."""
+    from .shuffle import bucketed_group_apply, group_agg
+
+    v = _distinct_source_terms(sf_dir).materialize()  # scanned twice
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", sort=False, as_index=False).size()
+
+    nsz = group_agg(
+        v.map_batches(sizes, batch_format="pandas"),
+        ["source"],
+        {"n": ("size", "sum")},
+        num_buckets=8,
+    ).to_pandas()  # ≤ |sources| rows
+    size_of = dict(zip(nsz["source"], nsz["n"]))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        out = m.groupby(["source_x", "source_y"], sort=False, as_index=False).size()
+        return out.rename(columns={"source_x": "src_a", "source_y": "src_b", "size": "i"})
+
+    inter = group_agg(
+        bucketed_group_apply(v, ["term"], pair_partial),
+        ["src_a", "src_b"],
+        {"i": ("i", "sum")},
+        num_buckets=8,
+    ).to_pandas()  # ≤ C(|sources|, 2) rows
+    na = inter["src_a"].map(size_of).to_numpy(dtype=np.float64)
+    nb = inter["src_b"].map(size_of).to_numpy(dtype=np.float64)
+    i = inter["i"].to_numpy(dtype=np.float64)
+    inter["jaccard"] = np.round(i / (na + nb - i), 6)
+    return inter.drop(columns="i")
+
+
+SOURCE_VOCAB_JACCARD_ORACLE = """
+    WITH v AS (
+        SELECT DISTINCT source, term FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        )
+    ), sizes AS (
+        SELECT source, count(*) AS n FROM v GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+"""
+
+
 STATS_QUERIES = {
+    "source_vocab_stats": source_vocab_stats,
+    "source_vocab_jaccard": source_vocab_jaccard,
     "price_qty_corr": price_qty_corr,
     "revenue_rollup": revenue_rollup,
     "sampled_documents": sampled_documents,
@@ -320,6 +460,8 @@ STATS_QUERIES = {
     "source_lang_divergence": source_lang_divergence,
 }
 STATS_ORACLES = {
+    "source_vocab_stats": SOURCE_VOCAB_STATS_ORACLE,
+    "source_vocab_jaccard": SOURCE_VOCAB_JACCARD_ORACLE,
     "source_lang_divergence": SOURCE_LANG_DIVERGENCE_ORACLE,
     "price_qty_corr": PRICE_QTY_CORR_ORACLE,
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
