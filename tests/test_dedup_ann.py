@@ -228,3 +228,63 @@ def test_ann_ivf_finds_planted_near_identical(ray_session, tmp_path):
         got = res[res["query_id"] == q]
         assert pid in set(got["vec_id"]), (q, pid)
         assert int(got[got["vec_id"] == pid]["rank"].iloc[0]) == 1
+
+
+# ------------------------------------------------------------ k-means
+
+def _blob_ds(n_per=100, k=4, dim=8, sigma=0.05):
+    rng = np.random.default_rng(17)
+    centers = np.zeros((k, dim))
+    for i in range(k):
+        centers[i, i] = 10.0  # well-separated axis blobs
+    rows = []
+    truth = []
+    for c in range(k):
+        pts = centers[c] + sigma * rng.standard_normal((n_per, dim))
+        rows.append(pts)
+        truth += [c] * n_per
+    mat = np.vstack(rows).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [r.tolist() for r in mat],
+        }
+    )
+    return df, np.array(truth)
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    from rayrl.kmeans import kmeans_assign, kmeans_fit
+
+    df, truth = _blob_ds()
+    ds = ray.data.from_pandas(df)
+    cent = kmeans_fit(ds, k=4, iters=8, seed=3)
+    asg = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    pred = asg["cluster"].to_numpy()
+    # every true blob lands in exactly one predicted cluster, all distinct
+    mapping = {}
+    for t in range(4):
+        labs = set(pred[truth == t])
+        assert len(labs) == 1, f"blob {t} split across {labs}"
+        mapping[t] = labs.pop()
+    assert len(set(mapping.values())) == 4
+    assert (asg["dist"] < 1.0).all()  # tight blobs: everyone near a center
+
+
+def test_kmeans_deterministic_any_parallelism(ray_session):
+    from rayrl.kmeans import kmeans_assign, kmeans_fit
+
+    df, _ = _blob_ds(n_per=50)
+    outs = []
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        cent = kmeans_fit(ds, k=4, iters=5, seed=9)
+        asg = (
+            kmeans_assign(ds, cent)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append((cent, asg))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])  # exact: round-6 quantized
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
