@@ -155,4 +155,125 @@ def kmeans_embeddings(sf_dir: str, k: int = K_CLUSTERS, iters: int = ITERS):
     return kmeans_assign(ds, centroids)
 
 
-KMEANS_QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+SEM_THRESHOLD = 0.9
+
+
+def _local_components(a: np.ndarray, b: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+    """Min-label connected components over edge arrays (a, b) for the
+    given node ids — vectorized pointer-jumping, all in-memory (the
+    caller guarantees the group is cluster-local and small)."""
+    order = np.argsort(nodes, kind="stable")
+    nodes_s = nodes[order]
+    ai = np.searchsorted(nodes_s, a)
+    bi = np.searchsorted(nodes_s, b)
+    parent = np.arange(len(nodes_s), dtype=np.int64)
+    for _ in range(64):  # relax + jump until fixpoint; dup groups are tiny
+        prev = parent.copy()
+        m = np.minimum(parent[ai], parent[bi])
+        np.minimum.at(parent, ai, m)
+        np.minimum.at(parent, bi, m)
+        parent = parent[parent]  # pointer jumping
+        if np.array_equal(parent, prev):
+            break
+    labels = np.empty(len(nodes), dtype=np.int64)
+    labels[order] = nodes_s[parent]
+    return labels
+
+
+def semantic_dedup(
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = ITERS,
+    threshold: float = SEM_THRESHOLD,
+    seed: int = 1,
+):
+    """SemDeDup (Abbas et al., 2023): k-means the embedding space, then
+    within each cluster connect pairs with cosine ≥ threshold and keep
+    the minimum vec_id of every duplicate component. Output one row per
+    vector: (vec_id, cluster, rep) — ``rep == vec_id`` marks the kept
+    representative; filtering to those rows IS the deduplicated corpus.
+
+    Scale shape + partitioning assumption: embeddings ride exactly ONE
+    shuffle (cluster-keyed, straight from the assignment pass — no
+    join). The within-cluster work is all-pairs cosine, the SemDeDup
+    trade: k must be sized so n/k vectors fit one task (the paper uses
+    k ≈ n/10⁴; here k is a parameter). The matmul runs in row strips so
+    the sim matrix never exceeds strip × cluster floats, and components
+    resolve with in-task vectorized pointer jumping — nothing touches
+    the driver."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup_ds(ds, k=k, iters=iters, threshold=threshold, seed=seed)
+
+
+def semantic_dedup_ds(
+    ds: "ray.data.Dataset",
+    k: int = K_CLUSTERS,
+    iters: int = ITERS,
+    threshold: float = SEM_THRESHOLD,
+    seed: int = 1,
+):
+    ds = ds.materialize()
+    centroids = kmeans_fit(ds, k=k, iters=iters, seed=seed)
+    ref = ray.put(centroids)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, mat = _id_mat(batch)
+        c = ray.get(ref)
+        d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(assign, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, g in df.groupby("cluster", sort=False):
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(mat, axis=1, keepdims=True)
+            norm[norm == 0.0] = 1.0
+            mat = mat / norm
+            ea, eb = [], []
+            strip = 1024  # sim matrix capped at strip × |cluster|
+            for s in range(0, len(ids), strip):
+                sims = mat[s : s + strip] @ mat.T
+                ii, jj = np.nonzero(sims >= threshold)
+                ii += s
+                keep = ii < jj  # upper triangle only
+                ea.append(ii[keep])
+                eb.append(jj[keep])
+            ii = np.concatenate(ea) if ea else np.array([], np.int64)
+            jj = np.concatenate(eb) if eb else np.array([], np.int64)
+            rep = _local_components(ids[ii], ids[jj], ids) if len(ii) else ids
+            out.append(
+                pd.DataFrame({"vec_id": ids, "cluster": int(cl), "rep": rep})
+            )
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "rep": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    from .shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(rows, ["cluster"], per_cluster)
+
+
+KMEANS_QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "semantic_dedup": semantic_dedup,
+}

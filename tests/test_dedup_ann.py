@@ -288,3 +288,65 @@ def test_kmeans_deterministic_any_parallelism(ray_session):
         outs.append((cent, asg))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])  # exact: round-6 quantized
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+
+def test_semantic_dedup_planted(ray_session):
+    from rayrl.kmeans import semantic_dedup_ds
+
+    rng = np.random.default_rng(23)
+    k, dim, n_per = 3, 8, 40
+    pts, ids = [], []
+    for c in range(k):
+        center = np.zeros(dim)
+        center[c] = 10.0
+        pts.append(center + 2.0 * rng.standard_normal((n_per, dim)))
+    base = np.vstack(pts)
+    # plant near-dups: copies of vectors 0, 41, 82 with tiny noise
+    dup_src = np.array([0, 41, 82])
+    dups = base[dup_src] + 0.01 * rng.standard_normal((3, dim))
+    mat = np.vstack([base, dups]).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [r.tolist() for r in mat],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        semantic_dedup_ds(ds, k=3, iters=6, threshold=0.99, seed=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(mat)
+    rep = out.set_index("vec_id")["rep"]
+    # each planted dup resolves to its source (the min id of the pair)
+    for i, src in enumerate(dup_src):
+        assert rep[len(base) + i] == src, (i, rep[len(base) + i])
+        assert rep[src] == src
+    # everyone else is its own representative
+    others = out[~out["vec_id"].isin(np.concatenate([dup_src, len(base) + np.arange(3)]))]
+    assert (others["rep"] == others["vec_id"]).all()
+
+
+def test_semantic_dedup_deterministic_any_parallelism(ray_session):
+    from rayrl.kmeans import semantic_dedup_ds
+
+    rng = np.random.default_rng(29)
+    mat = (5.0 * rng.standard_normal((120, 8))).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [r.tolist() for r in mat],
+        }
+    )
+    outs = []
+    for nblocks in (1, 12):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        outs.append(
+            semantic_dedup_ds(ds, k=4, iters=4, threshold=0.9, seed=7)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
