@@ -210,8 +210,142 @@ BIGRAM_COUNTS_ORACLE = f"""
     FROM p GROUP BY t1, t2 HAVING count(*) >= {BIGRAM_MIN_COUNT}
 """
 
-TFIDF_QUERIES = {"tfidf_top_terms": tfidf_top_terms, "bigram_counts": bigram_counts}
+SURPRISAL_BROADCAST_MAX = 20_000_000  # (hash, count) pairs ≈ 16 B each
+
+
+def doc_surprisal(sf_dir: str, broadcast_gate: int = SURPRISAL_BROADCAST_MAX):
+    """(doc_id, n_toks, surprisal): per-document average negative log
+    probability under the corpus's own unigram model — the CCNet-style
+    perplexity filter (documents whose tokens are globally rare score
+    high; template/boilerplate text scores low).
+
+    Scale shape: the unigram model is the vocabulary (Heaps-sublinear,
+    CLAUDE.md rule 12), so below the gate the (token-hash → count)
+    arrays broadcast once via ``ray.put`` and scoring fuses into the
+    SAME pass that tokenizes — per-doc log-prob sums fall out of one
+    ``np.add.reduceat`` over the batch's flat token array; no token
+    row ever shuffles. Above the gate, (doc_id, hash) occurrence rows
+    meet the count stream in a bucketed int join and one more bucketed
+    reduce re-groups per doc — ints only, two narrow shuffles. Paths
+    are equivalence-tested with the gate forced to 0.
+
+    Hash note: tokens are compared as 64-bit hashes where the oracle
+    compares strings — a collision merges two tokens' counts at
+    ~vocab²/2⁶⁴ probability (the decontam.py trade)."""
+    from .bytekernels import content_hash64
+    from .shuffle import bucketed_join, group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _flat_hashes(batch: pa.Table):
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = content_hash64(pc.list_flatten(split))
+        return lens, h
+
+    def freq_partial(batch: pa.Table) -> pd.DataFrame:
+        _, h = _flat_hashes(batch)
+        u, c = np.unique(h, return_counts=True)
+        return pd.DataFrame({"h": u, "n": c.astype(np.int64)})
+
+    freq = group_agg(
+        ds.map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        {"n": ("n", "sum")},
+    ).materialize()
+    total = float(freq.sum("n"))
+    n_vocab = freq.count()
+
+    if n_vocab <= broadcast_gate:
+        parts = [
+            (b.column("h").to_numpy(), b.column("n").to_numpy())
+            for b in freq.iter_batches(batch_format="pyarrow")
+        ]
+        hs = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.int64)
+        ns = np.concatenate([p[1] for p in parts]) if parts else np.array([], np.int64)
+        order = np.argsort(hs)
+        ref = ray.put((hs[order], np.log(ns[order].astype(np.float64) / total)))
+
+        def score(batch: pa.Table) -> pa.Table:
+            lens, h = _flat_hashes(batch)
+            vocab_h, vocab_lp = ray.get(ref)
+            lp = vocab_lp[np.searchsorted(vocab_h, h)]  # every token is in-vocab
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            sums = np.where(
+                lens > 0,
+                np.add.reduceat(lp, starts) if len(lp) else 0.0,
+                0.0,
+            )
+            with np.errstate(invalid="ignore"):
+                sup = np.round(-sums / np.maximum(lens, 1), 4)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_toks": pa.array(lens, pa.int64()),
+                    "surprisal": pa.array(sup, pa.float64()),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # unbounded-vocabulary fallback: int-only join + per-doc reduce
+    def occ(batch: pa.Table) -> pa.Table:
+        lens, h = _flat_hashes(batch)
+        ids = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(h, pa.int64())}
+        )
+
+    joined = bucketed_join(
+        ds.map_batches(occ, batch_format="pyarrow", zero_copy_batch=True), freq, ["h"]
+    )
+
+    def add_lp(df: pd.DataFrame) -> pd.DataFrame:
+        df["lp"] = np.log(df["n"].to_numpy(np.float64) / total)
+        return df[["doc_id", "lp"]]
+
+    per_doc = group_agg(
+        joined.map_batches(add_lp, batch_format="pandas"),
+        ["doc_id"],
+        {"s": ("lp", "sum"), "n_toks": ("lp", "size")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_toks": df["n_toks"].astype(np.int64),
+                "surprisal": np.round(-df["s"].to_numpy() / df["n_toks"].to_numpy(), 4),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
+DOC_SURPRISAL_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS n FROM tok GROUP BY term
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS t FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(-avg(ln(freq.n / tot.t)), 4) AS surprisal
+    FROM tok JOIN freq USING (term), tot
+    GROUP BY doc_id
+"""
+
+TFIDF_QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "bigram_counts": bigram_counts,
+    "doc_surprisal": doc_surprisal,
+}
 TFIDF_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
+    "doc_surprisal": DOC_SURPRISAL_ORACLE,
 }
