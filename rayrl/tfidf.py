@@ -339,13 +339,105 @@ DOC_SURPRISAL_ORACLE = """
     GROUP BY doc_id
 """
 
+INDEX_MIN_DF = 10
+INDEX_POSTINGS_CAP = 16
+
+
+def inverted_index(
+    sf_dir: str, min_df: int = INDEX_MIN_DF, cap: int = INDEX_POSTINGS_CAP
+):
+    """(term, df, postings): a capped inverted index over the corpus —
+    term → document frequency + the first ``cap`` doc_ids (ascending,
+    comma-joined), the retrieval/grep-index build of a corpus pipeline.
+
+    Scale shape: a doc lives in one row, so its distinct terms are
+    batch-local; each batch emits ONE combined row per distinct term it
+    saw — (term, partial_df, ≤cap smallest doc_ids) — a per-batch
+    COMBINER, so the single bucketed shuffle moves a vocabulary-sized
+    stream (the tfidf df-emit shape) with at most ``cap`` ids riding
+    each row, never the token stream. Head terms ("the") fan into one
+    group with ≤ cap·n_blocks ids — bounded, and min-of-mins is
+    mergeable so local-then-global capping equals the global cap. The
+    ``min_df`` prune happens in the reduce where df is exact."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index_ds(ds, min_df=min_df, cap=cap)
+
+
+def inverted_index_ds(ds, min_df: int = INDEX_MIN_DF, cap: int = INDEX_POSTINGS_CAP):
+    """The index kernel over any (doc_id, text) dataset (see
+    :func:`inverted_index`)."""
+    from .shuffle import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = pc.list_flatten(split).to_pandas()
+        occ = pd.DataFrame(
+            {"doc_id": np.repeat(ids, lens), "term": terms}
+        ).drop_duplicates()
+        occ = occ.sort_values(["term", "doc_id"], kind="mergesort")
+        capped = occ[occ.groupby("term", sort=False).cumcount() < cap]
+        out = capped.groupby("term", sort=False).agg(
+            pdf=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        # pdf must be the UNCAPPED per-batch distinct-doc count
+        out["pdf"] = occ.groupby("term", sort=False).size()
+        return out.reset_index()
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("term", sort=False).agg(
+            df=("pdf", "sum"), postings=("postings", ",".join)
+        )
+        agg = agg[agg["df"] >= min_df]
+        merged = [
+            ",".join(map(str, np.sort(np.array(p.split(","), dtype=np.int64))[:cap]))
+            for p in agg["postings"]
+        ]
+        return pd.DataFrame(
+            {
+                "term": agg.index.to_numpy(),
+                "df": agg["df"].to_numpy().astype(np.int64),
+                "postings": merged,
+            }
+        )
+
+    return bucketed_group_apply(rows, ["term"], finish)
+
+
+INVERTED_INDEX_ORACLE = f"""
+    WITH tok0 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tok AS (
+        SELECT DISTINCT doc_id, term FROM tok0
+    ), df AS (
+        SELECT term, count(*) AS df FROM tok GROUP BY term
+        HAVING count(*) >= {INDEX_MIN_DF}
+    ), r AS (
+        SELECT tok.term, tok.doc_id,
+               row_number() OVER (PARTITION BY tok.term ORDER BY tok.doc_id) AS rk
+        FROM tok JOIN df USING (term)
+    )
+    SELECT df.term, CAST(df.df AS BIGINT) AS df,
+           string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+    FROM r JOIN df USING (term)
+    WHERE r.rk <= {INDEX_POSTINGS_CAP}
+    GROUP BY df.term, df.df
+"""
+
+
 TFIDF_QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bigram_counts": bigram_counts,
     "doc_surprisal": doc_surprisal,
+    "inverted_index": inverted_index,
 }
 TFIDF_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
     "doc_surprisal": DOC_SURPRISAL_ORACLE,
+    "inverted_index": INVERTED_INDEX_ORACLE,
 }

@@ -35,3 +35,40 @@ def test_doc_surprisal_paths_agree(ray_session):
     )
     assert len(broad) == 500 and (broad["surprisal"] > 0).all()
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_inverted_index_cap_merge_layout_independent(ray_session):
+    """The per-batch postings combiner (keep ≤cap smallest doc_ids per
+    term locally, merge + re-cap in the reduce) must equal the global
+    cap at ANY block layout, and pdf must count UNCAPPED distinct docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayrl.tfidf import inverted_index_ds
+
+    rng = np.random.default_rng(7)
+    docs = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], size=6))
+        for _ in range(40)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": docs})
+
+    def brute(min_df, cap):
+        post = {}
+        for i, t in enumerate(docs):
+            for term in set(t.split(" ")):
+                post.setdefault(term, []).append(i)
+        rows = [
+            (t, len(ids), ",".join(map(str, sorted(ids)[:cap])))
+            for t, ids in post.items()
+            if len(ids) >= min_df
+        ]
+        return sorted(rows)
+
+    expect = brute(min_df=3, cap=5)
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = inverted_index_ds(ds, min_df=3, cap=5).to_pandas()
+        rows = sorted(zip(got["term"], got["df"], got["postings"]))
+        assert rows == expect, blocks
