@@ -339,6 +339,159 @@ DOC_SURPRISAL_ORACLE = """
     GROUP BY doc_id
 """
 
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_logratio(
+    sf_dir: str,
+    target_lang: str = DSIR_TARGET_LANG,
+    broadcast_gate: int = SURPRISAL_BROADCAST_MAX,
+):
+    """(doc_id, n_toks, logratio): DSIR-style importance weight per
+    document — the mean per-token log-ratio of an add-one-smoothed
+    hashed-unigram model of the TARGET slice (docs with
+    ``lang == target_lang``) over the same model of the RAW corpus
+    (Data Selection via Importance Resampling; docs that look like the
+    target domain score high and survive the resample).
+
+    Scale shape (the doc_surprisal twin): ONE tokenize pass emits
+    per-batch (hash, target_n, raw_n) partials, so the single count
+    reduce moves a vocabulary-sized stream; the (hash → logratio)
+    arrays broadcast below the gate and scoring fuses into the pass
+    that re-tokenizes — no token row ever shuffles. Above the gate the
+    int-only occurrence⋈vocab join + per-doc reduce takes over
+    (equivalence-tested with the gate forced to 0). Hash-collision
+    trade as doc_surprisal."""
+    from .bytekernels import content_hash64
+    from .shuffle import bucketed_join, group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def _flat(batch: pa.Table):
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = content_hash64(pc.list_flatten(split))
+        return lens, h
+
+    def freq_partial(batch: pa.Table) -> pd.DataFrame:
+        lens, h = _flat(batch)
+        is_t = np.repeat(
+            batch.column("lang").to_numpy(zero_copy_only=False) == target_lang, lens
+        )
+        g = pd.DataFrame({"h": h, "nt": is_t.astype(np.int64)})
+        out = g.groupby("h", sort=False).agg(nt=("nt", "sum"), nr=("nt", "size"))
+        return out.reset_index()
+
+    freq = group_agg(
+        ds.map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        {"nt": ("nt", "sum"), "nr": ("nr", "sum")},
+    ).materialize()
+    n_vocab = freq.count()
+    tot_t = float(freq.sum("nt"))
+    tot_r = float(freq.sum("nr"))
+    denom_t, denom_r = tot_t + n_vocab, tot_r + n_vocab
+
+    def _lr(nt: np.ndarray, nr: np.ndarray) -> np.ndarray:
+        return np.log((nt + 1.0) / denom_t) - np.log((nr + 1.0) / denom_r)
+
+    if n_vocab <= broadcast_gate:
+        parts = [
+            (
+                b.column("h").to_numpy(),
+                b.column("nt").to_numpy(),
+                b.column("nr").to_numpy(),
+            )
+            for b in freq.iter_batches(batch_format="pyarrow")
+        ]
+        hs = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.int64)
+        nt = np.concatenate([p[1] for p in parts]) if parts else np.array([], np.int64)
+        nr = np.concatenate([p[2] for p in parts]) if parts else np.array([], np.int64)
+        order = np.argsort(hs)
+        ref = ray.put((hs[order], _lr(nt[order].astype(np.float64), nr[order].astype(np.float64))))
+
+        def score(batch: pa.Table) -> pa.Table:
+            lens, h = _flat(batch)
+            vocab_h, vocab_lr = ray.get(ref)
+            lr = vocab_lr[np.searchsorted(vocab_h, h)]  # every token is in-vocab
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            sums = np.where(
+                lens > 0, np.add.reduceat(lr, starts) if len(lr) else 0.0, 0.0
+            )
+            with np.errstate(invalid="ignore"):
+                mean_lr = np.round(sums / np.maximum(lens, 1), 4)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_toks": pa.array(lens, pa.int64()),
+                    "logratio": pa.array(mean_lr, pa.float64()),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # unbounded-vocabulary fallback: int-only join + per-doc reduce
+    def occ(batch: pa.Table) -> pa.Table:
+        lens, h = _flat(batch)
+        ids = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(h, pa.int64())}
+        )
+
+    joined = bucketed_join(
+        ds.map_batches(occ, batch_format="pyarrow", zero_copy_batch=True), freq, ["h"]
+    )
+
+    def add_lr(df: pd.DataFrame) -> pd.DataFrame:
+        df["lr"] = _lr(
+            df["nt"].to_numpy(np.float64), df["nr"].to_numpy(np.float64)
+        )
+        return df[["doc_id", "lr"]]
+
+    per_doc = group_agg(
+        joined.map_batches(add_lr, batch_format="pandas"),
+        ["doc_id"],
+        {"s": ("lr", "sum"), "n_toks": ("lr", "size")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_toks": df["n_toks"].astype(np.int64),
+                "logratio": np.round(df["s"].to_numpy() / df["n_toks"].to_numpy(), 4),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
+DSIR_LOGRATIO_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term,
+               count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS nt,
+               count(*) AS nr
+        FROM tok GROUP BY term
+    ), c AS (
+        SELECT CAST(count(*) AS DOUBLE) AS v,
+               CAST(sum(nt) AS DOUBLE) AS tt,
+               CAST(sum(nr) AS DOUBLE) AS tr
+        FROM freq
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(ln((freq.nt + 1.0) / (c.tt + c.v))
+                     - ln((freq.nr + 1.0) / (c.tr + c.v))), 4) AS logratio
+    FROM tok JOIN freq USING (term), c
+    GROUP BY tok.doc_id
+"""
+
+
 INDEX_MIN_DF = 10
 INDEX_POSTINGS_CAP = 16
 
@@ -434,8 +587,10 @@ TFIDF_QUERIES = {
     "bigram_counts": bigram_counts,
     "doc_surprisal": doc_surprisal,
     "inverted_index": inverted_index,
+    "dsir_logratio": dsir_logratio,
 }
 TFIDF_ORACLES = {
+    "dsir_logratio": DSIR_LOGRATIO_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
     "doc_surprisal": DOC_SURPRISAL_ORACLE,

@@ -72,3 +72,27 @@ def test_inverted_index_cap_merge_layout_independent(ray_session):
         got = inverted_index_ds(ds, min_df=3, cap=5).to_pandas()
         rows = sorted(zip(got["term"], got["df"], got["postings"]))
         assert rows == expect, blocks
+
+
+def test_dsir_paths_agree(ray_session):
+    """Broadcast-fused vs join-fallback DSIR weights must be identical,
+    target-slice docs must score higher on average than the rest, and
+    every doc gets a weight."""
+    from rayrl.tfidf import dsir_logratio
+
+    sf = "/root/testdata/sf0.01"
+    broad = dsir_logratio(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    joined = (
+        dsir_logratio(sf, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(broad) == 500
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    m = broad.merge(langs, on="doc_id")
+    assert m[m["lang"] == "en"]["logratio"].mean() > m[m["lang"] != "en"]["logratio"].mean()
