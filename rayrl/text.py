@@ -307,6 +307,168 @@ def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+DUPSPAN_BROADCAST_MAX = 50_000_000  # dup fp count; int64 array broadcast
+
+
+def duplicated_spans(
+    sf_dir: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    broadcast_gate: int = DUPSPAN_BROADCAST_MAX,
+):
+    """(doc_id, n_fps, dup_span_frac): per-document cross-document
+    substring-duplication signal — the fraction of a doc's winnowed
+    fingerprints that also occur in at least one OTHER document. The
+    distributed stand-in for Lee et al. 2022's exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    shared fingerprint certifies a shared substring of length ≥ w+k−1
+    bytes, so docs dominated by copied spans (mirrors, syndication,
+    quote farms) score near 1 and are dropped or trimmed upstream of
+    training.
+
+    Scale shape: fingerprints leave their batch only as per-batch
+    DISTINCT (fp, doc-count, any-doc-repeat) partials, so the one count
+    reduce moves a fingerprint-vocabulary-sized int stream; the dup-fp
+    set (fps seen in ≥2 docs or twice in one) broadcasts as ONE sorted
+    int64 array below the gate and scoring fuses into the pass that
+    re-fingerprints each doc — texts never shuffle. Above the gate the
+    distinct (doc_id, fp) occurrence rows meet the counts in a bucketed
+    int join + per-doc reduce (path-equivalence-tested, gate forced
+    to 0)."""
+    import numpy as np
+
+    from .shuffle import bucketed_join, group_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _doc_fps(batch: pa.Table):
+        """per-doc DISTINCT fingerprints + an in-doc-repeat flag."""
+        out = []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            _, f = winnow_doc((t or "").encode(), k, w)
+            u, c = np.unique(f, return_counts=True)
+            out.append((did, u, c > 1))
+        return out
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        docs = _doc_fps(batch)
+        if not docs:
+            return pa.table(
+                {"fp": pa.array([], pa.int64()), "nd": pa.array([], pa.int64()),
+                 "rep": pa.array([], pa.int64())}
+            )
+        allf = np.concatenate([d[1] for d in docs])
+        rep = np.concatenate([d[2] for d in docs]).astype(np.int64)
+        u, inv = np.unique(allf, return_inverse=True)
+        nd = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        nrep = np.bincount(inv, weights=rep, minlength=len(u)).astype(np.int64)
+        return pa.table({"fp": pa.array(u), "nd": pa.array(nd), "rep": pa.array(nrep)})
+
+    freq = group_agg(
+        ds.map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"],
+        {"nd": ("nd", "sum"), "rep": ("rep", "sum")},
+    ).materialize()
+
+    def _is_dup(nd: np.ndarray, rep: np.ndarray) -> np.ndarray:
+        return (nd >= 2) | (rep >= 1)
+
+    # count of dup fps is ≤ vocab; broadcast the sorted dup array
+    def dup_only(b: "pa.Table") -> pa.Table:
+        nd = b.column("nd").to_numpy(zero_copy_only=False)
+        rep = b.column("rep").to_numpy(zero_copy_only=False)
+        return b.select(["fp"]).filter(pa.array(_is_dup(nd, rep)))
+
+    dup_tbl = freq.map_batches(dup_only, batch_format="pyarrow", zero_copy_batch=True)
+
+    if dup_tbl.count() <= broadcast_gate:
+        parts = [
+            b.column("fp").to_numpy()
+            for b in dup_tbl.iter_batches(batch_format="pyarrow")
+        ]
+        dup = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+        ref = ray.put(dup)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dup_arr = ray.get(ref)
+            docs = _doc_fps(batch)
+            ids = np.array([d[0] for d in docs], np.int64)
+            nf = np.array([len(d[1]) for d in docs], np.int64)
+            # membership alone covers in-doc repeats too: a fp repeated
+            # inside this doc has global rep ≥ 1 and is in dup_arr
+            hit = np.array(
+                [
+                    int(np.count_nonzero(
+                        np.searchsorted(dup_arr, d[1], side="right")
+                        - np.searchsorted(dup_arr, d[1], side="left")
+                    ))
+                    for d in docs
+                ],
+                np.int64,
+            )
+            with np.errstate(invalid="ignore"):
+                frac = np.round(hit / np.maximum(nf, 1), 4)
+            keep = nf > 0  # sub-k docs have no fingerprints (both paths omit them)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep]),
+                    "n_fps": pa.array(nf[keep]),
+                    "dup_span_frac": pa.array(frac[keep], pa.float64()),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # unbounded fallback: distinct (doc_id, fp, rep) rows ⋈ counts, per-doc reduce
+    def occ(batch: pa.Table) -> pa.Table:
+        docs = _doc_fps(batch)
+        if not docs:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+            )
+        ids = np.concatenate(
+            [np.full(len(d[1]), d[0], dtype=np.int64) for d in docs]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "fp": pa.array(np.concatenate([d[1] for d in docs])),
+            }
+        )
+
+    joined = bucketed_join(
+        ds.map_batches(occ, batch_format="pyarrow", zero_copy_batch=True), freq, ["fp"]
+    )
+
+    def flag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df["is_dup"] = _is_dup(
+            df["nd"].to_numpy(np.int64), df["rep"].to_numpy(np.int64)
+        ).astype(np.int64)
+        return df[["doc_id", "is_dup"]]
+
+    per_doc = group_agg(
+        joined.map_batches(flag, batch_format="pandas"),
+        ["doc_id"],
+        {"hits": ("is_dup", "sum"), "n_fps": ("is_dup", "size")},
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd_
+
+        nf = df["n_fps"].to_numpy(np.int64)
+        return pd_.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_fps": nf,
+                "dup_span_frac": np.round(
+                    df["hits"].to_numpy(np.float64) / np.maximum(nf, 1), 4
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
 class RepetitionScorer:
     """Actor-pool stage: Gopher-style repetition filters per doc (Rae
     et al. 2021 §A1.1 shapes): duplicate-line fraction, duplicate-word
@@ -498,6 +660,7 @@ TEXT_QUERIES = {
     "repetition_scores": repetition_scores,
     "pii_scan": pii_scan,
     "normalized_documents": normalized_documents,
+    "duplicated_spans": duplicated_spans,
 }
 
 def _lang_id_oracle() -> str:

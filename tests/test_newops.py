@@ -339,3 +339,46 @@ def test_merge_upsert_paths_and_semantics():
     assert len(mut) and mut["text"].str.endswith(" v2").all()
     non_mut = got[(ids % MUT_MOD != 0) | ~in_delta]
     assert not non_mut["text"].str.endswith(" v2").any()
+
+
+# ------------------------------------------------- duplicated spans
+
+def test_duplicated_spans_planted_and_paths_agree(tmp_path, ray_session):
+    """Docs sharing a long copied paragraph score high dup_span_frac;
+    unique docs score 0; broadcast and join paths agree."""
+    import pyarrow.parquet as pq
+
+    from rayrl.text import duplicated_spans
+
+    rng = np.random.default_rng(3)
+    uniq = lambda n: " ".join(
+        "".join(rng.choice(list("abcdefghijklmnop"), size=7)) for _ in range(n)
+    )
+    shared = "this exact syndicated paragraph is copied verbatim across mirrors " * 4
+    texts = [
+        shared + uniq(2),          # mostly copied
+        uniq(2) + " " + shared,    # mostly copied
+        uniq(40),                  # unique
+        uniq(40),                  # unique
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = (
+        duplicated_spans(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == 4 and (got["n_fps"] > 0).all()
+    assert got.loc[0, "dup_span_frac"] > 0.5
+    assert got.loc[1, "dup_span_frac"] > 0.5
+    assert got.loc[2, "dup_span_frac"] == 0.0
+    assert got.loc[3, "dup_span_frac"] == 0.0
+
+    joined = (
+        duplicated_spans(str(d), broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, joined, check_dtype=False)
