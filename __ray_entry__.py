@@ -211,6 +211,19 @@ def multimodal_features(sf_dir: str):
     return media_features(_clean_pages(sf_dir).select_columns(["record_id", "html"]))
 
 
+def media_phash_near_dups(sf_dir: str):
+    """Near-duplicate media pairs by perceptual dHash over the dirty
+    pages' html payloads. Injected duplicate copies share their
+    source's record_id (reference add_duplicates semantics) and the
+    kernel drops same-id pairs, so the emitted pairs are cross-page
+    near-dups (similar byte prefixes); decode is the documented fake,
+    the fingerprint + pigeonhole shuffle plumbing is real."""
+    from rayrl.multimodal import media_phash_near_dups as phash
+
+    ds = er_dirty_pages(sf_dir).select_columns(["record_id", "html"])
+    return phash(ds)
+
+
 def multimodal_frames(sf_dir: str):
     """Video-style frame sampling over the pages html payload: every
     n-th fixed-size chunk as its own (media_id, frame_index,
@@ -309,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "er_perturb_flow": er_perturb_flow,
             "multimodal_features": multimodal_features,
             "multimodal_frames": multimodal_frames,
+            "media_phash_near_dups": media_phash_near_dups,
         }
     )
     return out

@@ -370,14 +370,43 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
     segments; pairs within hamming ≤ k must agree on ≥ 1 segment
     (pigeonhole when blocks > k) → groupby segment value."""
     fps = simhash_fingerprints(sf_dir)
-    width = 64 // blocks
+    return hamming_near_pairs_ds(
+        fps,
+        "doc_id",
+        "simhash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+        seg_bits=64 // blocks,
+        prefix="doc",
+    )
+
+
+def hamming_near_pairs_ds(
+    fps,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    seg_bits: int = 8,
+    prefix: str = "doc",
+):
+    """Generic pigeonhole hamming near-pair kernel over any
+    (id, 64-bit-fingerprint) dataset: ``blocks`` segments of
+    ``seg_bits`` bits each (blocks·seg_bits ≤ 64); pairs within
+    hamming ≤ max_hamming must agree on ≥ 1 segment when
+    blocks > max_hamming. Shared by :func:`simhash_near_pairs` (text
+    SimHash) and ``multimodal.media_phash_near_dups`` (image dHash).
+    Shuffle rows are ints only (seg, val, id, fp)."""
+    width = seg_bits
     mask = (1 << width) - 1
+
+    a_col, b_col = f"{prefix}_a", f"{prefix}_b"
 
     def emit(batch: pa.Table) -> pa.Table:
         # vectorized segment emit: np.repeat rows × np.tile segments
         # (row-major, same order and values as the former Python loop)
-        ids = batch.column("doc_id").to_numpy()
-        hs = batch.column("simhash").to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        hs = batch.column(fp_col).to_numpy()
         n = len(ids)
         segs = np.tile(np.arange(blocks, dtype=np.int64), n)
         rep = np.repeat(hs, blocks).astype(np.uint64)
@@ -388,16 +417,16 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
             {
                 "seg": pa.array(segs.astype(np.int32), pa.int32()),
                 "val": pa.array(vals, pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, blocks), pa.int64()),
-                "simhash": pa.array(np.repeat(hs, blocks), pa.int64()),
+                id_col: pa.array(np.repeat(ids, blocks), pa.int64()),
+                fp_col: pa.array(np.repeat(hs, blocks), pa.int64()),
             }
         )
 
     popcount8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
 
     def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        all_ids = bucket_df["doc_id"].to_numpy()
-        all_hs = bucket_df["simhash"].to_numpy()
+        all_ids = bucket_df[id_col].to_numpy()
+        all_hs = bucket_df[fp_col].to_numpy()
         out_a, out_b, out_d = [], [], []
         for _, idx in bucket_df.groupby(["seg", "val"], sort=False).indices.items():
             order = idx[np.argsort(all_ids[idx])]
@@ -418,15 +447,15 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
         if not out_a:
             return pd.DataFrame(
                 {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
+                    a_col: pd.Series([], dtype="int64"),
+                    b_col: pd.Series([], dtype="int64"),
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
-                "doc_b": pd.Series(np.concatenate(out_b), dtype="int64"),
+                a_col: pd.Series(np.concatenate(out_a), dtype="int64"),
+                b_col: pd.Series(np.concatenate(out_b), dtype="int64"),
                 "hamming": pd.Series(np.concatenate(out_d), dtype="int64"),
             }
         )
@@ -434,7 +463,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
     from .shuffle import bucketed_group_apply, group_agg
 
     cand = bucketed_group_apply(fps.map_batches(emit, batch_format="pyarrow"), ["seg", "val"], pairs)
-    return group_agg(cand, ["doc_a", "doc_b"], {"hamming": ("hamming", "min")})
+    return group_agg(cand, [a_col, b_col], {"hamming": ("hamming", "min")})
 
 
 # -------------------------------------------------- n-gram Jaccard

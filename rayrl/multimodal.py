@@ -91,6 +91,67 @@ def media_features(ds, batch_size: int = 256, concurrency=2):
     )
 
 
+def dhash56(thumbs: np.ndarray) -> np.ndarray:
+    """Difference hash over a stack of (n, 8, 8) uint8 thumbnails:
+    bit = 1 where pixel[r, c] < pixel[r, c+1] (8 rows × 7 column
+    diffs = 56 bits, packed little-endian into int64). The standard
+    perceptual image fingerprint — robust to re-encoding and mild
+    brightness shifts, cheap enough to run inline with the decode."""
+    diffs = (thumbs[:, :, :-1] < thumbs[:, :, 1:]).reshape(len(thumbs), 56)
+    weights = (np.uint64(1) << np.arange(56, dtype=np.uint64))[None, :]
+    return (diffs.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+
+class ImagePhash:
+    """Actor-pool stage: payload → fake-decoded 8×8 thumbnail → 56-bit
+    dHash per row. Swapping a real decoder in changes ONE line (the
+    decode_image call); the fingerprint, batching and downstream
+    near-dup plumbing are decode-agnostic."""
+
+    def __init__(self, fake_decode: bool = True):
+        self.fake = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = "payload" if "payload" in batch.column_names else "html"
+        idc = "media_id" if "media_id" in batch.column_names else "record_id"
+        payloads = batch.column(col).to_pylist()
+        thumbs = np.stack(
+            [decode_image(p or b"", fake=self.fake) for p in payloads]
+        ) if payloads else np.zeros((0, 8, 8), np.uint8)
+        return pa.table(
+            {
+                "media_id": batch.column(idc).cast(pa.int64()),
+                "phash": pa.array(dhash56(thumbs), pa.int64()),
+            }
+        )
+
+
+def media_phash_near_dups(ds, max_hamming: int = 4, batch_size: int = 256):
+    """Near-duplicate image pairs by dHash hamming ≤ ``max_hamming``:
+    fingerprint in an actor pool (binary never leaves its batch), then
+    the generic pigeonhole segment shuffle over int-only rows
+    (``dedup.hamming_near_pairs_ds``, 8 segments × 7 bits — pigeonhole
+    holds for max_hamming ≤ 7). Output (media_a, media_b, hamming)."""
+    from .dedup import hamming_near_pairs_ds
+
+    fps = ds.map_batches(
+        ImagePhash,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+    return hamming_near_pairs_ds(
+        fps,
+        "media_id",
+        "phash",
+        max_hamming=max_hamming,
+        blocks=8,
+        seg_bits=7,
+        prefix="media",
+    )
+
+
 def frame_sample(ds, every_n: int = 10, batch_size: int = 256):
     """Video-style frame sampling over a payload column: emit every
     n-th fixed-size chunk of the payload as its own row (the row-fanout

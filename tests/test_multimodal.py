@@ -56,3 +56,42 @@ def test_media_features_deterministic(ray_session):
     a = media_features(ds, batch_size=32).to_pandas().sort_values("media_id").reset_index(drop=True)
     b = media_features(ds, batch_size=100).to_pandas().sort_values("media_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dhash56_and_phash_near_dups(ray_session):
+    """dHash: identical payloads → hamming 0 pair; a 1-byte tweak in
+    the thumbnail window → small-hamming pair; random payloads stay
+    unpaired at max_hamming=4."""
+    from rayrl.multimodal import dhash56, media_phash_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=200, dtype=np.uint8).tobytes()
+    tweaked = bytearray(base)
+    tweaked[10] ^= 0xFF  # flips a couple of adjacent-diff bits
+    payloads = [base, base, bytes(tweaked)] + [
+        rng.integers(0, 256, size=200, dtype=np.uint8).tobytes() for _ in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    # kernel sanity: hash is a pure function of the first 64 bytes
+    from rayrl.multimodal import decode_image
+
+    t = np.stack([decode_image(p, fake=True) for p in payloads[:3]])
+    h = dhash56(t)
+    assert h[0] == h[1] and h[0] != h[2]
+
+    pairs = (
+        media_phash_near_dups(ray.data.from_arrow(tbl), max_hamming=4)
+        .to_pandas()
+        .sort_values(["media_a", "media_b"])
+        .reset_index(drop=True)
+    )
+    lookup = {(a, b): d for a, b, d in pairs.itertuples(index=False)}
+    assert lookup.get((0, 1)) == 0
+    assert (0, 2) in lookup and 1 <= lookup[(0, 2)] <= 4
+    # no random payload pairs with the planted trio
+    assert not any(a > 2 or b > 2 for a, b in lookup if (a, b) not in [(0, 1), (0, 2), (1, 2)])
