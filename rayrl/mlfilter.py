@@ -1,0 +1,177 @@
+"""Distributed hashed-feature logistic classifier — the fasttext-style
+quality/domain filter of an LLM data pipeline (the CCNet / GPT-3-era
+"looks like the reference corpus" classifier: train on a labeled
+slice, score every document, keep the high-probability tail).
+
+Reference parity: an added LLM-corpus operator (no rlErrorGeneratoR
+counterpart); no SQL oracle (iterative ML) — the driver records a
+rows-only check, pytest verifies planted-separable accuracy and
+determinism at any parallelism.
+
+Scale shape: the feature matrix never materializes. Each full-batch
+GD iteration broadcasts the (2^n_bits,) weight vector via ``ray.put``
+and runs ONE map_batches pass over the corpus: a batch tokenizes,
+hashes tokens into 2^n_bits buckets, builds its LOCAL sparse doc×bucket
+counts (L1-normalized), computes residuals, and emits only its NONZERO
+gradient buckets as (bucket, g) rows — a vocabulary-bounded stream, not
+a token or row stream. One bucketed reduce sums them; the driver
+touches 2^n_bits floats per iteration (1 MB at n_bits=17).
+
+Determinism at any parallelism (CLAUDE.md rule 6): the reduce's
+float64 summation order varies with block arrival, so weights are
+ROUNDED to 6 decimals each iteration (the kmeans.py trick) — every
+downstream scoring pass sees bit-identical weights.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .bytekernels import content_hash64
+from .shuffle import group_agg
+
+N_BITS = 16
+ITERS = 12
+LR = 2.0
+
+_B_GRAD = -1  # sentinel buckets for the scalar partials
+_B_LOSS = -2
+_B_COUNT = -3
+
+
+def _doc_features(batch: pa.Table, text_col: str, n_bits: int):
+    """Per-batch sparse features: (doc_idx, bucket, x) with x the
+    L1-normalized token count, plus per-doc token lengths."""
+    split = pc.split_pattern(batch.column(text_col).combine_chunks(), " ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = content_hash64(pc.list_flatten(split)).view(np.uint64)
+    bucket = (h & np.uint64((1 << n_bits) - 1)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # collapse repeated (doc, bucket) pairs
+    key = doc_idx * (1 << n_bits) + bucket
+    uk, cnt = np.unique(key, return_counts=True)
+    d = uk >> n_bits
+    b = uk & ((1 << n_bits) - 1)
+    x = cnt.astype(np.float64) / np.maximum(lens[d], 1)
+    return d, b, x, lens
+
+
+def _scores(d, b, x, n_docs, w, bias):
+    s = np.full(n_docs, bias, dtype=np.float64)
+    np.add.at(s, d, w[b] * x)
+    return s
+
+
+def fit_hashed_logistic(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    label_col: str,
+    n_bits: int = N_BITS,
+    iters: int = ITERS,
+    lr: float = LR,
+) -> dict:
+    """Full-batch gradient descent; ``label_col`` is a 0/1 int column.
+    Returns {"w": (2^n_bits,) float64, "bias": float, "n_bits": int,
+    "losses": [mean log-loss per iteration]}."""
+    n_total = ds.count()
+    dim = 1 << n_bits
+    w = np.zeros(dim, dtype=np.float64)
+    bias = 0.0
+    losses: list[float] = []
+
+    for _ in range(iters):
+        ref = ray.put((w, bias))
+
+        def grad_partial(batch: pa.Table) -> pd.DataFrame:
+            w_, b_ = ray.get(ref)
+            y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            d, b, x, _lens = _doc_features(batch, text_col, n_bits)
+            s = _scores(d, b, x, len(y), w_, b_)
+            p = 1.0 / (1.0 + np.exp(-s))
+            r = p - y
+            g = np.zeros(dim, dtype=np.float64)
+            np.add.at(g, b, r[d] * x)
+            nz = np.nonzero(g)[0]
+            eps = 1e-12
+            loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+            out_b = np.concatenate([nz, [_B_GRAD, _B_LOSS, _B_COUNT]])
+            out_g = np.concatenate([g[nz], [float(r.sum()), loss, float(len(y))]])
+            return pd.DataFrame({"bucket": out_b.astype(np.int64), "g": out_g})
+
+        agg = group_agg(
+            ds.map_batches(grad_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["bucket"],
+            {"g": ("g", "sum")},
+        ).to_pandas()
+        gvec = np.zeros(dim, dtype=np.float64)
+        buckets = agg["bucket"].to_numpy()
+        gs = agg["g"].to_numpy()
+        pos = buckets >= 0
+        gvec[buckets[pos]] = gs[pos]
+        scal = dict(zip(buckets[~pos], gs[~pos]))
+        w = np.round(w - lr * gvec / n_total, 6)
+        bias = round(bias - lr * scal.get(_B_GRAD, 0.0) / n_total, 6)
+        losses.append(round(scal.get(_B_LOSS, 0.0) / n_total, 6))
+
+    return {"w": w, "bias": bias, "n_bits": n_bits, "losses": losses}
+
+
+class _ScoreStage:
+    """Actor-pool scoring pass: weights fetched once per actor."""
+
+    def __init__(self, params_ref, id_col: str, text_col: str):
+        self._w, self._bias, self._n_bits = ray.get(params_ref)
+        self._id, self._text = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, b, x, lens = _doc_features(batch, self._text, self._n_bits)
+        s = _scores(d, b, x, batch.num_rows, self._w, self._bias)
+        p = np.round(1.0 / (1.0 + np.exp(-s)), 4)
+        return pa.table(
+            {
+                self._id: batch.column(self._id),
+                "prob": pa.array(p, pa.float64()),
+                "pred": pa.array((p >= 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def score_hashed_logistic(
+    ds: "ray.data.Dataset", params: dict, id_col: str, text_col: str
+) -> "ray.data.Dataset":
+    ref = ray.put((params["w"], params["bias"], params["n_bits"]))
+    return ds.map_batches(
+        _ScoreStage,
+        fn_constructor_args=(ref, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def quality_classifier(sf_dir: str, target_lang: str = "en", iters: int = ITERS):
+    """Train the hashed-unigram logistic filter to recognize the
+    ``lang == target_lang`` slice of the documents table, then score
+    every document: (doc_id, prob, pred). The planted-label stand-in
+    for "train a fasttext filter on a trusted reference corpus and
+    score the crawl"."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def with_label(batch: pa.Table) -> pa.Table:
+        y = pc.equal(batch.column("lang"), target_lang)
+        return batch.append_column("y", pc.cast(y, pa.int64()))
+
+    labeled = ds.map_batches(with_label, batch_format="pyarrow", zero_copy_batch=True)
+    params = fit_hashed_logistic(labeled, "text", "y", iters=iters)
+    return score_hashed_logistic(labeled, params, "doc_id", "text")
+
+
+MLFILTER_QUERIES = {"quality_classifier": quality_classifier}

@@ -1,0 +1,61 @@
+"""Distributed hashed-feature logistic filter (rayrl.mlfilter):
+planted-separable accuracy, any-parallelism determinism, and the
+documents-table query shape."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from rayrl.mlfilter import fit_hashed_logistic, score_hashed_logistic
+
+
+def _planted(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    good_vocab = [f"good{i}" for i in range(50)]
+    spam_vocab = [f"spam{i}" for i in range(50)]
+    texts, ys = [], []
+    for i in range(n):
+        y = i % 2
+        vocab = good_vocab if y else spam_vocab
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+        ys.append(y)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "y": pa.array(ys, pa.int64()),
+        }
+    )
+
+
+def test_planted_separable_accuracy(ray_session):
+    tbl = _planted()
+    ds = ray.data.from_arrow(tbl)
+    params = fit_hashed_logistic(ds, "text", "y", iters=12)
+    assert params["losses"][-1] < params["losses"][0]  # loss decreases
+    scored = score_hashed_logistic(ds, params, "doc_id", "text").to_pandas()
+    truth = tbl.column("y").to_numpy()
+    acc = (scored.sort_values("doc_id")["pred"].to_numpy() == truth).mean()
+    assert acc == 1.0
+
+
+def test_fit_deterministic_at_any_parallelism(ray_session):
+    tbl = _planted(n=200, seed=9)
+    p1 = fit_hashed_logistic(ray.data.from_arrow(tbl), "text", "y", iters=4)
+    p8 = fit_hashed_logistic(
+        ray.data.from_arrow(tbl).repartition(8), "text", "y", iters=4
+    )
+    assert p1["bias"] == p8["bias"]
+    assert np.array_equal(p1["w"], p8["w"])
+    assert p1["losses"] == p8["losses"]
+
+
+def test_quality_classifier_query_shape(ray_session):
+    from rayrl.mlfilter import quality_classifier
+
+    out = quality_classifier("/root/testdata/sf0.001", iters=4).to_pandas()
+    assert list(out.columns) == ["doc_id", "prob", "pred"]
+    assert len(out) == 500
+    assert out["prob"].between(0, 1).all()
