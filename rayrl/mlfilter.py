@@ -8,14 +8,19 @@ counterpart); no SQL oracle (iterative ML) — the driver records a
 rows-only check, pytest verifies planted-separable accuracy and
 determinism at any parallelism.
 
-Scale shape: the feature matrix never materializes. Each full-batch
-GD iteration broadcasts the (2^n_bits,) weight vector via ``ray.put``
-and runs ONE map_batches pass over the corpus: a batch tokenizes,
-hashes tokens into 2^n_bits buckets, builds its LOCAL sparse doc×bucket
-counts (L1-normalized), computes residuals, and emits only its NONZERO
-gradient buckets as (bucket, g) rows — a vocabulary-bounded stream, not
-a token or row stream. One bucketed reduce sums them; the driver
-touches 2^n_bits floats per iteration (1 MB at n_bits=17).
+Scale shape: the corpus is tokenized exactly ONCE — a featurize pass
+materializes per-document sparse features as LIST columns (one row per
+doc: label, bucket ids, L1-normalized counts), so a doc's features can
+never straddle a batch boundary however later stages re-batch
+(CLAUDE.md rule 13 by construction). Each full-batch GD iteration then
+broadcasts the (2^n_bits,) weight vector via ``ray.put`` and runs ONE
+cheap map_batches pass over the feature rows: gather, residual, and a
+``bincount`` scatter emit only the batch's NONZERO gradient buckets as
+(bucket, g) rows — a vocabulary-bounded stream. One bucketed reduce
+sums them; the driver touches 2^n_bits floats per iteration (512 KB at
+n_bits=16). Measured at 500k docs / 32 cpus: re-tokenizing every
+iteration read 240 s for 12 iterations; featurize-once reads the
+tokenize cost once (~17 s) plus ~1-2 s per iteration.
 
 Determinism at any parallelism (CLAUDE.md rule 6): the reduce's
 float64 summation order varies with block arrival, so weights are
@@ -63,9 +68,14 @@ def _doc_features(batch: pa.Table, text_col: str, n_bits: int):
 
 
 def _scores(d, b, x, n_docs, w, bias):
-    s = np.full(n_docs, bias, dtype=np.float64)
-    np.add.at(s, d, w[b] * x)
-    return s
+    # d is ascending (np.unique key order), so per-doc sums are a
+    # cumsum gather over contiguous segments — no np.add.at scatter
+    v = w[b] * x
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    counts = np.bincount(d, minlength=n_docs)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return bias + (cs[ends] - cs[starts])
 
 
 def fit_hashed_logistic(
@@ -75,12 +85,34 @@ def fit_hashed_logistic(
     n_bits: int = N_BITS,
     iters: int = ITERS,
     lr: float = LR,
+    driver_reduce_max: int = 50_000_000,
 ) -> dict:
     """Full-batch gradient descent; ``label_col`` is a 0/1 int column.
     Returns {"w": (2^n_bits,) float64, "bias": float, "n_bits": int,
-    "losses": [mean log-loss per iteration]}."""
+    "losses": [mean log-loss per iteration]}. The gradient reduce
+    collects blocks·2^n_bits partial rows to the driver below
+    ``driver_reduce_max`` and runs the bucketed shuffle above it
+    (equivalence-tested with the gate forced to 0)."""
     n_total = ds.count()
     dim = 1 << n_bits
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        d, b, x, _lens = _doc_features(batch, text_col, n_bits)
+        counts = np.bincount(d, minlength=batch.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return pa.table(
+            {
+                "y": batch.column(label_col).cast(pa.int64()),
+                "fb": pa.ListArray.from_arrays(offsets, pa.array(b, pa.int32())),
+                "fx": pa.ListArray.from_arrays(offsets, pa.array(x, pa.float64())),
+            }
+        )
+
+    feats = ds.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_partial_rows = feats.num_blocks() * dim  # worst-case partial stream
+
     w = np.zeros(dim, dtype=np.float64)
     bias = 0.0
     losses: list[float] = []
@@ -90,13 +122,21 @@ def fit_hashed_logistic(
 
         def grad_partial(batch: pa.Table) -> pd.DataFrame:
             w_, b_ = ray.get(ref)
-            y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
-            d, b, x, _lens = _doc_features(batch, text_col, n_bits)
+            y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+            fb = batch.column("fb")
+            if isinstance(fb, pa.ChunkedArray):
+                fb = fb.combine_chunks()
+            fx = batch.column("fx")
+            if isinstance(fx, pa.ChunkedArray):
+                fx = fx.combine_chunks()
+            lens = pc.list_value_length(fb).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = pc.list_flatten(fb).to_numpy(zero_copy_only=False).astype(np.int64)
+            x = pc.list_flatten(fx).to_numpy(zero_copy_only=False)
+            d = np.repeat(np.arange(len(y), dtype=np.int64), lens)
             s = _scores(d, b, x, len(y), w_, b_)
             p = 1.0 / (1.0 + np.exp(-s))
             r = p - y
-            g = np.zeros(dim, dtype=np.float64)
-            np.add.at(g, b, r[d] * x)
+            g = np.bincount(b, weights=r[d] * x, minlength=dim)
             nz = np.nonzero(g)[0]
             eps = 1e-12
             loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
@@ -104,17 +144,31 @@ def fit_hashed_logistic(
             out_g = np.concatenate([g[nz], [float(r.sum()), loss, float(len(y))]])
             return pd.DataFrame({"bucket": out_b.astype(np.int64), "g": out_g})
 
-        agg = group_agg(
-            ds.map_batches(grad_partial, batch_format="pyarrow", zero_copy_batch=True),
-            ["bucket"],
-            {"g": ("g", "sum")},
-        ).to_pandas()
-        gvec = np.zeros(dim, dtype=np.float64)
-        buckets = agg["bucket"].to_numpy()
-        gs = agg["g"].to_numpy()
-        pos = buckets >= 0
-        gvec[buckets[pos]] = gs[pos]
-        scal = dict(zip(buckets[~pos], gs[~pos]))
+        partials = feats.map_batches(
+            grad_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        if n_partial_rows <= driver_reduce_max:
+            # the partial stream is ≤ blocks·2^n_bits rows — below the
+            # gate, skip the shuffle and bincount on the driver (a
+            # bucketed reduce costs ~2 s of fixed dispatch per
+            # iteration, dominating the 12-iteration loop)
+            agg = partials.to_pandas()
+            buckets = agg["bucket"].to_numpy()
+            gs = agg["g"].to_numpy()
+            pos = buckets >= 0
+            gvec = np.bincount(
+                buckets[pos], weights=gs[pos], minlength=dim
+            ).astype(np.float64)
+            neg = pd.DataFrame({"b": buckets[~pos], "g": gs[~pos]})
+            scal = neg.groupby("b")["g"].sum().to_dict()
+        else:
+            agg = group_agg(partials, ["bucket"], {"g": ("g", "sum")}).to_pandas()
+            gvec = np.zeros(dim, dtype=np.float64)
+            buckets = agg["bucket"].to_numpy()
+            gs = agg["g"].to_numpy()
+            pos = buckets >= 0
+            gvec[buckets[pos]] = gs[pos]
+            scal = dict(zip(buckets[~pos], gs[~pos]))
         w = np.round(w - lr * gvec / n_total, 6)
         bias = round(bias - lr * scal.get(_B_GRAD, 0.0) / n_total, 6)
         losses.append(round(scal.get(_B_LOSS, 0.0) / n_total, 6))

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -326,46 +327,56 @@ def duplicated_spans(
     quote farms) score near 1 and are dropped or trimmed upstream of
     training.
 
-    Scale shape: fingerprints leave their batch only as per-batch
-    DISTINCT (fp, doc-count, any-doc-repeat) partials, so the one count
-    reduce moves a fingerprint-vocabulary-sized int stream; the dup-fp
-    set (fps seen in ≥2 docs or twice in one) broadcasts as ONE sorted
-    int64 array below the gate and scoring fuses into the pass that
-    re-fingerprints each doc — texts never shuffle. Above the gate the
-    distinct (doc_id, fp) occurrence rows meet the counts in a bucketed
-    int join + per-doc reduce (path-equivalence-tested, gate forced
-    to 0)."""
+    Scale shape: the text is winnowed exactly ONCE — the per-doc
+    DISTINCT (doc_id, fp, in-doc-repeat) occurrence stream (ints,
+    ~17 B/row) materializes and every later stage reads it, not the
+    text. Counts reduce from per-batch partials over that stream
+    (fingerprint-vocabulary-sized); the dup-fp set (seen in ≥2 docs or
+    twice in one) broadcasts as ONE sorted int64 array below the gate
+    — above it, a bucketed int join attaches the flags instead
+    (path-equivalence-tested, gate forced to 0) — and a final narrow
+    doc-keyed reduce assembles per-doc fractions (one row per
+    (block, doc) goes in, so it moves ≈doc-count rows). Docs shorter
+    than k bytes have no fingerprints and are omitted."""
     import numpy as np
 
     from .shuffle import bucketed_join, group_agg
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def _doc_fps(batch: pa.Table):
-        """per-doc DISTINCT fingerprints + an in-doc-repeat flag."""
-        out = []
+    def occ(batch: pa.Table) -> pa.Table:
+        """ONE winnow pass → per-doc distinct (doc_id, fp, rep) rows."""
+        ids_out, fps_out, rep_out = [], [], []
         for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             _, f = winnow_doc((t or "").encode(), k, w)
             u, c = np.unique(f, return_counts=True)
-            out.append((did, u, c > 1))
-        return out
+            ids_out.append(np.full(len(u), did, dtype=np.int64))
+            fps_out.append(u)
+            rep_out.append((c > 1).astype(np.int8))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(ids_out) if ids_out else [], pa.int64()
+                ),
+                "fp": pa.array(np.concatenate(fps_out) if fps_out else [], pa.int64()),
+                "rep": pa.array(np.concatenate(rep_out) if rep_out else [], pa.int8()),
+            }
+        )
+
+    occ_ds = ds.map_batches(
+        occ, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def freq_partial(batch: pa.Table) -> pa.Table:
-        docs = _doc_fps(batch)
-        if not docs:
-            return pa.table(
-                {"fp": pa.array([], pa.int64()), "nd": pa.array([], pa.int64()),
-                 "rep": pa.array([], pa.int64())}
-            )
-        allf = np.concatenate([d[1] for d in docs])
-        rep = np.concatenate([d[2] for d in docs]).astype(np.int64)
-        u, inv = np.unique(allf, return_inverse=True)
+        f = batch.column("fp").to_numpy(zero_copy_only=False)
+        r = batch.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(f, return_inverse=True)
         nd = np.bincount(inv, minlength=len(u)).astype(np.int64)
-        nrep = np.bincount(inv, weights=rep, minlength=len(u)).astype(np.int64)
+        nrep = np.bincount(inv, weights=r, minlength=len(u)).astype(np.int64)
         return pa.table({"fp": pa.array(u), "nd": pa.array(nd), "rep": pa.array(nrep)})
 
     freq = group_agg(
-        ds.map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True),
+        occ_ds.map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["fp"],
         {"nd": ("nd", "sum"), "rep": ("rep", "sum")},
     ).materialize()
@@ -389,74 +400,56 @@ def duplicated_spans(
         dup = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
         ref = ray.put(dup)
 
-        def score(batch: pa.Table) -> pa.Table:
+        def flag_broadcast(batch: pa.Table) -> pd.DataFrame:
+            # membership covers in-doc repeats too: a fp repeated
+            # inside a doc has global rep ≥ 1 and is in dup_arr.
+            # COMBINER: emit per-(block, doc) partial sums, not one row
+            # per occurrence — the doc reduce moves ≈doc-count rows.
             dup_arr = ray.get(ref)
-            docs = _doc_fps(batch)
-            ids = np.array([d[0] for d in docs], np.int64)
-            nf = np.array([len(d[1]) for d in docs], np.int64)
-            # membership alone covers in-doc repeats too: a fp repeated
-            # inside this doc has global rep ≥ 1 and is in dup_arr
-            hit = np.array(
-                [
-                    int(np.count_nonzero(
-                        np.searchsorted(dup_arr, d[1], side="right")
-                        - np.searchsorted(dup_arr, d[1], side="left")
-                    ))
-                    for d in docs
-                ],
-                np.int64,
-            )
-            with np.errstate(invalid="ignore"):
-                frac = np.round(hit / np.maximum(nf, 1), 4)
-            keep = nf > 0  # sub-k docs have no fingerprints (both paths omit them)
-            return pa.table(
+            f = batch.column("fp").to_numpy(zero_copy_only=False)
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            hit = (
+                np.searchsorted(dup_arr, f, side="right")
+                - np.searchsorted(dup_arr, f, side="left")
+            ).astype(np.int64)
+            u, inv = np.unique(d, return_inverse=True)
+            return pd.DataFrame(
                 {
-                    "doc_id": pa.array(ids[keep]),
-                    "n_fps": pa.array(nf[keep]),
-                    "dup_span_frac": pa.array(frac[keep], pa.float64()),
+                    "doc_id": u,
+                    "hits": np.bincount(inv, weights=hit).astype(np.int64),
+                    "n": np.bincount(inv).astype(np.int64),
                 }
             )
 
-        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        flagged = occ_ds.map_batches(
+            flag_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # drop occ's per-doc rep flag first: freq's global "rep" is the
+        # one the dup rule needs (and the names would collide)
+        joined = bucketed_join(occ_ds.drop_columns(["rep"]), freq, ["fp"])
 
-    # unbounded fallback: distinct (doc_id, fp, rep) rows ⋈ counts, per-doc reduce
-    def occ(batch: pa.Table) -> pa.Table:
-        docs = _doc_fps(batch)
-        if not docs:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+        def flag_join(df: pd.DataFrame) -> pd.DataFrame:
+            is_dup = _is_dup(
+                df["nd"].to_numpy(np.int64), df["rep"].to_numpy(np.int64)
+            ).astype(np.int64)
+            g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "hits": is_dup})
+            out = g.groupby("doc_id", sort=False, as_index=False).agg(
+                hits=("hits", "sum"), n=("hits", "size")
             )
-        ids = np.concatenate(
-            [np.full(len(d[1]), d[0], dtype=np.int64) for d in docs]
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "fp": pa.array(np.concatenate([d[1] for d in docs])),
-            }
-        )
+            return out
 
-    joined = bucketed_join(
-        ds.map_batches(occ, batch_format="pyarrow", zero_copy_batch=True), freq, ["fp"]
-    )
-
-    def flag(df: "pd.DataFrame") -> "pd.DataFrame":
-        df["is_dup"] = _is_dup(
-            df["nd"].to_numpy(np.int64), df["rep"].to_numpy(np.int64)
-        ).astype(np.int64)
-        return df[["doc_id", "is_dup"]]
+        flagged = joined.map_batches(flag_join, batch_format="pandas")
 
     per_doc = group_agg(
-        joined.map_batches(flag, batch_format="pandas"),
+        flagged,
         ["doc_id"],
-        {"hits": ("is_dup", "sum"), "n_fps": ("is_dup", "size")},
+        {"hits": ("hits", "sum"), "n_fps": ("n", "sum")},
     )
 
-    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd_
-
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
         nf = df["n_fps"].to_numpy(np.int64)
-        return pd_.DataFrame(
+        return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "n_fps": nf,

@@ -522,22 +522,47 @@ def inverted_index_ds(ds, min_df: int = INDEX_MIN_DF, cap: int = INDEX_POSTINGS_
     from .shuffle import bucketed_group_apply
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        # int-hash lexsort dedup+cap (a pandas string sort over the
+        # token stream lost ~2× to this); term strings only reappear
+        # for the vocabulary-sized output rows. A same-batch 63-bit
+        # hash collision would merge two terms' rows under one
+        # representative string — ~vocab²/2⁶³, the decontam.py trade.
+        from .bytekernels import content_hash64
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
         lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
-        terms = pc.list_flatten(split).to_pandas()
-        occ = pd.DataFrame(
-            {"doc_id": np.repeat(ids, lens), "term": terms}
-        ).drop_duplicates()
-        occ = occ.sort_values(["term", "doc_id"], kind="mergesort")
-        capped = occ[occ.groupby("term", sort=False).cumcount() < cap]
-        out = capped.groupby("term", sort=False).agg(
-            pdf=("doc_id", "size"),
-            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        flat = pc.list_flatten(split)
+        h = content_hash64(flat)
+        docids = np.repeat(ids, lens)
+        if not len(h):
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=object),
+                 "pdf": pd.Series([], dtype=np.int64),
+                 "postings": pd.Series([], dtype=object)}
+            )
+        order = np.lexsort((docids, h))
+        hs, ds_ = h[order], docids[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hs, ds_, oidx = hs[keep], ds_[keep], order[keep]
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        starts = np.nonzero(new)[0]
+        seg_id = np.cumsum(new) - 1
+        pdf = np.diff(np.append(starts, len(hs)))
+        rank = np.arange(len(hs)) - starts[seg_id]
+        capm = rank < cap
+        terms = flat.take(pa.array(oidx[starts])).to_pandas().to_numpy()
+        cds = ds_[capm].astype("U")
+        cseg = seg_id[capm]
+        bounds = np.searchsorted(cseg, np.arange(len(starts) + 1))
+        postings = [
+            ",".join(cds[bounds[i] : bounds[i + 1]]) for i in range(len(starts))
+        ]
+        return pd.DataFrame(
+            {"term": terms, "pdf": pdf.astype(np.int64), "postings": postings}
         )
-        # pdf must be the UNCAPPED per-batch distinct-doc count
-        out["pdf"] = occ.groupby("term", sort=False).size()
-        return out.reset_index()
 
     rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -59,3 +59,14 @@ def test_quality_classifier_query_shape(ray_session):
     assert list(out.columns) == ["doc_id", "prob", "pred"]
     assert len(out) == 500
     assert out["prob"].between(0, 1).all()
+
+
+def test_gradient_reduce_paths_agree(ray_session):
+    """Driver-bincount vs bucketed-shuffle gradient reduce produce the
+    same fit (gate forced to 0 for the shuffle path)."""
+    tbl = _planted(n=120, seed=3)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    a = fit_hashed_logistic(ds, "text", "y", iters=3)
+    b = fit_hashed_logistic(ds, "text", "y", iters=3, driver_reduce_max=0)
+    assert a["bias"] == b["bias"] and a["losses"] == b["losses"]
+    assert np.array_equal(a["w"], b["w"])
