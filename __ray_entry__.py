@@ -224,6 +224,14 @@ def media_phash_near_dups(sf_dir: str):
     return phash(ds)
 
 
+def host_stats(sf_dir: str):
+    """Per-host crawl stats over the pages fixture (url host parsed
+    with one Arrow split kernel; host-sized reduces)."""
+    from rayrl.stats import host_stats_ds
+
+    return host_stats_ds(_clean_pages(sf_dir).select_columns(["url", "text", "lang"]))
+
+
 def multimodal_frames(sf_dir: str):
     """Video-style frame sampling over the pages html payload: every
     n-th fixed-size chunk as its own (media_id, frame_index,
@@ -325,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multimodal_features": multimodal_features,
             "multimodal_frames": multimodal_frames,
             "media_phash_near_dups": media_phash_near_dups,
+            "host_stats": host_stats,
         }
     )
     return out

@@ -121,6 +121,10 @@ def run_bench() -> dict:
         "repetition_scores",
         "contaminated_docs",
         "corpus_pipeline",
+        "inverted_index",
+        "dsir_logratio",
+        "duplicated_spans",
+        "quality_classifier",
     ):
         fn = entry_mod.queries()[qname]
         best = None

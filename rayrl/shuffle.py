@@ -150,9 +150,18 @@ def bucketed_join(
         def fn(batch: pa.Table) -> pa.Table:
             cols = {}
             for c, t in all_types.items():
-                cols[c] = (
-                    batch.column(c) if c in batch.column_names else pa.nulls(batch.num_rows, t)
-                )
+                if c in batch.column_names:
+                    cols[c] = batch.column(c)
+                elif pa.types.is_integer(t):
+                    # zero-pad, NOT null-pad: an int64 column with nulls
+                    # turns float64 in the in-bucket pandas frame and
+                    # silently loses precision above 2^53 (63-bit hash
+                    # payloads round to DIFFERENT ints on the way back).
+                    # Padded values are never read — the merge filters
+                    # by _side before touching either side's columns.
+                    cols[c] = pa.array(np.zeros(batch.num_rows, dtype=np.int64), t)
+                else:
+                    cols[c] = pa.nulls(batch.num_rows, t)
             cols["_side"] = pa.array(np.full(batch.num_rows, side_tag, dtype=np.int8))
             return pa.table(cols)
 

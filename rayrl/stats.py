@@ -142,6 +142,51 @@ REVENUE_ROLLUP_ORACLE = """
 """
 
 
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all FOUR grains
+    — (a,b), (a,ALL), (ALL,b), (ALL,ALL) — emitted by the per-batch
+    partial, so one bucketed reduce finishes the whole lattice (the
+    rollup's single-shuffle shape with one more grain row; key rows
+    only, never payload)."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False, as_index=False)
+            .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        )
+        by_pri = g.assign(o_orderstatus="ALL")
+        by_sta = g.assign(o_orderpriority="ALL")
+        top = g.assign(o_orderpriority="ALL", o_orderstatus="ALL")
+        return pd.concat([g, by_pri, by_sta, top], ignore_index=True)
+
+    red = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"],
+        {"revenue": ("revenue", "sum"), "n_orders": ("n_orders", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    red["revenue"] = red["revenue"].round(2)
+    red["n_orders"] = red["n_orders"].astype("int64")
+    red = red.rename(columns={"o_orderpriority": "priority", "o_orderstatus": "status"})
+    return red[["priority", "status", "revenue", "n_orders"]]
+
+
+REVENUE_CUBE_ORACLE = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
 # ------------------------------------------- deterministic sample
 
 SAMPLE_MOD = 2147483647  # 2^31-1: keeps the product < 2^63 for any int64 id
@@ -245,6 +290,64 @@ SOURCE_CAP_ORACLE = f"""
 
 
 # -------------------------------------- distribution divergence (QA)
+
+def host_stats_ds(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-host crawl statistics over a (url, text, lang) pages table:
+    page count, total extracted-text bytes, distinct languages — the
+    "what did we crawl from each domain" QA table that feeds per-host
+    capping and domain blocklists.
+
+    Scale shape: the host is parsed from the url with ONE Arrow
+    split kernel (no Python per row); each batch emits host-keyed
+    partials — (host, n, chars) sums plus DISTINCT (host, lang) pairs
+    — so both reduces move host-vocabulary-sized streams, and the
+    final host⋈host join is between two already-tiny tables."""
+    from .shuffle import bucketed_join, group_agg
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        host = pc.list_element(
+            pc.split_pattern(batch.column("url").combine_chunks(), "/"), 2
+        ).to_pandas()
+        chars = pc.utf8_length(batch.column("text").combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "host": host,
+                "chars": chars.astype(np.int64),
+                "lang": batch.column("lang").to_pandas(),
+            }
+        )
+        g = df.groupby("host", sort=False, as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+        return g
+
+    def lang_partial(batch: pa.Table) -> pd.DataFrame:
+        host = pc.list_element(
+            pc.split_pattern(batch.column("url").combine_chunks(), "/"), 2
+        ).to_pandas()
+        df = pd.DataFrame({"host": host, "lang": batch.column("lang").to_pandas()})
+        return df.drop_duplicates()
+
+    sums = group_agg(
+        pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        {"n_pages": ("n", "sum"), "total_chars": ("chars", "sum")},
+    )
+    lang_pairs = group_agg(
+        pages.map_batches(lang_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["host", "lang"],
+        {"c": ("lang", "size")},  # ≥1 per distinct pair after the batch dedup
+    )
+
+    # lang_pairs rows are globally DISTINCT (host, lang), so a
+    # host-keyed size IS the distinct-language count (a plain
+    # map_batches count here could split a host's rows at batch
+    # boundaries — CLAUDE.md rule 13)
+    langs = group_agg(lang_pairs, ["host"], {"n_langs": ("c", "size")})
+    return bucketed_join(sums, langs, ["host"])
+
 
 def source_lang_divergence(sf_dir: str):
     """Per-source KL divergence of the language distribution vs the
@@ -455,6 +558,7 @@ STATS_QUERIES = {
     "source_vocab_jaccard": source_vocab_jaccard,
     "price_qty_corr": price_qty_corr,
     "revenue_rollup": revenue_rollup,
+    "revenue_cube": revenue_cube,
     "sampled_documents": sampled_documents,
     "source_capped_documents": source_capped_documents,
     "source_lang_divergence": source_lang_divergence,
@@ -465,6 +569,7 @@ STATS_ORACLES = {
     "source_lang_divergence": SOURCE_LANG_DIVERGENCE_ORACLE,
     "price_qty_corr": PRICE_QTY_CORR_ORACLE,
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
+    "revenue_cube": REVENUE_CUBE_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "source_capped_documents": SOURCE_CAP_ORACLE,
 }

@@ -492,6 +492,225 @@ DSIR_LOGRATIO_ORACLE = f"""
 """
 
 
+def doc_bigram_surprisal(
+    sf_dir: str, broadcast_gate: int = SURPRISAL_BROADCAST_MAX
+):
+    """(doc_id, n_bigrams, surprisal): mean −ln p(w₂|w₁) per document
+    under the corpus's own add-one-smoothed bigram model — the
+    next-order CCNet-style perplexity filter (doc_surprisal is the
+    unigram version): p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) with c(w₁·)
+    the count of w₁ in bigram-left position and V the unigram
+    vocabulary size. Docs with <2 tokens have no bigrams and are
+    omitted (both engines).
+
+    Scale shape: ONE tokenize pass emits per-batch distinct
+    (kind, hash, n) partials for all three model tables (bigram
+    counts, left-unigram counts, unigram vocab), so the single count
+    reduce moves a bigram-vocabulary-sized int stream. Below the gate
+    the two (hash → count) arrays broadcast and scoring fuses into the
+    re-tokenize pass; above it, (doc_id, h12, h1) occurrence rows take
+    two bucketed int joins + a per-doc reduce (path-equivalence-tested
+    with the gate forced to 0). Hash-collision trade as doc_surprisal."""
+    from .bytekernels import content_hash64
+    from .rng import _splitmix64
+    from .shuffle import bucketed_join, group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bigrams(batch: pa.Table):
+        """per-doc bigram streams: (n_bigrams per doc, h1 flat, h12 flat)."""
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = content_hash64(pc.list_flatten(split)).view(np.uint64)
+        n_bi = np.maximum(lens - 1, 0)
+        if not n_bi.sum():
+            e = np.array([], np.uint64)
+            return n_bi, e, e, h
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        idx = np.repeat(starts, n_bi) + (
+            np.arange(int(n_bi.sum())) - np.repeat(np.cumsum(n_bi) - n_bi, n_bi)
+        )
+        h1 = h[idx]
+        h12 = _splitmix64(h1 * PHI ^ h[idx + 1])
+        return n_bi, h1, h12, h
+
+    K_LEFT, K_BI, K_UNI = 0, 1, 2
+
+    def freq_partial(batch: pa.Table) -> pd.DataFrame:
+        _, h1, h12, h = _bigrams(batch)
+        out = []
+        for kind, arr in ((K_LEFT, h1), (K_BI, h12), (K_UNI, h)):
+            u, c = np.unique(arr, return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {"kind": np.full(len(u), kind, np.int8),
+                     "h": u.view(np.int64), "n": c.astype(np.int64)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    freq = group_agg(
+        ds.map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["kind", "h"],
+        {"n": ("n", "sum")},
+    ).materialize()
+
+    def _split_kind(want: int):
+        hs, ns = [], []
+        for b in freq.iter_batches(batch_format="pyarrow"):
+            k = b.column("kind").to_numpy(zero_copy_only=False)
+            m = k == want
+            hs.append(b.column("h").to_numpy(zero_copy_only=False)[m])
+            ns.append(b.column("n").to_numpy(zero_copy_only=False)[m])
+        h = np.concatenate(hs) if hs else np.array([], np.int64)
+        n = np.concatenate(ns) if ns else np.array([], np.int64)
+        order = np.argsort(h)
+        return h[order], n[order]
+
+    n_bigram_vocab = int(
+        freq.map_batches(
+            lambda b: pa.table(
+                {"c": pa.array([int((b.column("kind").to_numpy(zero_copy_only=False) == K_BI).sum())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("c")
+    )
+
+    if n_bigram_vocab <= broadcast_gate:
+        bh, bn = _split_kind(K_BI)
+        lh, ln_ = _split_kind(K_LEFT)
+        uh, _un = _split_kind(K_UNI)
+        V = float(len(uh))
+        ref = ray.put((bh, bn.astype(np.float64), lh, ln_.astype(np.float64), V))
+
+        def score(batch: pa.Table) -> pa.Table:
+            bh_, bn_, lh_, ln2, V_ = ray.get(ref)
+            n_bi, h1, h12, _ = _bigrams(batch)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = n_bi > 0
+            if not keep.any():
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "n_bigrams": pa.array([], pa.int64()),
+                     "surprisal": pa.array([], pa.float64())}
+                )
+            c12 = bn_[np.searchsorted(bh_, h12.view(np.int64))]
+            c1 = ln2[np.searchsorted(lh_, h1.view(np.int64))]
+            lp = np.log((c12 + 1.0) / (c1 + V_))
+            cs = np.concatenate([[0.0], np.cumsum(lp)])
+            ends = np.cumsum(n_bi)
+            sums = cs[ends] - cs[ends - n_bi]
+            sup = np.round(-sums[keep] / n_bi[keep], 4)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep], pa.int64()),
+                    "n_bigrams": pa.array(n_bi[keep], pa.int64()),
+                    "surprisal": pa.array(sup, pa.float64()),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # unbounded fallback: (doc_id, h12, h1) occurrence rows, two int
+    # joins against the kind-sliced counts, one per-doc reduce
+    uh, _un = _split_kind(K_UNI)
+    V = float(len(uh))
+
+    def kind_tbl(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column("kind").to_numpy(zero_copy_only=False)
+            m = k == want
+            return pa.table(
+                {
+                    "h": pa.array(b.column("h").to_numpy(zero_copy_only=False)[m]),
+                    "n": pa.array(b.column("n").to_numpy(zero_copy_only=False)[m]),
+                }
+            )
+
+        return freq.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def occ(batch: pa.Table) -> pa.Table:
+        n_bi, h1, h12, _ = _bigrams(batch)
+        ids = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), n_bi)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h12": pa.array(h12.view(np.int64)),
+                "h1": pa.array(h1.view(np.int64)),
+            }
+        )
+
+    occ_ds = ds.map_batches(occ, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = bucketed_join(
+        occ_ds,
+        kind_tbl(K_BI).map_batches(
+            lambda b: b.rename_columns(["h12", "c12"]), batch_format="pyarrow"
+        ),
+        ["h12"],
+    )
+    j2 = bucketed_join(
+        j1,
+        kind_tbl(K_LEFT).map_batches(
+            lambda b: b.rename_columns(["h1", "c1"]), batch_format="pyarrow"
+        ),
+        ["h1"],
+    )
+
+    def add_lp(df: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(
+            (df["c12"].to_numpy(np.float64) + 1.0)
+            / (df["c1"].to_numpy(np.float64) + V)
+        )
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "lp": lp})
+        return g.groupby("doc_id", sort=False, as_index=False).agg(
+            s=("lp", "sum"), n=("lp", "size")
+        )
+
+    per_doc = group_agg(
+        j2.map_batches(add_lp, batch_format="pandas"),
+        ["doc_id"],
+        {"s": ("s", "sum"), "n_bigrams": ("n", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bigrams": df["n_bigrams"].astype(np.int64),
+                "surprisal": np.round(
+                    -df["s"].to_numpy() / df["n_bigrams"].to_numpy(), 4
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
+DOC_BIGRAM_SURPRISAL_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), p AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+    ), bc AS (
+        SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2
+    ), lc AS (
+        SELECT w1, count(*) AS c1 FROM p GROUP BY 1
+    ), v AS (
+        SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    )
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln((bc.c12 + 1.0) / (lc.c1 + v.v))), 4) AS surprisal
+    FROM p JOIN bc USING (w1, w2) JOIN lc USING (w1), v
+    GROUP BY p.doc_id
+"""
+
+
 INDEX_MIN_DF = 10
 INDEX_POSTINGS_CAP = 16
 
@@ -613,9 +832,11 @@ TFIDF_QUERIES = {
     "doc_surprisal": doc_surprisal,
     "inverted_index": inverted_index,
     "dsir_logratio": dsir_logratio,
+    "doc_bigram_surprisal": doc_bigram_surprisal,
 }
 TFIDF_ORACLES = {
     "dsir_logratio": DSIR_LOGRATIO_ORACLE,
+    "doc_bigram_surprisal": DOC_BIGRAM_SURPRISAL_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
     "doc_surprisal": DOC_SURPRISAL_ORACLE,

@@ -1,0 +1,72 @@
+"""Bucketed shuffle-helper regressions (rayrl.shuffle)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from rayrl.shuffle import bucketed_join
+
+
+def test_join_preserves_large_int_payload_columns(ray_session):
+    """Regression: null-padding the union schema turned int64 non-key
+    columns float64 inside the bucket frames, silently rounding values
+    above 2^53 (63-bit hash payloads came back as DIFFERENT ints and a
+    chained join on them matched nothing). Zero-padding keeps them
+    exact."""
+    big = np.array([2**62 + 1, 2**62 + 3, -(2**62) - 7], dtype=np.int64)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "h": pa.array(big, pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "c": pa.array([10, 20, 30], pa.int64())})
+    )
+    j1 = bucketed_join(left, right, ["k"])
+    out = j1.to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["h"].tolist() == big.tolist()  # bit-exact through the join
+
+    # and a chained join keyed on the large-int column still matches
+    counts = ray.data.from_arrow(
+        pa.table({"h": pa.array(big, pa.int64()), "n": pa.array([1, 1, 1], pa.int64())})
+    )
+    j2 = bucketed_join(j1, counts, ["h"])
+    assert j2.count() == 3
+
+
+def test_host_stats_counts(ray_session):
+    """host_stats: exact per-host page counts / chars / distinct langs
+    vs a pandas groupby, at two block layouts."""
+    import pyarrow as pa
+
+    from rayrl.stats import host_stats_ds
+
+    urls = [f"https://h{i % 3}.example/p{i}" for i in range(60)]
+    langs = ["en", "de", "en", "fr"] * 15
+    texts = [f"text {'x' * (i % 7)}" for i in range(60)]
+    tbl = pa.table({"url": urls, "text": texts, "lang": langs})
+    exp = (
+        pd.DataFrame({"host": [f"h{i % 3}.example" for i in range(60)],
+                      "chars": [len(t) for t in texts], "lang": langs})
+        .groupby("host")
+        .agg(n_pages=("chars", "size"), total_chars=("chars", "sum"),
+             n_langs=("lang", "nunique"))
+        .reset_index()
+    )
+    for blocks in (1, 8):
+        got = (
+            host_stats_ds(ray.data.from_arrow(tbl).repartition(blocks))
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["host", "n_pages", "total_chars", "n_langs"]],
+            exp[["host", "n_pages", "total_chars", "n_langs"]],
+            check_dtype=False,
+        )

@@ -96,3 +96,20 @@ def test_dsir_paths_agree(ray_session):
     langs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
     m = broad.merge(langs, on="doc_id")
     assert m[m["lang"] == "en"]["logratio"].mean() > m[m["lang"] != "en"]["logratio"].mean()
+
+
+def test_bigram_surprisal_paths_agree(ray_session):
+    from rayrl.tfidf import doc_bigram_surprisal
+
+    sf = "/root/testdata/sf0.01"
+    broad = (
+        doc_bigram_surprisal(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    joined = (
+        doc_bigram_surprisal(sf, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(broad) == 500 and (broad["surprisal"] > 0).all()
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
