@@ -340,7 +340,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rayrl.ann import ANN_TOPK_ORACLE, EMBEDDING_NORMS_ORACLE, LABEL_CENTROIDS_ORACLE
+    from rayrl.ann import (
+        ANN_TOPK_ORACLE,
+        EMBEDDING_NORMS_ORACLE,
+        EMBEDDING_OUTLIERS_ORACLE,
+        LABEL_CENTROIDS_ORACLE,
+    )
     from rayrl.bloom import BLOOM_ORACLES
     from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
@@ -383,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["embedding_norms"] = EMBEDDING_NORMS_ORACLE
+    out["embedding_outliers"] = EMBEDDING_OUTLIERS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
     out["ngram_jaccard_exact"] = NGRAM_JACCARD_EXACT_ORACLE
     return out

@@ -323,6 +323,103 @@ LABEL_CENTROIDS_ORACLE = """
 """
 
 
+OUTLIER_TOP_K = 20
+
+
+def embedding_outliers(sf_dir: str, k_top: int = OUTLIER_TOP_K):
+    """The ``k_top`` vectors farthest (Euclidean) from their OWN
+    label's centroid — embedding-space outlier detection, the vector-QA
+    pass that flags mislabeled or corrupted embeddings before they
+    poison a similarity index or a semantic-dedup run.
+
+    Scale shape: the (labels × dim) centroid matrix reduces exactly
+    like :func:`label_centroids` (long-form partials, one tiny bucketed
+    reduce) and broadcasts once via ``ray.put``; the distance pass is
+    one vectorized matrix op per batch that keeps only its LOCAL top-k
+    (top-k is mergeable), so the driver merges ≤ k·n_blocks candidate
+    rows. Ties at the rounded distance break by vec_id ascending on
+    both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+
+    def _mats(batch: pa.Table):
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        return labels, flat.reshape(len(labels), -1).astype(np.float64)
+
+    def cent_partial(batch: pa.Table) -> pd.DataFrame:
+        labels, mat = _mats(batch)
+        dim = mat.shape[1]
+        labs, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(labs), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv, minlength=len(labs)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labs, dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
+                "s": sums.ravel(),
+                "cnt": np.repeat(cnts, dim),
+            }
+        )
+
+    red = group_agg(
+        ds.map_batches(cent_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "pos"],
+        {"s": ("s", "sum"), "cnt": ("cnt", "sum")},
+        num_buckets=16,
+    ).to_pandas()  # labels × dim rows
+    red = red.sort_values(["label", "pos"])
+    labs = np.sort(red["label"].unique())
+    dim = int(red["pos"].max()) + 1
+    C = (red["s"].to_numpy() / red["cnt"].to_numpy()).reshape(len(labs), dim)
+    ref = ray.put((labs, C))
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        labs_, C_ = ray.get(ref)
+        labels, mat = _mats(batch)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.searchsorted(labs_, labels)
+        diff = mat - C_[li]
+        dist = np.round(np.sqrt((diff * diff).sum(axis=1)), 6)
+        order = np.lexsort((ids, -dist))[:k_top]
+        return pd.DataFrame(
+            {"vec_id": ids[order], "label": labels[order], "dist": dist[order]}
+        )
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ k_top × n_blocks rows
+    cand = cand.sort_values(["dist", "vec_id"], ascending=[False, True]).head(k_top)
+    return cand.reset_index(drop=True)
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), c AS (
+        SELECT label, pos, avg(v) AS cv FROM e GROUP BY 1, 2
+    ), d AS (
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+               round(sqrt(sum((e.v - c.cv) * (e.v - c.cv))), 6) AS dist
+        FROM e JOIN c USING (label, pos) GROUP BY 1, 2
+    )
+    SELECT vec_id, label, dist FROM d
+    ORDER BY dist DESC, vec_id ASC LIMIT {OUTLIER_TOP_K}
+"""
+
+
 def embedding_norms(sf_dir: str):
     """Per-vector L2 norm + dimension — the vector-column hygiene pass
     (norm-0 / wrong-dim detection before any similarity stage). The
@@ -371,4 +468,5 @@ ANN_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
+    "embedding_outliers": embedding_outliers,
 }

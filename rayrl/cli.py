@@ -52,6 +52,16 @@ def main(argv=None) -> int:
     sc.add_argument("--redact", action="store_true", help="include redacted text column")
     sc.add_argument("--out", required=True, help="checkpoint/output directory")
 
+    tf = sub.add_parser(
+        "train-filter",
+        help="checkpointed quality-classifier training (features stage + "
+        "per-iteration weight checkpoints + scored output), resumable",
+    )
+    tf.add_argument("--sf-dir", required=True, help="dir containing documents.parquet")
+    tf.add_argument("--target-lang", default="en")
+    tf.add_argument("--iters", type=int, default=12)
+    tf.add_argument("--out", required=True, help="checkpoint/output directory")
+
     args = parser.parse_args(argv)
 
     import ray
@@ -139,6 +149,16 @@ def main(argv=None) -> int:
             ).count()
             summary = {"docs": int(n_docs), "pii_docs": int(n_pii), "resumed": resumed}
             run.write_result("summary", summary)
+            print(json.dumps(summary))
+        elif args.cmd == "train-filter":
+            from .mlfilter import train_filter_run
+
+            summary = train_filter_run(
+                args.out,
+                args.sf_dir,
+                target_lang=args.target_lang,
+                iters=args.iters,
+            )
             print(json.dumps(summary))
     finally:
         ray.shutdown()

@@ -78,23 +78,12 @@ def _scores(d, b, x, n_docs, w, bias):
     return bias + (cs[ends] - cs[starts])
 
 
-def fit_hashed_logistic(
-    ds: "ray.data.Dataset",
-    text_col: str,
-    label_col: str,
-    n_bits: int = N_BITS,
-    iters: int = ITERS,
-    lr: float = LR,
-    driver_reduce_max: int = 50_000_000,
-) -> dict:
-    """Full-batch gradient descent; ``label_col`` is a 0/1 int column.
-    Returns {"w": (2^n_bits,) float64, "bias": float, "n_bits": int,
-    "losses": [mean log-loss per iteration]}. The gradient reduce
-    collects blocks·2^n_bits partial rows to the driver below
-    ``driver_reduce_max`` and runs the bucketed shuffle above it
-    (equivalence-tested with the gate forced to 0)."""
-    n_total = ds.count()
-    dim = 1 << n_bits
+def featurize_ds(
+    ds: "ray.data.Dataset", text_col: str, label_col: str, n_bits: int = N_BITS
+) -> "ray.data.Dataset":
+    """ONE tokenize pass → per-doc sparse features as LIST columns
+    (y, fb=bucket ids, fx=L1-normalized counts). A doc's features ride
+    one row, so they stay batch-whole at any later re-batching."""
 
     def featurize(batch: pa.Table) -> pa.Table:
         d, b, x, _lens = _doc_features(batch, text_col, n_bits)
@@ -108,14 +97,29 @@ def fit_hashed_logistic(
             }
         )
 
-    feats = ds.map_batches(
-        featurize, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    return ds.map_batches(featurize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gd_fit(
+    feats: "ray.data.Dataset",
+    n_bits: int = N_BITS,
+    iters: int = ITERS,
+    lr: float = LR,
+    driver_reduce_max: int = 50_000_000,
+    w: "np.ndarray | None" = None,
+    bias: float = 0.0,
+    losses: "list[float] | None" = None,
+) -> dict:
+    """The GD loop over an already-featurized (y, fb, fx) dataset;
+    ``w``/``bias``/``losses`` seed a resumed run (cli.py train-filter
+    checkpoints weights per iteration)."""
+    feats = feats.materialize()
+    n_total = feats.count()
+    dim = 1 << n_bits
     n_partial_rows = feats.num_blocks() * dim  # worst-case partial stream
 
-    w = np.zeros(dim, dtype=np.float64)
-    bias = 0.0
-    losses: list[float] = []
+    w = np.zeros(dim, dtype=np.float64) if w is None else np.asarray(w, np.float64)
+    losses = [] if losses is None else list(losses)
 
     for _ in range(iters):
         ref = ray.put((w, bias))
@@ -174,6 +178,129 @@ def fit_hashed_logistic(
         losses.append(round(scal.get(_B_LOSS, 0.0) / n_total, 6))
 
     return {"w": w, "bias": bias, "n_bits": n_bits, "losses": losses}
+
+
+def fit_hashed_logistic(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    label_col: str,
+    n_bits: int = N_BITS,
+    iters: int = ITERS,
+    lr: float = LR,
+    driver_reduce_max: int = 50_000_000,
+) -> dict:
+    """Full-batch gradient descent; ``label_col`` is a 0/1 int column.
+    Returns {"w": (2^n_bits,) float64, "bias": float, "n_bits": int,
+    "losses": [mean log-loss per iteration]}. The gradient reduce
+    collects blocks·2^n_bits partial rows to the driver below
+    ``driver_reduce_max`` and runs the bucketed shuffle above it
+    (equivalence-tested with the gate forced to 0)."""
+    feats = featurize_ds(ds, text_col, label_col, n_bits)
+    return gd_fit(
+        feats,
+        n_bits=n_bits,
+        iters=iters,
+        lr=lr,
+        driver_reduce_max=driver_reduce_max,
+    )
+
+
+def train_filter_run(
+    out_dir: str,
+    sf_dir: str,
+    target_lang: str = "en",
+    iters: int = ITERS,
+    n_bits: int = N_BITS,
+    lr: float = LR,
+) -> dict:
+    """Checkpointed, resumable classifier training (the cli.py
+    train-filter body): the featurize pass checkpoints as a parquet
+    stage (rayrl.checkpoint.Run), weights checkpoint per GD iteration
+    (a crash mid-training resumes at the last completed iteration —
+    same weights, bit-for-bit, as an uninterrupted run since updates
+    are round-6 quantized), and the final scoring pass checkpoints as
+    the output stage."""
+    import json
+    import os
+
+    from .checkpoint import Run, params_hash
+
+    run = Run(out_dir)
+    params = {
+        "sf_dir": sf_dir,
+        "target_lang": target_lang,
+        "n_bits": n_bits,
+        "lr": lr,
+    }
+
+    def build_feats():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def with_label(batch: pa.Table) -> pa.Table:
+            y = pc.equal(batch.column("lang"), target_lang)
+            return batch.append_column("y", pc.cast(y, pa.int64()))
+
+        labeled = ds.map_batches(with_label, batch_format="pyarrow", zero_copy_batch=True)
+        return featurize_ds(labeled, "text", "y", n_bits)
+
+    feats = run.stage("features", params, build_feats)
+
+    # ---- per-iteration weight checkpoints (npz + sidecar manifest)
+    wpath = os.path.join(out_dir, "weights.npz")
+    mpath = os.path.join(out_dir, "weights.json")
+    w, bias, losses, done = None, 0.0, [], 0
+    if os.path.exists(wpath) and os.path.exists(mpath):
+        with open(mpath) as f:
+            meta = json.load(f)
+        if meta.get("params_hash") == params_hash(params) and meta["iters_done"] <= iters:
+            state = np.load(wpath)
+            w, bias = state["w"], float(meta["bias"])
+            losses, done = list(meta["losses"]), int(meta["iters_done"])
+
+    # materialize once — gd_fit is called per iteration for the weight
+    # checkpoint, and must not re-read the parquet stage each time
+    feats_mat = feats.materialize()
+    for it in range(done, iters):
+        res = gd_fit(feats_mat, n_bits=n_bits, iters=1, lr=lr, w=w, bias=bias, losses=losses)
+        w, bias, losses = res["w"], res["bias"], res["losses"]
+        np.savez(wpath, w=w)
+        with open(mpath, "w") as f:
+            json.dump(
+                {
+                    "params_hash": params_hash(params),
+                    "iters_done": it + 1,
+                    "bias": bias,
+                    "losses": losses,
+                },
+                f,
+            )
+
+    params_scored = {**params, "iters": iters}
+    scored = run.stage(
+        "scores",
+        params_scored,
+        lambda: score_hashed_logistic(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            {"w": w, "bias": bias, "n_bits": n_bits},
+            "doc_id",
+            "text",
+        ),
+    )
+    n_docs = scored.count()
+    n_kept = scored.filter(expr="pred == 1").count()
+    summary = {
+        "docs": int(n_docs),
+        "kept": int(n_kept),
+        "iters": iters,
+        "final_loss": losses[-1] if losses else None,
+        "resumed_at_iter": done,
+    }
+    run.write_result("summary", summary)
+    return summary
 
 
 class _ScoreStage:

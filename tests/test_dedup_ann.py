@@ -350,3 +350,32 @@ def test_semantic_dedup_deterministic_any_parallelism(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_embedding_outliers_planted(ray_session, tmp_path):
+    """A vector shifted far from its label blob is the top outlier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayrl.ann import embedding_outliers
+
+    rng = np.random.default_rng(13)
+    vecs, labels = [], []
+    for lab, center in ((0, 0.0), (1, 10.0)):
+        for _ in range(50):
+            vecs.append(center + rng.normal(0, 0.05, size=8))
+            labels.append(lab)
+    vecs[7] = np.full(8, 5.0)  # label-0 vector dumped between blobs
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    out = embedding_outliers(str(d), k_top=5)
+    assert out.loc[0, "vec_id"] == 7 and out.loc[0, "label"] == 0
+    assert out["dist"].is_monotonic_decreasing

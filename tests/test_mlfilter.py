@@ -70,3 +70,48 @@ def test_gradient_reduce_paths_agree(ray_session):
     b = fit_hashed_logistic(ds, "text", "y", iters=3, driver_reduce_max=0)
     assert a["bias"] == b["bias"] and a["losses"] == b["losses"]
     assert np.array_equal(a["w"], b["w"])
+
+
+def test_train_filter_run_resumes_bit_exact(ray_session, tmp_path):
+    """Interrupting training after 2 iterations and re-running to 4
+    produces the SAME weights as an uninterrupted 4-iteration run
+    (round-6 quantized updates make resume bit-exact), and the
+    features stage is a cache hit on the resumed run."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayrl.mlfilter import train_filter_run
+
+    # tiny labeled fixture in sf layout
+    tbl = _planted(n=80, seed=21)
+    langs = ["en" if y else "xx" for y in tbl.column("y").to_pylist()]
+    docs = pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "text": tbl.column("text"),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * 80, pa.string()),
+            "n_chars": pa.array([1] * 80, pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    out_a = str(tmp_path / "runA")
+    s2 = train_filter_run(out_a, str(sf), iters=2)
+    assert s2["resumed_at_iter"] == 0 and s2["iters"] == 2
+    s4 = train_filter_run(out_a, str(sf), iters=4)
+    assert s4["resumed_at_iter"] == 2  # weights checkpoint picked up
+
+    out_b = str(tmp_path / "runB")
+    s4b = train_filter_run(out_b, str(sf), iters=4)
+    wa = np.load(os.path.join(out_a, "weights.npz"))["w"]
+    wb = np.load(os.path.join(out_b, "weights.npz"))["w"]
+    assert np.array_equal(wa, wb)
+    ma = json.load(open(os.path.join(out_a, "weights.json")))
+    mb = json.load(open(os.path.join(out_b, "weights.json")))
+    assert ma["losses"] == mb["losses"] and ma["bias"] == mb["bias"]
+    assert s4["kept"] == s4b["kept"] == 40
