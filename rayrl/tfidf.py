@@ -826,6 +826,126 @@ INVERTED_INDEX_ORACLE = f"""
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+BM25_QUERY_TERMS = 2
+
+
+def bm25_topk(sf_dir: str, n_query_terms: int = BM25_QUERY_TERMS, k_top: int = BM25_TOP):
+    """Okapi BM25 retrieval: score every document against a
+    deterministic query (the ``n_query_terms`` highest-df terms, ties
+    by term asc — data-derived so both engines build the same query)
+    and return the ``k_top`` best (score desc, doc_id asc). The
+    ranking stage of a retrieval/RAG pipeline over the corpus.
+
+    Scale shape: pass 1 tokenizes once and emits per-batch distinct
+    (term, partial-df) rows → one vocabulary-sized reduce; the query
+    terms + their df, N and the corpus average doc length broadcast as
+    scalars. Pass 2 re-tokenizes, computes per-doc tf of the query
+    terms + doc length locally, scores, and keeps its LOCAL top-k
+    (mergeable), so the driver merges ≤ k·n_blocks rows."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = pc.list_flatten(split).to_pandas()
+        occ = pd.DataFrame(
+            {"doc_id": np.repeat(ids, lens), "term": terms}
+        ).drop_duplicates()
+        out = occ.groupby("term", sort=False).size().rename("df").reset_index()
+        out["dl"] = 0  # filler; total length rides separate rows
+        tot = pd.DataFrame({"term": ["\x00len"], "df": [0], "dl": [int(lens.sum())]})
+        return pd.concat([out, tot], ignore_index=True)
+
+    red = group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        {"df": ("df", "sum"), "dl": ("dl", "sum")},
+    )
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["df", "term"], ascending=[False, True])
+        return pd.concat(
+            [df.head(n_query_terms), df[df["term"] == "\x00len"]], ignore_index=True
+        ).drop_duplicates()
+
+    cand = red.map_batches(local_top, batch_format="pandas").to_pandas()
+    total_len = float(cand.loc[cand["term"] == "\x00len", "dl"].sum())
+    cand = cand[cand["term"] != "\x00len"].sort_values(
+        ["df", "term"], ascending=[False, True]
+    )
+    qterms = cand["term"].to_numpy()[:n_query_terms]
+    qdf = cand["df"].to_numpy()[:n_query_terms].astype(np.float64)
+    avgdl = total_len / max(1, n_docs)
+    idf = np.log((n_docs - qdf + 0.5) / (qdf + 0.5) + 1.0)
+    ref = ray.put((qterms, idf, avgdl))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        qt, idf_, adl = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(split)
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        s = np.zeros(len(ids), dtype=np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * lens / adl)
+        for ti, t in enumerate(qt):
+            hit = pc.equal(flat, str(t)).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_idx[hit], minlength=len(ids)).astype(np.float64)
+            s += np.where(
+                tf > 0, idf_[ti] * tf * (BM25_K1 + 1.0) / (tf + norm), 0.0
+            )
+        s = np.round(s, 4)
+        order = np.lexsort((ids, -s))[:k_top]
+        order = order[s[order] > 0]
+        return pd.DataFrame({"doc_id": ids[order], "score": s[order]})
+
+    cand2 = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ k_top × n_blocks rows
+    out = cand2.sort_values(["score", "doc_id"], ascending=[False, True]).head(k_top)
+    return out.reset_index(drop=True)
+
+
+BM25_TOPK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), len AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1
+    ), a AS (
+        SELECT avg(dl) AS adl FROM len
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tok GROUP BY 1
+    ), q AS (
+        SELECT term, df FROM df
+        ORDER BY df DESC, term ASC LIMIT {BM25_QUERY_TERMS}
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok JOIN q USING (term) GROUP BY 1, 2
+    ), s AS (
+        SELECT tf.doc_id,
+               sum(ln((nn.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * len.dl / a.adl))) AS score
+        FROM tf JOIN q USING (term) JOIN len USING (doc_id), a, nn
+        GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS score FROM s
+    WHERE round(score, 4) > 0
+    ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {BM25_TOP}
+"""
+
+
 TFIDF_QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bigram_counts": bigram_counts,
@@ -833,10 +953,12 @@ TFIDF_QUERIES = {
     "inverted_index": inverted_index,
     "dsir_logratio": dsir_logratio,
     "doc_bigram_surprisal": doc_bigram_surprisal,
+    "bm25_topk": bm25_topk,
 }
 TFIDF_ORACLES = {
     "dsir_logratio": DSIR_LOGRATIO_ORACLE,
     "doc_bigram_surprisal": DOC_BIGRAM_SURPRISAL_ORACLE,
+    "bm25_topk": BM25_TOPK_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
     "doc_surprisal": DOC_SURPRISAL_ORACLE,
