@@ -289,6 +289,52 @@ SOURCE_CAP_ORACLE = f"""
 """
 
 
+ES_SAMPLE_K = 50
+
+
+def weighted_sampled_documents(sf_dir: str, k: int = ES_SAMPLE_K) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    each doc gets key = ln(u)/w with u a deterministic per-doc uniform
+    and w = n_chars; the k largest keys are a weight-proportional
+    sample — the length-weighted corpus subset an LLM data mix uses.
+    u comes from the same BIGINT-safe multiplicative hash as
+    `sampled_documents`, so ANY engine reproduces the exact sample
+    (the auditability property, extended from uniform to weighted).
+
+    Scale shape: stateless key computation per batch + LOCAL top-k
+    (mergeable) — the driver merges ≤ k·n_blocks candidate rows; no
+    shuffle at all."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = (ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+        u = (h + 1.0) / (SAMPLE_PRIME + 1.0)  # in (0, 1]
+        w = df["n_chars"].to_numpy().astype(np.float64)
+        df["sample_key"] = np.round(np.log(u) / np.maximum(w, 1.0), 10)
+        df = df.sort_values(["sample_key", "doc_id"], ascending=[False, True])
+        return df.head(k)
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ k × n_blocks rows
+    out = cand.sort_values(["sample_key", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang, source, n_chars,
+           round(ln((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME} + 1.0)
+                    / ({SAMPLE_PRIME} + 1.0))
+                 / greatest(n_chars, 1), 10) AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id ASC LIMIT {ES_SAMPLE_K}
+"""
+
+
 # -------------------------------------- distribution divergence (QA)
 
 def host_stats_ds(pages: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -560,6 +606,7 @@ STATS_QUERIES = {
     "revenue_rollup": revenue_rollup,
     "revenue_cube": revenue_cube,
     "sampled_documents": sampled_documents,
+    "weighted_sampled_documents": weighted_sampled_documents,
     "source_capped_documents": source_capped_documents,
     "source_lang_divergence": source_lang_divergence,
 }
@@ -571,5 +618,6 @@ STATS_ORACLES = {
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
     "revenue_cube": REVENUE_CUBE_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
+    "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,
     "source_capped_documents": SOURCE_CAP_ORACLE,
 }
