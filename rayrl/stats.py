@@ -289,6 +289,77 @@ SOURCE_CAP_ORACLE = f"""
 """
 
 
+MIX_BUDGET = 200
+MIX_FRACS = {"en": 0.50, "de": 0.20, "fr": 0.15, "es": 0.10, "zh": 0.05}
+
+
+def mixed_corpus(
+    sf_dir: str, budget: int = MIX_BUDGET, fracs: "dict[str, float] | None" = None
+) -> "ray.data.Dataset":
+    """Data-mixing: draw a fixed-budget corpus whose language
+    composition matches target fractions (the "50% English, 20%
+    German, …" training-mix stage), each language's share chosen by
+    the deterministic multiplicative-hash rank (ties by doc_id) so any
+    engine reproduces the mix exactly.
+
+    Scale shape: `cap_per_group`'s combiner with per-group quotas — a
+    per-batch local top-k per language bounds what leaves each block
+    (ids only), and the bucketed per-language finish ranks survivors
+    exactly (top-k is mergeable)."""
+    from .shuffle import bucketed_group_apply
+
+    fracs = MIX_FRACS if fracs is None else fracs
+    quotas = {lang: int(round(f * budget)) for lang, f in fracs.items()}
+    kmax = max(quotas.values())
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def _ranked(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        df = df.assign(hrank=(ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+        return df.sort_values(["lang", "hrank", "doc_id"], kind="mergesort")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = _ranked(df)
+        return df[df.groupby("lang", sort=False).cumcount() < kmax]
+
+    partial = ds.map_batches(local_topk, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = _ranked(df)
+        rank = df.groupby("lang", sort=False).cumcount()
+        quota = df["lang"].map(quotas).fillna(0).to_numpy()
+        keep = rank.to_numpy() < quota
+        out = df[keep][["doc_id", "lang"]].copy()
+        out["rk"] = (rank[keep] + 1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partial, ["lang"], finish)
+
+
+def _mix_oracle() -> str:
+    values = ", ".join(
+        f"('{lang}', {int(round(f * MIX_BUDGET))})" for lang, f in MIX_FRACS.items()
+    )
+    return f"""
+    WITH q(lang, quota) AS (VALUES {values}),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+    FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+    """
+
+
+MIXED_CORPUS_ORACLE = _mix_oracle()
+
+
 ES_SAMPLE_K = 50
 
 
@@ -607,6 +678,7 @@ STATS_QUERIES = {
     "revenue_cube": revenue_cube,
     "sampled_documents": sampled_documents,
     "weighted_sampled_documents": weighted_sampled_documents,
+    "mixed_corpus": mixed_corpus,
     "source_capped_documents": source_capped_documents,
     "source_lang_divergence": source_lang_divergence,
 }
@@ -619,5 +691,6 @@ STATS_ORACLES = {
     "revenue_cube": REVENUE_CUBE_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,
+    "mixed_corpus": MIXED_CORPUS_ORACLE,
     "source_capped_documents": SOURCE_CAP_ORACLE,
 }
