@@ -280,6 +280,87 @@ def winnow_doc(data: "object", k: int = WINNOW_K, w: int = WINNOW_W):
     return pos.astype(np.int64), h[pos].view(np.int64)
 
 
+def winnow_batch(col, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Batch-vectorized winnowing over an Arrow string column: ONE set
+    of numpy passes fingerprints every document in the batch at once
+    (k shift-multiply passes over the concatenated bytes, then w
+    gather/min passes over all windows of all docs together), instead
+    of ~15 small numpy calls per document — the per-doc overhead was
+    ~1 ms/doc at 500k docs (winnow_doc loop). Docs whose k-gram count
+    is ≤ w (or shorter than k) fall back to the scalar
+    :func:`winnow_doc`, which stays the reference implementation the
+    parity test checks this kernel against.
+
+    Returns (row_idx, pos, fp) int64 arrays, rows in batch order,
+    positions ascending within a row — byte-identical to calling
+    winnow_doc per row."""
+    import numpy as np
+
+    from .bytekernels import string_view
+
+    data, offsets = string_view(col)
+    n_rows = len(offsets) - 1
+    nbytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    ngrams = np.maximum(nbytes - k + 1, 0)
+    big = ngrams > w  # vectorized path
+    out_row, out_pos, out_fp = [], [], []
+
+    if big.any():
+        # --- k-gram hashes for every position of every big doc
+        starts = offsets[:-1].astype(np.int64)
+        g_cnt = np.where(big, ngrams, 0)
+        g_doc = np.repeat(np.arange(n_rows, dtype=np.int64), g_cnt)
+        g_local = np.arange(int(g_cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(g_cnt) - g_cnt, g_cnt
+        )
+        g_byte = starts[g_doc] + g_local
+        P = np.uint64(0x100000001B3)
+        h = np.zeros(len(g_byte), dtype=np.uint64)
+        for j in range(k):
+            h = h * P + data[g_byte + j]
+        h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
+
+        # --- all windows of all big docs: rightmost window minimum
+        m_cnt = np.where(big, ngrams - w + 1, 0)
+        w_doc = np.repeat(np.arange(n_rows, dtype=np.int64), m_cnt)
+        w_local = np.arange(int(m_cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(m_cnt) - m_cnt, m_cnt
+        )
+        hstart = np.concatenate([[0], np.cumsum(g_cnt)])[:-1]
+        ws = hstart[w_doc] + w_local  # window start in hash space
+        wmin = h[ws].copy()
+        for j in range(1, w):
+            np.minimum(wmin, h[ws + j], out=wmin)
+        bj = np.zeros(len(ws), dtype=np.int64)
+        for j in range(1, w):
+            np.copyto(bj, j, where=h[ws + j] == wmin)  # rightmost match
+        pos_flat = w_local + bj  # k-gram index within the doc
+        # dedup consecutive repeats per doc (first window always kept)
+        keep = np.ones(len(ws), dtype=bool)
+        if len(ws) > 1:
+            same_doc = w_doc[1:] == w_doc[:-1]
+            keep[1:] = ~(same_doc & (pos_flat[1:] == pos_flat[:-1]))
+        out_row.append(w_doc[keep])
+        out_pos.append(pos_flat[keep])
+        out_fp.append(h[hstart[w_doc[keep]] + pos_flat[keep]].view(np.int64))
+
+    # --- scalar fallback for short docs
+    for i in np.nonzero(~big & (nbytes >= k))[0]:
+        p, f = winnow_doc(bytes(data[offsets[i] : offsets[i + 1]]), k, w)
+        out_row.append(np.full(len(p), i, dtype=np.int64))
+        out_pos.append(p)
+        out_fp.append(f)
+
+    if not out_row:
+        e = np.zeros(0, np.int64)
+        return e, e.copy(), e.copy()
+    row = np.concatenate(out_row)
+    pos = np.concatenate(out_pos)
+    fp = np.concatenate(out_fp)
+    order = np.lexsort((pos, row))  # batch order, positions ascending
+    return row[order], pos[order], fp[order]
+
+
 def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
     """Rolling-hash document fingerprints (winnowing) — the
     plagiarism/near-dup fingerprint set per doc, exploded to
@@ -291,17 +372,13 @@ def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
     def fp(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        ids, poss, fps = [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            p, f = winnow_doc((t or "").encode(), k, w)
-            ids.append(np.full(len(p), did, dtype=np.int64))
-            poss.append(p)
-            fps.append(f)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        row, pos, f = winnow_batch(batch.column("text").combine_chunks(), k, w)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(ids) if ids else [], pa.int64()),
-                "pos": pa.array(np.concatenate(poss) if poss else [], pa.int64()),
-                "fp": pa.array(np.concatenate(fps) if fps else [], pa.int64()),
+                "doc_id": pa.array(ids[row], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "fp": pa.array(f, pa.int64()),
             }
         )
 
@@ -345,21 +422,23 @@ def duplicated_spans(
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def occ(batch: pa.Table) -> pa.Table:
-        """ONE winnow pass → per-doc distinct (doc_id, fp, rep) rows."""
-        ids_out, fps_out, rep_out = [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            _, f = winnow_doc((t or "").encode(), k, w)
-            u, c = np.unique(f, return_counts=True)
-            ids_out.append(np.full(len(u), did, dtype=np.int64))
-            fps_out.append(u)
-            rep_out.append((c > 1).astype(np.int8))
+        """ONE winnow pass → per-doc distinct (doc_id, fp, rep) rows
+        (batched kernel; the per-doc distinct falls out of one lexsort
+        over (row, fp))."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        row, _pos, f = winnow_batch(batch.column("text").combine_chunks(), k, w)
+        order = np.lexsort((f, row))
+        row, f = row[order], f[order]
+        first = np.ones(len(row), dtype=bool)
+        first[1:] = (row[1:] != row[:-1]) | (f[1:] != f[:-1])
+        # rep: a (row, fp) run longer than 1 → in-doc repeat
+        run_end = np.append(np.nonzero(first)[0][1:], len(row))
+        run_len = np.diff(np.concatenate([[0], run_end]))
         return pa.table(
             {
-                "doc_id": pa.array(
-                    np.concatenate(ids_out) if ids_out else [], pa.int64()
-                ),
-                "fp": pa.array(np.concatenate(fps_out) if fps_out else [], pa.int64()),
-                "rep": pa.array(np.concatenate(rep_out) if rep_out else [], pa.int8()),
+                "doc_id": pa.array(ids[row[first]], pa.int64()),
+                "fp": pa.array(f[first], pa.int64()),
+                "rep": pa.array((run_len > 1).astype(np.int8), pa.int8()),
             }
         )
 

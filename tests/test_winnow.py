@@ -57,3 +57,27 @@ def test_winnow_edges():
     assert len(winnow_doc(b"abc")[0]) == 0  # shorter than k
     p, f = winnow_doc(b"a" * 100)  # all-identical hashes
     assert len(p) >= 1 and len(set(f.tolist())) == 1
+
+
+def test_winnow_batch_parity_random_lengths():
+    """winnow_batch == winnow_doc per row, byte-identical, across the
+    full length spectrum (sub-k, n<=w fallback, vectorized path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayrl.text import WINNOW_K, WINNOW_W, winnow_batch, winnow_doc
+
+    rng = np.random.default_rng(17)
+    texts = []
+    for n in [0, 3, WINNOW_K - 1, WINNOW_K, WINNOW_K + WINNOW_W - 1,
+              WINNOW_K + WINNOW_W, 40, 123, 400, 1500]:
+        texts.append("".join(rng.choice(list("abcdefgh "), size=n)))
+    # planted repeats to exercise dedup + in-doc repetition
+    texts.append("same same same same same same same same")
+    col = pa.array(texts, pa.string())
+    row, pos, fp = winnow_batch(col)
+    for i, t in enumerate(texts):
+        p_ref, f_ref = winnow_doc(t.encode())
+        m = row == i
+        assert pos[m].tolist() == p_ref.tolist(), (i, len(t))
+        assert fp[m].tolist() == f_ref.tolist(), (i, len(t))
