@@ -95,5 +95,25 @@ PROPS_VALUE_BY_K_ORACLE = """
     FROM events GROUP BY 1
 """
 
+def export_jsonl(ds: "ray.data.Dataset", out_dir: str) -> dict:
+    """Write a corpus as partitioned JSONL shards (the LLM-training
+    interchange format — one JSON object per line, one file per block,
+    never one giant file, so a failed export reruns per shard and a
+    trainer streams shards independently). Returns a manifest
+    {n_rows, n_files}."""
+    import os
+
+    ds = ds.materialize()
+    ds.write_json(out_dir)
+    files = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    return {"n_rows": ds.count(), "n_files": len(files)}
+
+
+def read_jsonl(path: str) -> "ray.data.Dataset":
+    """Read a JSONL shard directory back as a Dataset (Arrow-native
+    line-JSON reader; schema inferred per shard, unified on read)."""
+    return ray.data.read_json(path)
+
+
 JSON_QUERIES = {"props_value_by_k": props_value_by_k}
 JSON_ORACLES = {"props_value_by_k": PROPS_VALUE_BY_K_ORACLE}

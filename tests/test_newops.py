@@ -382,3 +382,30 @@ def test_duplicated_spans_planted_and_paths_agree(tmp_path, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, joined, check_dtype=False)
+
+
+# ------------------------------------------------- jsonl round-trip
+
+def test_jsonl_export_roundtrip(ray_session, tmp_path):
+    """documents → partitioned JSONL shards → read back: row-identical;
+    multiple shards, never one giant file."""
+    from rayrl.jsonops import export_jsonl, read_jsonl
+
+    src = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    ).repartition(4)
+    out = str(tmp_path / "jsonl")
+    mf = export_jsonl(src, out)
+    assert mf["n_rows"] == 500 and mf["n_files"] >= 4
+
+    back = (
+        read_jsonl(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "text", "lang"]]
+    )
+    orig = src.to_pandas().sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "text", "lang"]
+    ]
+    pd.testing.assert_frame_equal(back, orig, check_dtype=False)
