@@ -427,6 +427,9 @@ def duplicated_spans(
         over (row, fp))."""
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         row, _pos, f = winnow_batch(batch.column("text").combine_chunks(), k, w)
+        if not len(row):  # every doc sub-k: no fingerprints
+            e = pa.array([], pa.int64())
+            return pa.table({"doc_id": e, "fp": e, "rep": pa.array([], pa.int8())})
         order = np.lexsort((f, row))
         row, f = row[order], f[order]
         first = np.ones(len(row), dtype=bool)

@@ -409,3 +409,21 @@ def test_jsonl_export_roundtrip(ray_session, tmp_path):
         ["doc_id", "text", "lang"]
     ]
     pd.testing.assert_frame_equal(back, orig, check_dtype=False)
+
+
+def test_duplicated_spans_all_short_docs(ray_session, tmp_path):
+    """A corpus of sub-k docs has no fingerprints: empty result, no
+    length-mismatch crash in the occ pass."""
+    import pyarrow.parquet as pq
+
+    from rayrl.text import duplicated_spans
+
+    t = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()),
+         "text": pa.array(["ab", "c", "", "defg", "hi"], pa.string())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = duplicated_spans(str(d)).to_pandas()
+    assert len(got) == 0
