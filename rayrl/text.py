@@ -544,6 +544,89 @@ def duplicated_spans(
     return per_doc.map_batches(finish, batch_format="pandas")
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    sf_dir: str, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+):
+    """(doc_id, chunk_id, n_tokens, chunk): overlapping token-window
+    chunks — the RAG / embedding-pipeline splitter (every doc becomes
+    ⌈n/stride⌉ windows of ``chunk_tokens`` tokens advancing by
+    stride = chunk_tokens − overlap, last window ragged).
+
+    Scale shape: fully Arrow-vectorized, zero Python per row — chunks
+    are emitted BY ORDINAL: iteration j slices window j from every doc
+    that has one (`pc.list_slice` + `pc.binary_join`), so the loop runs
+    max-chunks-per-doc times (tiny), not rows times. Single-space join
+    of a single-space split is the identity, so chunk texts are exact
+    substrings. Stateless map_batches; no shuffle."""
+    stride = chunk_tokens - overlap
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        j = 0
+        while True:
+            start = j * stride
+            mask = lens > start if j else np.ones(len(lens), dtype=bool)
+            if not mask.any():
+                break
+            sel = pa.array(np.nonzero(mask)[0])
+            sliced = pc.list_slice(split.take(sel), start, start + chunk_tokens)
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[mask]),
+                        "chunk_id": pa.array(
+                            np.full(int(mask.sum()), j, dtype=np.int64)
+                        ),
+                        "n_tokens": pc.list_value_length(sliced).cast(pa.int64()),
+                        "chunk": pc.binary_join(sliced, " "),
+                    }
+                )
+            )
+            j += 1
+        return pa.concat_tables(out) if out else pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _chunk_oracle() -> str:
+    s = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), {s})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start / {s} AS BIGINT) AS chunk_id,
+           CAST(least(start + {CHUNK_TOKENS}, len(toks)) - start AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : least(start + {CHUNK_TOKENS}, len(toks))], ' ') AS chunk
+    FROM c
+    """
+
+
+CHUNK_DOCUMENTS_ORACLE = _chunk_oracle()
+
+
 class RepetitionScorer:
     """Actor-pool stage: Gopher-style repetition filters per doc (Rae
     et al. 2021 §A1.1 shapes): duplicate-line fraction, duplicate-word
@@ -736,6 +819,7 @@ TEXT_QUERIES = {
     "pii_scan": pii_scan,
     "normalized_documents": normalized_documents,
     "duplicated_spans": duplicated_spans,
+    "chunk_documents": chunk_documents,
 }
 
 def _lang_id_oracle() -> str:
@@ -787,6 +871,7 @@ def _lang_id_oracle() -> str:
 
 
 TEXT_ORACLES = {
+    "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
     "lang_id": _lang_id_oracle(),
     "token_counts": r"""
         SELECT doc_id,
