@@ -304,12 +304,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(DECONTAM_QUERIES)
     from rayrl.boilerplate import BOILERPLATE_QUERIES
     from rayrl.bpe import BPE_QUERIES
+    from rayrl.rag import RAG_QUERIES
     from rayrl.kmeans import KMEANS_QUERIES
     from rayrl.mlfilter import MLFILTER_QUERIES
     from rayrl.streamdedup import STREAM_DEDUP_QUERIES
 
     out.update(BOILERPLATE_QUERIES)
     out.update(BPE_QUERIES)
+    out.update(RAG_QUERIES)
     out.update(KMEANS_QUERIES)
     out.update(MLFILTER_QUERIES)
     out.update(STREAM_DEDUP_QUERIES)

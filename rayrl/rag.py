@@ -1,0 +1,136 @@
+"""RAG-ingestion composite: chunk → embed → retrieve, end to end over
+the documents table.
+
+The embedding is a REAL featurization, not a stub: the hashing trick +
+signed random projection (each token hashes to a 64-bit value whose
+bits are its ±1 projection row — the SimHash construction read as a
+dense vector), L2-normalized. Cosine between chunk vectors then
+approximates token-multiset similarity, which is exactly what the
+retrieval property test asserts (an overlapping window of the same doc
+is the nearest neighbour). A model-based embedder drops into the same
+actor signature.
+
+Scale shape: chunking is the Arrow-vectorized `text.chunk_documents`
+pass; embedding is one stateless map_batches (tokens never leave the
+batch — the per-chunk vector falls out of an np.add.reduceat over the
+unpacked sign bits); retrieval is the `ann.ann_topk` broadcast +
+local-top-k shape (queries ride ONE ray.put, each batch emits ≤
+n_queries·k candidate rows). No shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .bytekernels import content_hash64
+from .rng import _splitmix64
+from .text import CHUNK_OVERLAP, CHUNK_TOKENS, chunk_documents
+
+EMB_DIM = 64
+RAG_K = 5
+RAG_N_QUERIES = 3
+
+
+def _embed_table(batch: pa.Table) -> pa.Table:
+    """(doc_id, chunk_id, embedding): hashed ±1 projection of the
+    chunk's token multiset, L2-normalized float32."""
+    split = pc.split_pattern(batch.column("chunk").combine_chunks(), " ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = content_hash64(pc.list_flatten(split)).view(np.uint64)
+    # 64 sign bits per token = its projection row
+    bits = (
+        (h[:, None] >> np.arange(EMB_DIM, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.float64) * 2.0 - 1.0
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.int64)
+    sums = np.zeros((len(lens), EMB_DIM), dtype=np.float64)
+    nz = lens > 0
+    if nz.any() and len(bits):
+        seg = np.add.reduceat(bits, starts[nz], axis=0)
+        # reduceat repeats the previous segment on empty ones; nz rows
+        # all have length > 0 and starts[nz] is strictly increasing
+        sums[nz] = seg
+    norm = np.linalg.norm(sums, axis=1, keepdims=True)
+    emb = (sums / np.maximum(norm, 1e-12)).astype(np.float32)
+    off = pa.array(np.arange(0, (len(lens) + 1) * EMB_DIM, EMB_DIM, dtype=np.int32))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "chunk_id": batch.column("chunk_id"),
+            "embedding": pa.ListArray.from_arrays(off, pa.array(emb.ravel())),
+        }
+    )
+
+
+def chunk_embeddings(
+    sf_dir: str, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+):
+    """Chunk the corpus and embed every chunk."""
+    chunks = chunk_documents(sf_dir, chunk_tokens, overlap)
+    return chunks.map_batches(_embed_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rag_topk(
+    sf_dir: str,
+    k: int = RAG_K,
+    n_queries: int = RAG_N_QUERIES,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+):
+    """Retrieve the k nearest chunks (cosine) for the first chunk of
+    the first ``n_queries`` documents — the query side of the RAG
+    store. Output (query_doc, rank, doc_id, chunk_id, sim); the query
+    chunk itself is excluded."""
+    emb = chunk_embeddings(sf_dir, chunk_tokens, overlap).materialize()
+
+    q = (
+        emb.filter(expr=f"doc_id < {n_queries} and chunk_id == 0")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qids = q["doc_id"].to_numpy().astype(np.int64)
+    qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    ref = ray.put((qids, qm))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids_, mat = ray.get(ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        emb_ = flat.reshape(len(d), -1).astype(np.float64)
+        sims = mat @ emb_.T  # (nq, batch)
+        rows = []
+        for qi in range(len(ids_)):
+            s = np.round(sims[qi], 6)
+            s[(d == ids_[qi]) & (c == 0)] = -2.0  # exclude the query chunk
+            take = min(k, len(s))
+            top = np.lexsort((c, d, -s))[:take]
+            for j in top:
+                rows.append((int(ids_[qi]), int(d[j]), int(c[j]), float(s[j])))
+        return pd.DataFrame(rows, columns=["query_doc", "doc_id", "chunk_id", "sim"])
+
+    cand = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ n_queries·k·n_blocks rows
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "doc_id", "chunk_id"], ascending=[False, True, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_doc", "rank", "doc_id", "chunk_id", "sim"]]
+
+    out = cand.groupby("query_doc", sort=True, group_keys=False).apply(head)
+    return out.reset_index(drop=True)
+
+
+RAG_QUERIES = {"rag_topk": rag_topk}
