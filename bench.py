@@ -125,6 +125,10 @@ def run_bench() -> dict:
         "dsir_logratio",
         "duplicated_spans",
         "quality_classifier",
+        "bm25_topk",
+        "chunk_documents",
+        "rag_topk",
+        "bpe_token_counts",
     ):
         fn = entry_mod.queries()[qname]
         best = None
