@@ -188,7 +188,13 @@ def predict_links_raw(vectors_ds, scorer_cls, scorer_args=(), concurrency=(1, 8)
 
 
 def predict_links_logistic(vectors_ds, params: "dict | None" = None, **fit_kw):
-    """Convenience: fit (if needed) + broadcast + predict."""
+    """Convenience: fit (if needed) + broadcast + predict. The vector
+    Dataset is materialized ONCE up front — fit (count + collect) and
+    predict would otherwise each re-execute the whole upstream
+    feature pipeline (measured: 94 s → 38 s at the sf0.01 fixture);
+    the labeled product is bounded by (1+neg_ratio)·|matches| by
+    construction, so the materialization is small."""
+    vectors_ds = vectors_ds.materialize()
     if params is None:
         params = fit_logistic(vectors_ds, **fit_kw)
     ref = ray.put(params)

@@ -115,6 +115,10 @@ def sample_strat(
     the Rmd's sample_strat + test_indices."""
     m = int(np.ceil(n * match_frac))
     targets = {"match": m, "unmatch": n - m}
+    # materialize once: the cutoff scan and the split would otherwise
+    # each re-execute the upstream feature pipeline (the labeled
+    # product is bounded by (1+neg_ratio)·|matches| by construction)
+    vectors_ds = vectors_ds.materialize()
     cutoffs = _stratum_cutoffs(vectors_ds, targets, label, seed)
     train, test = _split_by_cutoff(vectors_ds, cutoffs, label, seed)
     return {"train": train, "test": test, "targets": targets}
