@@ -129,7 +129,18 @@ def er_feature_vectors(sf_dir: str):
     return _feature_vectors(sf_dir)
 
 
+_VECTOR_CACHE: dict = {}
+
+
 def _feature_vectors(sf_dir: str):
+    """Labeled 23-metric vectors for the er_* queries. Cached
+    MATERIALIZED per sf_dir: four queries (labeled_pairs,
+    feature_vectors, predict_links, sample_strat) consume the same
+    ~25 s build — the driver runs them in one process, so the cache
+    saves three rebuilds (the product is bounded by
+    (1+neg_ratio)·|matches|, small)."""
+    if sf_dir in _VECTOR_CACHE:
+        return _VECTOR_CACHE[sf_dir]
     from rayrl import pipeline, synth
     from rayrl.errors.injector import strip_ledger
     from rayrl.linkage.blocking import LinkageConfig
@@ -140,7 +151,9 @@ def _feature_vectors(sf_dir: str):
     dirty = strip_ledger(
         pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
     ).materialize()
-    return feature_vectors(clean, dirty, LinkageConfig(), seed=3)
+    vecs = feature_vectors(clean, dirty, LinkageConfig(), seed=3).materialize()
+    _VECTOR_CACHE[sf_dir] = vecs
+    return vecs
 
 
 def er_predict_links(sf_dir: str):
