@@ -133,4 +133,82 @@ def rag_topk(
     return out.reset_index(drop=True)
 
 
-RAG_QUERIES = {"rag_topk": rag_topk}
+N_ANCHORS = 64
+
+
+def contrastive_pairs(
+    sf_dir: str,
+    n_anchors: int = N_ANCHORS,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    seed: int = 5,
+):
+    """(anchor_doc, pos_chunk_id, neg_doc, neg_chunk_id, neg_sim):
+    training pairs for an embedding model — anchor = a doc's first
+    chunk, positive = its overlapping second chunk, hard negative =
+    the most cosine-similar CROSS-document chunk (hard-negative mining,
+    the DPR/contrastive-pretraining data-prep stage).
+
+    Anchors are a deterministic hash-gated sample of the docs that
+    have ≥ 2 chunks (rng counter stream on doc_id — identical at any
+    parallelism). The negative scan is the rag_topk broadcast shape:
+    anchors ride ONE ray.put, each batch emits its best cross-doc
+    candidate per anchor, the driver keeps the max. At full-corpus
+    anchor counts, swap the brute scan for the IVF bucket probe
+    (ann.ann_ivf_topk) — same emit contract."""
+    from .rng import hash_u64, tag_for
+
+    emb = chunk_embeddings(sf_dir, chunk_tokens, overlap).materialize()
+
+    # anchor sample: docs with a chunk_id==1 (⇒ ≥2 chunks), smallest hashes
+    two = emb.filter(expr="chunk_id == 1").select_columns(["doc_id"]).to_pandas()
+    ids = two["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(hash_u64(ids, seed, tag_for("rag.anchors")), kind="stable")
+    anchor_ids = np.sort(ids[order[:n_anchors]])
+
+    a = (
+        emb.filter(expr="chunk_id == 0")
+        .to_pandas()
+        .set_index("doc_id")
+        .loc[anchor_ids]
+        .reset_index()
+    )
+    qm = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+    ref = ray.put((anchor_ids, qm))
+
+    def best_negative(batch: pa.Table) -> pd.DataFrame:
+        ids_, mat = ray.get(ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        emb_ = pc.list_flatten(col).to_numpy(zero_copy_only=False).reshape(len(d), -1)
+        sims = mat @ emb_.T.astype(np.float64)
+        rows = []
+        for qi in range(len(ids_)):
+            s = np.round(sims[qi], 6)
+            s[d == ids_[qi]] = -2.0  # negatives must be cross-document
+            j = int(np.lexsort((c, d, -s))[0])
+            rows.append((int(ids_[qi]), int(d[j]), int(c[j]), float(s[j])))
+        return pd.DataFrame(
+            rows, columns=["anchor_doc", "neg_doc", "neg_chunk_id", "neg_sim"]
+        )
+
+    cand = emb.map_batches(
+        best_negative, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ n_anchors × n_blocks rows
+    best = (
+        cand.sort_values(
+            ["neg_sim", "neg_doc", "neg_chunk_id"], ascending=[False, True, True]
+        )
+        .groupby("anchor_doc", sort=True)
+        .head(1)
+        .sort_values("anchor_doc")
+        .reset_index(drop=True)
+    )
+    best["pos_chunk_id"] = 1  # the overlapping window of the anchor doc
+    return best[["anchor_doc", "pos_chunk_id", "neg_doc", "neg_chunk_id", "neg_sim"]]
+
+
+RAG_QUERIES = {"rag_topk": rag_topk, "contrastive_pairs": contrastive_pairs}

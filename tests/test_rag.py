@@ -51,3 +51,16 @@ def test_rag_topk_overlap_property(ray_session, tmp_path):
     # deterministic rerun
     again = rag_topk(str(sf), k=5, n_queries=3)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_contrastive_pairs_semantics(ray_session):
+    from rayrl.rag import contrastive_pairs
+
+    out = contrastive_pairs("/root/testdata/sf0.01", n_anchors=16)
+    assert len(out) == 16
+    # hard negatives are cross-document, positives same-doc by construction
+    assert (out["neg_doc"] != out["anchor_doc"]).all()
+    assert (out["pos_chunk_id"] == 1).all()
+    assert out["neg_sim"].between(-1, 1).all()
+    again = contrastive_pairs("/root/testdata/sf0.01", n_anchors=16)
+    pd.testing.assert_frame_equal(out, again)
