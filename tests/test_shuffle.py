@@ -70,3 +70,83 @@ def test_host_stats_counts(ray_session):
             exp[["host", "n_pages", "total_chars", "n_langs"]],
             check_dtype=False,
         )
+
+
+# ---------------------------------------- property tests (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=0, max_value=5),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lkeys=st.lists(_key, min_size=0, max_size=30),
+    rkeys=st.lists(_key, min_size=0, max_size=30),
+)
+def test_bucketed_join_matches_pandas_merge(ray_session, lkeys, rkeys):
+    """bucketed_join(inner) over arbitrary int64 keys (including ±2^62
+    magnitudes and heavy duplicates) row-multiset-equals pandas merge."""
+    left = pd.DataFrame(
+        {"k": pd.Series(lkeys, dtype="int64"),
+         "lv": pd.Series(range(len(lkeys)), dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"k": pd.Series(rkeys, dtype="int64"),
+         "rv": pd.Series(range(len(rkeys)), dtype="int64")}
+    )
+    expect = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    got = bucketed_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"], num_buckets=4
+    ).to_pandas()
+    if expect.empty:
+        assert got.empty  # empty joins may come back schemaless
+        return
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], expect[["k", "lv", "rv"]], check_dtype=False
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(st.text(alphabet="abcd", max_size=3), st.just("")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_group_agg_matches_pandas_groupby(ray_session, keys):
+    """group_agg sum/size over arbitrary small string keys equals a
+    pandas groupby (bucket hashing must neither drop nor merge keys)."""
+    from rayrl.shuffle import group_agg
+
+    df = pd.DataFrame({"k": keys, "v": np.arange(len(keys), dtype=np.int64)})
+    expect = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = (
+        group_agg(ray.data.from_pandas(df), ["k"], {"s": ("v", "sum"), "n": ("v", "size")},
+                  num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "s", "n"]], expect[["k", "s", "n"]], check_dtype=False
+    )
