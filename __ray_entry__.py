@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(JSON_QUERIES)
     out.update(DECONTAM_QUERIES)
     from rayrl.boilerplate import BOILERPLATE_QUERIES
+    from rayrl.paradedup import PARA_DEDUP_QUERIES
     from rayrl.bpe import BPE_QUERIES
     from rayrl.rag import RAG_QUERIES
     from rayrl.kmeans import KMEANS_QUERIES
@@ -323,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.streamdedup import STREAM_DEDUP_QUERIES
 
     out.update(BOILERPLATE_QUERIES)
+    out.update(PARA_DEDUP_QUERIES)
     out.update(BPE_QUERIES)
     out.update(RAG_QUERIES)
     out.update(KMEANS_QUERIES)
@@ -400,8 +402,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(JSON_ORACLES)
     out.update(DECONTAM_ORACLES)
     from rayrl.boilerplate import BOILERPLATE_ORACLES
+    from rayrl.paradedup import PARA_DEDUP_ORACLES
 
     out.update(BOILERPLATE_ORACLES)
+    out.update(PARA_DEDUP_ORACLES)
     out["ann_topk"] = ANN_TOPK_ORACLE
     out["label_centroids"] = LABEL_CENTROIDS_ORACLE
     out["embedding_norms"] = EMBEDDING_NORMS_ORACLE

@@ -124,6 +124,7 @@ def run_bench() -> dict:
         "inverted_index",
         "dsir_logratio",
         "duplicated_spans",
+        "paragraph_deduped",
         "quality_classifier",
         "bm25_topk",
         "chunk_documents",

@@ -341,6 +341,73 @@ def test_merge_upsert_paths_and_semantics():
     assert not non_mut["text"].str.endswith(" v2").any()
 
 
+# ------------------------------------------------- paragraph dedup
+
+def _para_fixture_dir(tmp_path):
+    """Planted multi-paragraph docs: 'THE COPIED PARAGRAPH BODY' rides
+    docs 0/2/4 (kept only in doc 0); 'twin paragraph inside one doc'
+    appears twice inside doc 1 (second copy dropped — keep-first is
+    global, not per-doc); 'hey' is everywhere but under min_len →
+    always kept."""
+    import pyarrow.parquet as pq
+
+    texts = [
+        "alpha opening\n\nTHE COPIED PARAGRAPH BODY\n\nhey",
+        "twin paragraph inside one doc\n\ntwin paragraph inside one doc",
+        "gamma opening\n\nTHE COPIED PARAGRAPH BODY",
+        "delta unique body paragraph\n\nhey",
+        "hey\n\nTHE COPIED PARAGRAPH BODY\n\nepsilon closing",
+        "zeta clean document body",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s0", "s1", "s2", "s0", "s1", "s2"], pa.string()),
+        }
+    )
+    d = tmp_path / "para_sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_paragraph_dedup_keep_first_and_paths_agree(tmp_path, ray_session):
+    from rayrl.paradedup import paragraph_deduped
+
+    sf = _para_fixture_dir(tmp_path)
+    got = (
+        paragraph_deduped(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # every doc survives (unique DOC header paragraph is always kept)
+    assert got["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert (
+        got["text"].str.split("\n\n").str[0] == "DOC " + got["doc_id"].astype(str)
+    ).all()
+    # copied paragraph kept exactly once, in the FIRST doc (doc 0)
+    hits = got["text"].str.count("THE COPIED PARAGRAPH BODY")
+    assert hits.tolist() == [1, 0, 0, 0, 0, 0]
+    # in-doc second copy dropped too (global keep-first)
+    assert got.loc[1, "text"].count("twin paragraph inside one doc") == 1
+    # trailer kept once per source, in that source's first doc
+    trail = got["text"].str.count("SHARED TRAILER ")
+    assert trail.tolist() == [1, 1, 1, 0, 0, 0]
+    # sub-min_len paragraph always kept
+    assert got["text"].str.split("\n\n").apply(lambda p: p.count("hey")).tolist() == [
+        1, 0, 0, 1, 1, 0,
+    ]
+    # n_removed accounts for every dropped paragraph
+    assert got["n_removed"].tolist() == [0, 1, 1, 1, 2, 1]
+
+    joined = (
+        paragraph_deduped(sf, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, joined, check_dtype=False)
+
+
 # ------------------------------------------------- duplicated spans
 
 def test_duplicated_spans_planted_and_paths_agree(tmp_path, ray_session):
