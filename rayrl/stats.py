@@ -360,6 +360,94 @@ def _mix_oracle() -> str:
 MIXED_CORPUS_ORACLE = _mix_oracle()
 
 
+# ------------------------------------------- token-budget data mixing
+
+TOKEN_QUOTAS = {"en": 30_000, "de": 12_000, "fr": 9_000, "es": 6_000, "zh": 3_000}
+
+
+def token_budget_mix(
+    sf_dir: str, quotas: "dict[str, int] | None" = None
+) -> "ray.data.Dataset":
+    """Token-budget data mixing — the realistic training-mix unit:
+    each language gets an absolute TOKEN budget (n_chars as the
+    deterministic token proxy the oracle shares) and docs are taken in
+    multiplicative-hash-rank order while the budget lasts, INCLUDING
+    the doc that crosses it (standard take-until-exhausted). Differs
+    from `mixed_corpus` (doc-count quotas): corpus mixes are specified
+    in tokens, and doc length varies 100×.
+
+    Scale shape: the prefix-sum cut is not top-k, but it prunes the
+    same way — a doc kept globally has global cum_before < quota, and
+    the batch-local prefix (same rank order restricted to the batch, a
+    subset) is ≤ the global one, so the per-batch combiner keeps docs
+    with LOCAL cum_before < quota: a safe superset bounded by
+    quota/min_doc_len rows per language per block (ids + lengths only
+    leave the block). The bucketed per-language finish computes the
+    exact global prefix over survivors. Combiner-vs-global equivalence
+    is layout-tested in test_newops."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return token_budget_mix_ds(ds, quotas)
+
+
+def token_budget_mix_ds(ds, quotas: "dict[str, int] | None" = None):
+    """The budget-cut kernel over any (doc_id, lang, n_chars) dataset
+    (see token_budget_mix)."""
+    from .shuffle import bucketed_group_apply
+
+    quotas = TOKEN_QUOTAS if quotas is None else quotas
+
+    def _ranked(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        df = df.assign(hrank=(ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+        return df.sort_values(["lang", "hrank", "doc_id"], kind="mergesort")
+
+    def local_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = _ranked(df)
+        n = df["n_chars"].to_numpy().astype(np.int64)
+        cum = df.assign(n=n).groupby("lang", sort=False)["n"].cumsum().to_numpy()
+        quota = df["lang"].map(quotas).fillna(0).to_numpy()
+        return df[(cum - n) < quota]
+
+    partial = ds.map_batches(local_prefix, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = _ranked(df)
+        n = df["n_chars"].to_numpy().astype(np.int64)
+        cum = df.assign(n=n).groupby("lang", sort=False)["n"].cumsum().to_numpy()
+        quota = df["lang"].map(quotas).fillna(0).to_numpy()
+        keep = (cum - n) < quota
+        out = df[keep][["doc_id", "lang"]].copy()
+        out["cum_chars"] = cum[keep].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(partial, ["lang"], finish)
+
+
+def _token_mix_oracle() -> str:
+    values = ", ".join(f"('{lang}', {q})" for lang, q in TOKEN_QUOTAS.items())
+    return f"""
+    WITH q(lang, quota) AS (VALUES {values}),
+    r AS (
+        SELECT doc_id, lang, n_chars,
+               ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME} AS hrank
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY hrank, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM r
+    )
+    SELECT c.doc_id, c.lang, CAST(c.cum AS BIGINT) AS cum_chars
+    FROM c JOIN q USING (lang) WHERE c.cum - c.n_chars < q.quota
+    """
+
+
+TOKEN_BUDGET_MIX_ORACLE = _token_mix_oracle()
+
+
 ES_SAMPLE_K = 50
 
 
@@ -679,6 +767,7 @@ STATS_QUERIES = {
     "sampled_documents": sampled_documents,
     "weighted_sampled_documents": weighted_sampled_documents,
     "mixed_corpus": mixed_corpus,
+    "token_budget_mix": token_budget_mix,
     "source_capped_documents": source_capped_documents,
     "source_lang_divergence": source_lang_divergence,
 }
@@ -692,5 +781,6 @@ STATS_ORACLES = {
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,
     "mixed_corpus": MIXED_CORPUS_ORACLE,
+    "token_budget_mix": TOKEN_BUDGET_MIX_ORACLE,
     "source_capped_documents": SOURCE_CAP_ORACLE,
 }

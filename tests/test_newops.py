@@ -341,6 +341,51 @@ def test_merge_upsert_paths_and_semantics():
     assert not non_mut["text"].str.endswith(" v2").any()
 
 
+# ------------------------------------------------- token-budget mix
+
+def test_token_budget_mix_layout_independent_and_exact(ray_session):
+    """The local-prefix combiner must equal a single global prefix cut
+    at ANY block layout (the kept set is order-defined, not
+    count-defined), including the quota-crossing doc."""
+    from rayrl.stats import SAMPLE_MOD, SAMPLE_MUL, SAMPLE_PRIME, token_budget_mix_ds
+
+    rs = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) * 7 + 3,
+            "lang": rs.choice(["en", "de", "zh"], n),
+            # 100× length spread so the crossing doc matters
+            "n_chars": rs.randint(10, 1000, n).astype(np.int64),
+        }
+    )
+    quotas = {"en": 5_000, "de": 2_000, "zh": 800}
+
+    ref = df.assign(hrank=(df["doc_id"] % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+    ref = ref.sort_values(["lang", "hrank", "doc_id"], kind="mergesort")
+    cum = ref.groupby("lang", sort=False)["n_chars"].cumsum()
+    keep = (cum - ref["n_chars"]) < ref["lang"].map(quotas)
+    expect = (
+        ref[keep]
+        .assign(cum_chars=cum[keep].astype(np.int64))[["doc_id", "lang", "cum_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(expect) < n  # every quota binds
+
+    for nblocks in (1, 7, 64):
+        ds = ray.data.from_pandas(
+            [d for _, d in df.groupby(np.arange(n) % nblocks, sort=False)]
+        )
+        got = (
+            token_budget_mix_ds(ds, quotas)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 # ------------------------------------------------- paragraph dedup
 
 def _para_fixture_dir(tmp_path):
