@@ -462,10 +462,167 @@ EMBEDDING_NORMS_ORACLE = """
 """
 
 
+# ------------------------------------------- product quantization (PQ)
+
+_PQ_TRAIN_MAX = 200_000
+
+
+def train_pq_codebooks(
+    emb_ds, m_sub: int = 8, n_codes: int = 32, iters: int = 8, seed: int = 0
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (Jégou et al. 2011 product
+    quantization): the normalized vectors are split into ``m_sub``
+    contiguous subvectors and each subspace gets ``n_codes`` Euclidean
+    centroids. Deterministic at any parallelism, same recipe as
+    `train_ivf_centroids`: hash-gated bounded sample, sorted by vec_id
+    (fixed float summation order), init = first ``n_codes`` sample rows
+    in hash order, fixed Lloyd steps on the driver, argmin ties → the
+    lowest code; empty codes keep their previous centroid. Returns
+    (m_sub, n_codes, dim/m_sub) float64."""
+    n = emb_ds.count()
+    tag = rng.tag_for("ann.pq_train")
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        if n <= _PQ_TRAIN_MAX:
+            return batch
+        cut = np.uint64(int(_PQ_TRAIN_MAX / n * 2**64))
+        h = rng.hash_u64(batch["vec_id"].to_numpy(), seed, tag)
+        return batch[h < cut]
+
+    df = emb_ds.map_batches(gate, batch_format="pandas").to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    assert dim % m_sub == 0, "m_sub must divide the embedding dim"
+    dsub = dim // m_sub
+    order = np.argsort(
+        rng.hash_u64(df["vec_id"].to_numpy(), seed, rng.tag_for("ann.pq_init")),
+        kind="stable",
+    )
+    books = np.empty((m_sub, n_codes, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        C = Xj[order[:n_codes]].copy()
+        for _ in range(iters):
+            # argmin ||x-c||² = argmin(||c||² - 2x·c); ties → lowest code
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                m = assign == c
+                if m.any():
+                    C[c] = Xj[m].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _pq_encode(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, m_sub) uint8 codes: per-subspace Euclidean argmin (ties →
+    lowest code). Pure per-row function of the broadcast codebooks —
+    identical at any block layout."""
+    m_sub, n_codes, dsub = books.shape
+    codes = np.empty((emb.shape[0], m_sub), dtype=np.uint8)
+    for j in range(m_sub):
+        Xj = emb[:, j * dsub : (j + 1) * dsub]
+        C = books[j]
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_codes(sf_dir: str, m_sub: int = 8, n_codes: int = 32, seed: int = 0):
+    """(vec_id, codes list<int64>): the materialized PQ compression of
+    the embedding column — m_sub bytes per vector instead of dim×4 (a
+    100-TB vector corpus compresses ~32× before it ever rides a shuffle
+    or an index build). Codebooks broadcast once; encoding is one
+    matmul per subspace per batch."""
+    books = train_pq_codebooks(_read_emb(sf_dir), m_sub, n_codes, seed=seed)
+    ref = ray.put(books)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        codes = _pq_encode(emb, b).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "codes": list(codes)}
+        )
+
+    return _read_emb(sf_dir).map_batches(encode, batch_format="pandas", batch_size=4096)
+
+
+def ann_pq_topk(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    seed: int = 0,
+    batch_size: int = 4096,
+):
+    """PQ asymmetric-distance (ADC) ANN — the memory-bound scale path:
+    corpus vectors are quantized to ``m_sub`` byte codes and each query
+    scores a row with m_sub table LOOKUPS (query-subvector · codebook,
+    precomputed) instead of a dim-wide dot product. Jégou et al. 2011.
+
+    Ray shape: NO shuffle. Codebooks (trained on a deterministic
+    bounded sample) and the per-query lookup tables broadcast once;
+    each corpus batch encodes its own rows (one matmul per subspace)
+    and emits bounded partial top-k by ADC score; a tiny per-query
+    head merges. The ADC score is a pure per-row function of the
+    broadcast state, so output is identical at any block layout (same
+    argument as ann_topk). A reusing deployment materializes
+    `pq_codes` once and scans codes only — this query API fuses
+    encode+scan into the single read pass.
+
+    Approximate: ranks by ADC (quantized) similarity; the
+    planted-near-identical guarantee is tested like LSH/IVF."""
+    books = train_pq_codebooks(_read_emb(sf_dir), m_sub, n_codes, seed=seed)
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    dsub = books.shape[2]
+    # (nq, m_sub, n_codes) lookup tables: q_subj · codebook_j
+    tables = np.einsum(
+        "qjd,jcd->qjc", qm.reshape(len(qids), m_sub, dsub), books
+    )
+    ref = ray.put((qids, tables, books))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, tabs, b = ray.get(ref)
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        vids = batch["vec_id"].to_numpy()
+        codes = _pq_encode(emb, b)  # (rows, m_sub)
+        j_idx = np.arange(codes.shape[1])[None, :]
+        rows = []
+        for qi in range(len(ids)):
+            sims = tabs[qi][j_idx, codes].sum(axis=1)  # (rows,)
+            s = sims.copy()
+            s[vids == ids[qi]] = -2.0  # exclude self
+            take = min(k, len(s))
+            top = np.lexsort((vids, -s))[:take]
+            for j in top:
+                rows.append((int(ids[qi]), int(vids[j]), float(s[j])))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+
+    partials = _read_emb(sf_dir).map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    )
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    return partials.groupby("query_id").map_groups(head, batch_format="pandas")
+
+
 ANN_QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
+    "pq_codes": pq_codes,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
     "embedding_outliers": embedding_outliers,

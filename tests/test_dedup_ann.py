@@ -230,6 +230,75 @@ def test_ann_ivf_finds_planted_near_identical(ray_session, tmp_path):
         assert int(got[got["vec_id"] == pid]["rank"].iloc[0]) == 1
 
 
+# -------------------------------------------------------- PQ / ADC
+
+def test_ann_pq_finds_planted_near_identical(ray_session, tmp_path):
+    """A near-identical copy of a query vector quantizes to (nearly)
+    the query's own codes, so its ADC score ≈ the reconstruction's
+    projection onto the query — far above any near-orthogonal random
+    vector. It must come back at rank 1."""
+    from rayrl.ann import ann_pq_topk
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    ids = t.column("vec_id").to_pylist()
+    labels = t.column("label").to_pylist()
+    next_id = max(ids) + 1
+    planted = {}
+    for q in range(5):
+        v = np.asarray(emb[q], dtype=np.float32)
+        v = v + 0.001 * np.abs(v).mean()
+        emb.append(list(v))
+        ids.append(next_id)
+        labels.append(labels[q])
+        planted[q] = next_id
+        next_id += 1
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(out, tmp_path / "embeddings.parquet")
+    res = ann_pq_topk(str(tmp_path)).to_pandas()
+    for q, pid in planted.items():
+        got = res[res["query_id"] == q]
+        assert pid in set(got["vec_id"]), (q, pid)
+        assert int(got[got["vec_id"] == pid]["rank"].iloc[0]) == 1
+
+
+def test_ann_pq_layout_independent_and_codes_well_formed(ray_session):
+    """ADC score is a pure per-row function of the broadcast codebooks,
+    so the top-k must be byte-identical at any batch layout (64-row
+    batches vs one 4096-row batch); pq_codes must emit m_sub codes
+    < n_codes for every vector."""
+    from rayrl.ann import ann_pq_topk, pq_codes
+
+    a = (
+        ann_pq_topk(SF_DIR)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ann_pq_topk(SF_DIR, batch_size=64)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"query_id", "rank", "vec_id"}
+    for q, g in a.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+    codes = pq_codes(SF_DIR).to_pandas()
+    n = pq.read_table(f"{SF_DIR}/embeddings.parquet").num_rows
+    assert len(codes) == n
+    arr = np.stack(codes["codes"].to_numpy())
+    assert arr.shape[1] == 8 and arr.min() >= 0 and arr.max() < 32
+
+
 # ------------------------------------------------------------ k-means
 
 def _blob_ds(n_per=100, k=4, dim=8, sigma=0.05):
