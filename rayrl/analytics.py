@@ -39,52 +39,62 @@ EVENT_TYPES = ("click", "view", "purchase", "error")
 
 # ------------------------------------------------------ global rank
 
-def ranked_orders(sf_dir: str):
-    """Global revenue rank per order (row_number over totalprice DESC,
-    orderkey ASC tie-break)."""
-    ds = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-        )
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .materialize()
-    )
+def global_row_number(ds, keys: list, descending: list, out_col: str = "rank"):
+    """Generic ``row_number() OVER (ORDER BY keys)`` with no driver
+    materialization of data rows. Requires the key tuple to be UNIQUE
+    per row (give it a tie-break id column) — blocks of the sorted
+    dataset then partition a total order, so a block is identified by
+    its first row's key tuple.
 
-    def block_meta(t: pa.Table) -> pa.Table:
+    Scale shape: ONE range-partition sort (the inherent all-to-all of
+    any global ordering), then a per-block metadata pass (first key +
+    row count, O(blocks) rows to the driver) whose exclusive prefix
+    sum broadcasts back and adds to each block's local arange. Both
+    block-level passes use ``batch_size=None`` so they see identical
+    whole-block batching."""
+    ds = ds.sort(keys, descending=descending).materialize()
+    kcols = [f"k{i}" for i in range(len(keys))]
+
+    def block_meta(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0:
-            return pa.table(
-                {"fp": pa.array([], pa.float64()), "fk": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "fp": [t.column("o_totalprice")[0].as_py()],
-                "fk": [t.column("o_orderkey")[0].as_py()],
-                "n": [t.num_rows],
-            }
-        )
+            return pd.DataFrame({c: [] for c in kcols} | {"n": []})
+        row = {c: [t.column(k)[0].as_py()] for c, k in zip(kcols, keys)}
+        row["n"] = [t.num_rows]
+        return pd.DataFrame(row)
 
     meta = ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None).to_pandas()
-    meta = meta.sort_values(["fp", "fk"], ascending=[False, True])
-    offs = np.concatenate([[0], np.cumsum(meta["n"].to_numpy())[:-1]])
-    table = {(p, k): int(o) for p, k, o in zip(meta["fp"], meta["fk"], offs)}
+    if len(meta):
+        meta = meta.sort_values(kcols, ascending=[not d for d in descending])
+        offs = np.concatenate([[0], np.cumsum(meta["n"].to_numpy())[:-1]])
+        table = {
+            tuple(r): int(o)
+            for r, o in zip(meta[kcols].itertuples(index=False, name=None), offs)
+        }
+    else:
+        table = {}
     ref = ray.put(table)
 
     def rank(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {"o_orderkey": pa.array([], pa.int64()),
-                 "o_totalprice": pa.array([], pa.float64()),
-                 "rank": pa.array([], pa.int64())}
-            )
-        off = ray.get(ref)[
-            (t.column("o_totalprice")[0].as_py(), t.column("o_orderkey")[0].as_py())
-        ]
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        off = ray.get(ref)[tuple(t.column(k)[0].as_py() for k in keys)]
         return t.append_column(
-            "rank", pa.array(off + 1 + np.arange(t.num_rows, dtype=np.int64), pa.int64())
+            out_col,
+            pa.array(off + 1 + np.arange(t.num_rows, dtype=np.int64), pa.int64()),
         )
 
     return ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+def ranked_orders(sf_dir: str):
+    """Global revenue rank per order (row_number over totalprice DESC,
+    orderkey ASC tie-break)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_row_number(
+        ds, ["o_totalprice", "o_orderkey"], descending=[True, False]
+    )
 
 
 RANKED_ORDERS_ORACLE = """

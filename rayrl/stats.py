@@ -228,6 +228,49 @@ SAMPLED_DOCUMENTS_ORACLE = f"""
 """
 
 
+# --------------------------------------- deterministic global shuffle
+
+def shuffled_documents(sf_dir: str):
+    """(doc_id, shuffle_pos): a deterministic GLOBAL shuffle of the
+    corpus — the training-export ordering primitive (an LLM epoch
+    needs the whole corpus in a fixed pseudo-random order, and a
+    resumed export must reproduce positions exactly). Position =
+    row_number over (multiplicative hash of doc_id, doc_id), the same
+    SQL-reproducible hash as `sampled_documents`, so any engine can
+    verify or regenerate the permutation.
+
+    Scale shape: ids only ride the ONE range-partition sort any global
+    ordering inherently needs (text stays at rest until an export join
+    hydrates it shard-by-shard); the rank attach is the O(blocks)
+    prefix-sum pattern of `analytics.global_row_number` — no driver
+    data rows. Hash collisions are fine: the doc_id tie-break makes
+    the order total and identical on both sides."""
+    from .analytics import global_row_number
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+        return batch.append_column("shuffle_key", pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = global_row_number(
+        keyed, ["shuffle_key", "doc_id"], descending=[False, False],
+        out_col="shuffle_pos",
+    )
+    return ranked.select_columns(["doc_id", "shuffle_pos"])
+
+
+SHUFFLED_DOCUMENTS_ORACLE = f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                ORDER BY ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME},
+                         doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents
+"""
+
+
 # ------------------------------------------- per-source document cap
 
 CAP_K = 10
@@ -765,6 +808,7 @@ STATS_QUERIES = {
     "revenue_rollup": revenue_rollup,
     "revenue_cube": revenue_cube,
     "sampled_documents": sampled_documents,
+    "shuffled_documents": shuffled_documents,
     "weighted_sampled_documents": weighted_sampled_documents,
     "mixed_corpus": mixed_corpus,
     "token_budget_mix": token_budget_mix,
@@ -779,6 +823,7 @@ STATS_ORACLES = {
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
     "revenue_cube": REVENUE_CUBE_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
+    "shuffled_documents": SHUFFLED_DOCUMENTS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,
     "mixed_corpus": MIXED_CORPUS_ORACLE,
     "token_budget_mix": TOKEN_BUDGET_MIX_ORACLE,

@@ -339,6 +339,72 @@ DOC_SURPRISAL_ORACLE = """
     GROUP BY doc_id
 """
 
+# --------------------------- perplexity-weighted corpus resampling
+
+SURPRISAL_SAMPLE_K = 50
+
+
+def surprisal_weighted_sample(sf_dir: str, k: int = SURPRISAL_SAMPLE_K) -> pd.DataFrame:
+    """CCNet-style perplexity-weighted corpus subsample: documents are
+    drawn WITHOUT replacement with probability proportional to their
+    unigram surprisal (rare/foreign-looking text oversampled, template
+    text undersampled) via Efraimidis–Spirakis keys ln(u)/w, where u
+    is the SQL-reproducible per-doc uniform of `stats.sampled_documents`
+    and w the `doc_surprisal` score — the whole draw is reproducible by
+    any engine, end to end through the model.
+
+    Scale shape: composes two already-scale-safe stages — the
+    surprisal pass (vocab broadcast, no token shuffle) feeds a
+    stateless key computation + LOCAL mergeable top-k per batch, so
+    the driver merges ≤ k·n_blocks id rows and nothing shuffles."""
+    from .stats import SAMPLE_MOD, SAMPLE_MUL, SAMPLE_PRIME
+
+    ds = doc_surprisal(sf_dir)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+        u = (h + 1.0) / (SAMPLE_PRIME + 1.0)  # in (0, 1]
+        w = np.maximum(batch["surprisal"].to_numpy(np.float64), 1e-4)
+        batch = batch.copy()
+        batch["sample_key"] = np.round(np.log(u) / w, 10)
+        batch = batch.sort_values(["sample_key", "doc_id"], ascending=[False, True])
+        return batch.head(k)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["sample_key", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def _surprisal_sample_oracle() -> str:
+    from .stats import SAMPLE_MOD, SAMPLE_MUL, SAMPLE_PRIME
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS n FROM tok GROUP BY term
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS t FROM tok
+    ), s AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               round(-avg(ln(freq.n / tot.t)), 4) AS surprisal
+        FROM tok JOIN freq USING (term), tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, surprisal,
+           round(ln((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL}) % {SAMPLE_PRIME} + 1.0)
+                    / ({SAMPLE_PRIME} + 1.0))
+                 / greatest(surprisal, 0.0001), 10) AS sample_key
+    FROM s
+    ORDER BY sample_key DESC, doc_id ASC LIMIT {SURPRISAL_SAMPLE_K}
+    """
+
+
+SURPRISAL_SAMPLE_ORACLE = _surprisal_sample_oracle()
+
+
 DSIR_TARGET_LANG = "en"
 
 
@@ -950,6 +1016,7 @@ TFIDF_QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bigram_counts": bigram_counts,
     "doc_surprisal": doc_surprisal,
+    "surprisal_weighted_sample": surprisal_weighted_sample,
     "inverted_index": inverted_index,
     "dsir_logratio": dsir_logratio,
     "doc_bigram_surprisal": doc_bigram_surprisal,
@@ -962,5 +1029,6 @@ TFIDF_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
     "doc_surprisal": DOC_SURPRISAL_ORACLE,
+    "surprisal_weighted_sample": SURPRISAL_SAMPLE_ORACLE,
     "inverted_index": INVERTED_INDEX_ORACLE,
 }

@@ -51,3 +51,45 @@ def test_hash_sample_mask_deterministic_and_calibrated():
     # nested: a 5% sample is a subset of the 10% sample (prefix property)
     m5 = hash_sample_mask(ids, 5)
     assert not (m5 & ~m1).any()
+
+
+def test_global_row_number_layout_independent(ray_session):
+    """The block-metadata prefix-sum rank must equal a driver argsort
+    at ANY input block layout (the sort re-partitions, but the meta
+    pass must still identify every block by its first key tuple)."""
+    import ray
+
+    from rayrl.analytics import global_row_number
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(5_000, dtype=np.int64)
+    vals = rng.integers(0, 50, size=len(ids)).astype(np.int64)  # heavy key ties
+    df = pd.DataFrame({"id": ids, "v": vals})
+    expect = df.sort_values(["v", "id"], ascending=[False, True]).reset_index(drop=True)
+    expect["rank"] = np.arange(1, len(expect) + 1, dtype=np.int64)
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            global_row_number(ds, ["v", "id"], descending=[True, False])
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_shuffled_documents_is_exact_permutation(ray_session):
+    """shuffle_pos must be a bijection onto 1..N and reproduce the
+    driver-side argsort of the multiplicative hash order."""
+    import pyarrow.parquet as pq
+
+    from rayrl.stats import SAMPLE_MOD, SAMPLE_MUL, SAMPLE_PRIME, shuffled_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = shuffled_documents(sf).to_pandas().sort_values("shuffle_pos")
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    assert sorted(got["shuffle_pos"]) == list(range(1, n + 1))
+    h = (ids.astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+    order = np.lexsort((ids, h))
+    assert list(got["doc_id"]) == list(ids[order])
