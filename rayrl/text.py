@@ -802,6 +802,82 @@ def normalized_documents(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def canonical_documents(sf_dir: str):
+    """(doc_id, n_variants): canonical-variant selection — exact dedup
+    AFTER normalization (the C4-style "case/whitespace variants are
+    the same document" rule), keeping per group the variant with the
+    longest ORIGINAL text (richest formatting), ties → lowest doc_id.
+    n_variants counts the docs each canonical row absorbed.
+
+    Scale shape: the group key is `content_hash64` of the normalized
+    text (the oracle partitions by md5 of the same string — identical
+    partitions up to 63-bit collisions, the decontam.py trade), so
+    texts never shuffle. Winner-by-(len DESC, id ASC) packs into ONE
+    monotone int64 (len·2³³ − (id+1), asserting id < 2³³), making the
+    argmax a plain mergeable max: a per-batch combiner emits one
+    (hash, max-pack, count) row per local group and a single
+    vocabulary-sized group_agg finishes exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .bytekernels import content_hash64
+    from .shuffle import group_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), pattern=" +", replacement=" "
+            ),
+            characters=" ",
+        )
+        h = content_hash64(t)
+        len0 = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assert ids.max(initial=0) < 2**33, "doc_id exceeds the pack bound"
+        pack = len0.astype(np.int64) * 2**33 - (ids + 1)
+        df = pd.DataFrame({"h": h, "best": pack})
+        g = df.groupby("h", sort=False, as_index=False).agg(
+            best=("best", "max"), cnt=("best", "size")
+        )
+        return g
+
+    agg = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        {"best": ("best", "max"), "n_variants": ("cnt", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        best = df["best"].to_numpy(np.int64)
+        len0 = (best >> 33) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": len0 * 2**33 - best - 1,
+                "n_variants": df["n_variants"].to_numpy(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+CANONICAL_DOCUMENTS_ORACLE = """
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS k,
+               length(text) AS len0
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY k ORDER BY len0 DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY k) AS n_variants
+        FROM n
+    )
+    SELECT doc_id, CAST(n_variants AS BIGINT) AS n_variants FROM w WHERE rn = 1
+"""
+
+
 def pii_scan(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         PiiScanner, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 16)
@@ -818,6 +894,7 @@ TEXT_QUERIES = {
     "repetition_scores": repetition_scores,
     "pii_scan": pii_scan,
     "normalized_documents": normalized_documents,
+    "canonical_documents": canonical_documents,
     "duplicated_spans": duplicated_spans,
     "chunk_documents": chunk_documents,
 }
@@ -959,4 +1036,5 @@ TEXT_ORACLES = {
                     AS BIGINT) AS n_chars_norm
         FROM documents
     """,
+    "canonical_documents": CANONICAL_DOCUMENTS_ORACLE,
 }

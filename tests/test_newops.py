@@ -539,3 +539,41 @@ def test_duplicated_spans_all_short_docs(ray_session, tmp_path):
     pq.write_table(t, d / "documents.parquet")
     got = duplicated_spans(str(d)).to_pandas()
     assert len(got) == 0
+
+
+# ------------------------------------------- canonical-variant dedup
+
+def test_canonical_documents_planted_variants(ray_session, tmp_path):
+    """Case/whitespace variants of the same text collapse to ONE row;
+    the winner is the longest original (ties -> lowest doc_id) and
+    n_variants counts the absorbed group."""
+    import pyarrow.parquet as pq
+
+    from rayrl.text import canonical_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello   World",   # len 13 — wins the len-13 tie by lowest id
+                    "hello world",     # len 11
+                    "HELLO  WORLD ",   # len 13, loses the tie to doc 1
+                    "something else",
+                    "Hello   World",   # exact duplicate of doc 1
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        canonical_documents(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # docs 1,2,3,5 all normalize to "hello world"; longest originals are
+    # 1, 3, 5 at len 13 -> lowest doc_id 1 wins, absorbing 4 variants.
+    assert list(got["doc_id"]) == [1, 4]
+    assert list(got[got["doc_id"] == 1]["n_variants"]) == [4]
+    assert list(got[got["doc_id"] == 4]["n_variants"]) == [1]
