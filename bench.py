@@ -130,6 +130,10 @@ def run_bench() -> dict:
         "chunk_documents",
         "rag_topk",
         "bpe_token_counts",
+        "ann_pq_topk",
+        "shuffled_documents",
+        "canonical_documents",
+        "surprisal_weighted_sample",
     ):
         fn = entry_mod.queries()[qname]
         best = None
