@@ -617,12 +617,43 @@ def ann_pq_topk(
     return partials.groupby("query_id").map_groups(head, batch_format="pandas")
 
 
+def ann_recall_report(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
+    """Self-measuring ANN QA: recall@k of every approximate path (LSH /
+    IVF / PQ-ADC) against the exact brute-force top-k on the SAME
+    queries — the "measure, don't guess" gate a deployment runs on a
+    corpus sample before trusting an index config at full scale.
+    Returns one row per method with mean and min per-query recall.
+
+    Scale shape: four already-scale-safe pipelines over the same read;
+    the comparison itself touches only 4·k·n_queries id rows on the
+    driver."""
+    truth = ann_topk(sf_dir, k, n_queries).to_pandas()
+    tsets = {q: set(g["vec_id"]) for q, g in truth.groupby("query_id")}
+    rows = []
+    for method, fn in (
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_topk),
+    ):
+        got = fn(sf_dir, k=k, n_queries=n_queries).to_pandas()
+        gsets = {q: set(g["vec_id"]) for q, g in got.groupby("query_id")}
+        per_q = [
+            len(tsets[q] & gsets.get(q, set())) / max(len(tsets[q]), 1)
+            for q in sorted(tsets)
+        ]
+        rows.append(
+            (method, round(float(np.mean(per_q)), 4), round(float(np.min(per_q)), 4))
+        )
+    return pd.DataFrame(rows, columns=["method", "mean_recall", "min_recall"])
+
+
 ANN_QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "pq_codes": pq_codes,
+    "ann_recall_report": ann_recall_report,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
     "embedding_outliers": embedding_outliers,

@@ -325,6 +325,61 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
     )
 
 
+def near_dedup_keepers(sf_dir: str, threshold: float = 0.8):
+    """Production near-dedup FINISH: every doc in a MinHash near-dup
+    cluster, labeled with its cluster's keeper — the longest document
+    (``n_chars``), ties → lowest doc_id — and a ``keep`` flag. The
+    downstream corpus filter is then one anti-join on
+    ``keep == 0`` ids; docs in no cluster are untouched by definition.
+
+    Scale shape: clusters come from `dedup_minhash` (int rows only);
+    lengths hydrate from the parquet metadata columns via ONE bucketed
+    hash join restricted to clustered docs (no text moves). The winner
+    rule packs into a single mergeable max per cluster —
+    n_chars·2³³ − (doc_id+1), the `text.canonical_documents` pack —
+    so the reduce is one cluster-sized group_agg, then keepers ride a
+    cluster-keyed join back onto the members."""
+    from .shuffle import bucketed_join, group_agg
+
+    clusters = dedup_minhash(sf_dir, threshold=threshold).materialize()
+    lens = _prune_to_ids(
+        _read_docs(sf_dir, ["doc_id", "n_chars"]), clusters, ["doc_id"], "doc_id"
+    )
+    members = bucketed_join(clusters, lens, ["doc_id"])
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        assert ids.max(initial=0) < 2**33, "doc_id exceeds the pack bound"
+        p = df["n_chars"].to_numpy(np.int64) * 2**33 - (ids + 1)
+        out = pd.DataFrame({"cluster": df["cluster"].to_numpy(np.int64), "best": p})
+        return out.groupby("cluster", sort=False, as_index=False).agg(
+            best=("best", "max")
+        )
+
+    winners = group_agg(
+        members.map_batches(local_best, batch_format="pandas"),
+        ["cluster"],
+        {"best": ("best", "max")},
+    )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        best = df["best"].to_numpy(np.int64)
+        n = (best >> 33) + 1
+        return pd.DataFrame(
+            {"cluster": df["cluster"].to_numpy(np.int64), "keeper": n * 2**33 - best - 1}
+        )
+
+    keepers = winners.map_batches(unpack, batch_format="pandas")
+    out = bucketed_join(clusters, keepers, ["cluster"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = (df["doc_id"] == df["keeper"]).astype(np.int64)
+        return df[["doc_id", "cluster", "keeper", "keep"]]
+
+    return out.map_batches(flag, batch_format="pandas")
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash_fingerprints(sf_dir: str, seed: int = 0):
@@ -783,6 +838,7 @@ NGRAM_JACCARD_EXACT_ORACLE = """
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "near_dedup_keepers": near_dedup_keepers,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -448,3 +448,52 @@ def test_embedding_outliers_planted(ray_session, tmp_path):
     out = embedding_outliers(str(d), k_top=5)
     assert out.loc[0, "vec_id"] == 7 and out.loc[0, "label"] == 0
     assert out["dist"].is_monotonic_decreasing
+
+
+# --------------------------------------------- near-dedup keepers
+
+def test_near_dedup_keepers_planted(ray_session, tmp_path):
+    """The longest member of a near-dup cluster is the keeper (ties ->
+    lowest doc_id); every member carries the keeper id and only the
+    keeper has keep=1; docs in no cluster never appear."""
+    from rayrl.dedup import near_dedup_keepers
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain and every good boy deserves "
+        "fudge under the bright winter moon near the old stone bridge"
+    )
+    texts = {
+        1: base,
+        2: base + " plus a short tail",
+        3: base.replace("winter", "summer"),
+        4: "a completely different document about distributed query engines",
+        5: "another unrelated text concerning arrow columnar memory layout",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)]),
+            "n_chars": pa.array([len(texts[i]) for i in sorted(texts)], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = near_dedup_keepers(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert set(got["doc_id"]) == {1, 2, 3}
+    assert set(got["keeper"]) == {2}  # longest member wins
+    assert got[got["doc_id"] == 2]["keep"].iloc[0] == 1
+    assert got[got["doc_id"] != 2]["keep"].sum() == 0
+    assert got["cluster"].nunique() == 1
+
+
+# --------------------------------------------- ANN recall report
+
+def test_ann_recall_report_shape_and_bounds(ray_session):
+    from rayrl.ann import ann_recall_report
+
+    rep = ann_recall_report(SF_DIR)
+    assert list(rep["method"]) == ["lsh", "ivf", "pq"]
+    assert ((rep["mean_recall"] >= rep["min_recall"]).all())
+    assert ((rep["min_recall"] >= 0.0).all()) and ((rep["mean_recall"] <= 1.0).all())
+    rep2 = ann_recall_report(SF_DIR)
+    pd.testing.assert_frame_equal(rep, rep2)
