@@ -491,6 +491,76 @@ def _token_mix_oracle() -> str:
 TOKEN_BUDGET_MIX_ORACLE = _token_mix_oracle()
 
 
+# ------------------------------------------- data-quality validation
+
+_QR_COLUMNS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+_QR_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def table_quality_report(sf_dir: str):
+    """Per-column data-validation report over the orders table (the
+    Deequ / expectations shape a pipeline runs before trusting an
+    ingest): for every column its row count, null count, and — for
+    numeric columns — min/max. One long-format row per column, so the
+    report is a fixed tiny table whatever the input width.
+
+    Scale shape: ONE streaming pass; each batch emits one ≤|columns|-row
+    partial (counts + local extrema), the reduce is a columns-sized
+    group_agg — data rows never shuffle and the driver never sees
+    them. Adding a new check = adding a column to the partial."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=_QR_COLUMNS)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in _QR_COLUMNS:
+            col = batch.column(c)
+            n = len(col)
+            nulls = col.null_count
+            if c in _QR_NUMERIC and n - nulls > 0:
+                mn = float(pc.min(col).as_py())
+                mx = float(pc.max(col).as_py())
+            else:
+                mn = mx = np.nan
+            rows.append((c, n, nulls, mn, mx))
+        return pd.DataFrame(
+            rows, columns=["col_name", "n_rows", "n_null", "min_val", "max_val"]
+        )
+
+    return group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["col_name"],
+        {
+            "n_rows": ("n_rows", "sum"),
+            "n_null": ("n_null", "sum"),
+            "min_val": ("min_val", "min"),
+            "max_val": ("max_val", "max"),
+        },
+    )
+
+
+def _quality_report_oracle() -> str:
+    parts = []
+    for c in _QR_COLUMNS:
+        if c in _QR_NUMERIC:
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+            f"{mn} AS min_val, {mx} AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUALITY_REPORT_ORACLE = _quality_report_oracle()
+
+
 ES_SAMPLE_K = 50
 
 
@@ -809,6 +879,7 @@ STATS_QUERIES = {
     "revenue_cube": revenue_cube,
     "sampled_documents": sampled_documents,
     "shuffled_documents": shuffled_documents,
+    "table_quality_report": table_quality_report,
     "weighted_sampled_documents": weighted_sampled_documents,
     "mixed_corpus": mixed_corpus,
     "token_budget_mix": token_budget_mix,
@@ -824,6 +895,7 @@ STATS_ORACLES = {
     "revenue_cube": REVENUE_CUBE_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "shuffled_documents": SHUFFLED_DOCUMENTS_ORACLE,
+    "table_quality_report": QUALITY_REPORT_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,
     "mixed_corpus": MIXED_CORPUS_ORACLE,
     "token_budget_mix": TOKEN_BUDGET_MIX_ORACLE,
