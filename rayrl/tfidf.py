@@ -339,6 +339,68 @@ DOC_SURPRISAL_ORACLE = """
     GROUP BY doc_id
 """
 
+# ------------------------------------ curriculum difficulty buckets
+
+CURRICULUM_K = 10
+
+
+def curriculum_buckets(sf_dir: str, k: int = CURRICULUM_K):
+    """(doc_id, bucket): equal-size difficulty tiers for curriculum
+    training — NTILE(k) over (surprisal ASC, doc_id) with SQL's exact
+    tile rule (the first n%k tiles get one extra row), so easy
+    template-like text lands in bucket 1 and the rarest-token docs in
+    bucket k, reproducibly on any engine.
+
+    Scale shape: surprisal scores stream from `doc_surprisal` (no token
+    shuffle) into `analytics.global_row_number` (ONE id-only
+    range-partition sort + O(blocks) prefix offsets); the tile formula
+    is then a stateless per-row map of the rank — nothing else moves."""
+    from .analytics import global_row_number
+
+    ranked = global_row_number(
+        doc_surprisal(sf_dir).select_columns(["doc_id", "surprisal"]),
+        ["surprisal", "doc_id"],
+        descending=[False, False],
+        out_col="rk",
+    )
+    n = ranked.count()
+    q, r0 = divmod(n, k)
+
+    def tile(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch["rk"].to_numpy(np.int64) - 1  # 0-based rank
+        big = r0 * (q + 1)  # rows living in the (q+1)-sized tiles
+        with np.errstate(divide="ignore"):
+            bucket = np.where(
+                r < big,
+                r // max(q + 1, 1),
+                r0 + (np.maximum(r - big, 0) // max(q, 1)),
+            )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(np.int64), "bucket": bucket + 1}
+        )
+
+    return ranked.map_batches(tile, batch_format="pandas")
+
+
+CURRICULUM_BUCKETS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS n FROM tok GROUP BY term
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS t FROM tok
+    ), s AS (
+        SELECT doc_id, round(-avg(ln(freq.n / tot.t)), 4) AS surprisal
+        FROM tok JOIN freq USING (term), tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(ntile({CURRICULUM_K}) OVER (ORDER BY surprisal, doc_id) AS BIGINT)
+               AS bucket
+    FROM s
+"""
+
+
 # --------------------------- perplexity-weighted corpus resampling
 
 SURPRISAL_SAMPLE_K = 50
@@ -1017,6 +1079,7 @@ TFIDF_QUERIES = {
     "bigram_counts": bigram_counts,
     "doc_surprisal": doc_surprisal,
     "surprisal_weighted_sample": surprisal_weighted_sample,
+    "curriculum_buckets": curriculum_buckets,
     "inverted_index": inverted_index,
     "dsir_logratio": dsir_logratio,
     "doc_bigram_surprisal": doc_bigram_surprisal,
@@ -1030,5 +1093,6 @@ TFIDF_ORACLES = {
     "bigram_counts": BIGRAM_COUNTS_ORACLE,
     "doc_surprisal": DOC_SURPRISAL_ORACLE,
     "surprisal_weighted_sample": SURPRISAL_SAMPLE_ORACLE,
+    "curriculum_buckets": CURRICULUM_BUCKETS_ORACLE,
     "inverted_index": INVERTED_INDEX_ORACLE,
 }

@@ -113,3 +113,20 @@ def test_bigram_surprisal_paths_agree(ray_session):
     )
     assert len(broad) == 500 and (broad["surprisal"] > 0).all()
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_curriculum_buckets_ntile_rule(ray_session):
+    """With k=7 over 500 docs (500 = 7*71 + 3) the first 3 tiles take
+    72 rows and the rest 71 (SQL NTILE), and buckets are monotone in
+    (surprisal, doc_id) order."""
+    import numpy as np
+
+    from rayrl.tfidf import curriculum_buckets, doc_surprisal
+
+    got = curriculum_buckets(SF, k=7).to_pandas()
+    sizes = got.groupby("bucket").size().sort_index()
+    assert list(sizes) == [72, 72, 72, 71, 71, 71, 71]
+    s = doc_surprisal(SF).to_pandas()
+    merged = got.merge(s[["doc_id", "surprisal"]], on="doc_id")
+    merged = merged.sort_values(["surprisal", "doc_id"]).reset_index(drop=True)
+    assert (np.diff(merged["bucket"].to_numpy()) >= 0).all()
