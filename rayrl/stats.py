@@ -491,6 +491,69 @@ def _token_mix_oracle() -> str:
 TOKEN_BUDGET_MIX_ORACLE = _token_mix_oracle()
 
 
+# ----------------------------------------- per-language top-k terms
+
+LANG_TOP_K = 20
+
+
+def lang_top_terms(sf_dir: str, k: int = LANG_TOP_K) -> pd.DataFrame:
+    """Per-language top-k terms by corpus frequency (rank ties → term
+    ASC): the per-slice vocabulary report a multilingual corpus QA
+    dashboard starts from (grouped heavy hitters, exact).
+
+    Scale shape: one tokenize pass emits per-batch (lang, term, n)
+    partials (Arrow split kernel + np.repeat of the lang column — no
+    Python per token), the single reduce moves a langs×vocabulary
+    stream (Heaps-sublinear, CLAUDE.md rule 12); top-k per language is
+    mergeable AFTER the counts are global, so a per-batch local top-k
+    over the reduced stream leaves ≤ k·|langs| rows per block for the
+    driver merge."""
+    from .shuffle import group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = pc.list_flatten(split).to_pandas()
+        langs = np.repeat(batch.column("lang").to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"lang": langs, "term": terms})
+        g = df.groupby(["lang", "term"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "term"],
+        {"n": ("n", "sum")},
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "term"], ascending=[True, False, True])
+        return df.groupby("lang", sort=False, as_index=False).head(k)
+
+    cand = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["lang", "n", "term"], ascending=[True, False, True])
+    out = cand.groupby("lang", sort=False, as_index=False).head(k).copy()
+    out["rk"] = out.groupby("lang").cumcount().to_numpy() + 1
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "rk", "term", "n"]].reset_index(drop=True)
+
+
+LANG_TOP_TERMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), c AS (
+        SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2
+    ), r AS (
+        SELECT lang, term, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+        FROM c
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, term, CAST(n AS BIGINT) AS n
+    FROM r WHERE rk <= {LANG_TOP_K}
+"""
+
+
 # ------------------------------------------- data-quality validation
 
 _QR_COLUMNS = [
@@ -880,6 +943,7 @@ STATS_QUERIES = {
     "sampled_documents": sampled_documents,
     "shuffled_documents": shuffled_documents,
     "table_quality_report": table_quality_report,
+    "lang_top_terms": lang_top_terms,
     "weighted_sampled_documents": weighted_sampled_documents,
     "mixed_corpus": mixed_corpus,
     "token_budget_mix": token_budget_mix,
@@ -896,6 +960,7 @@ STATS_ORACLES = {
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "shuffled_documents": SHUFFLED_DOCUMENTS_ORACLE,
     "table_quality_report": QUALITY_REPORT_ORACLE,
+    "lang_top_terms": LANG_TOP_TERMS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,
     "mixed_corpus": MIXED_CORPUS_ORACLE,
     "token_budget_mix": TOKEN_BUDGET_MIX_ORACLE,
