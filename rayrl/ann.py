@@ -7,6 +7,12 @@
   path: each vector lands in a few buckets, queries probe only their
   buckets, so per-query work is corpus/buckets instead of corpus.
   Approximate; tested against the brute-force baseline for recall.
+- ``ann_ivf_topk``: coarse-k-means IVF — queries probe nprobe cells;
+  zero-shuffle (centroids broadcast, cells scanned batch-side).
+- ``ann_pq_topk`` / ``pq_codes``: product quantization (Jégou 2011) —
+  byte codes + per-query ADC lookup tables; ~32× vector compression.
+- ``ann_recall_report``: recall@k of every approximate path vs the
+  exact brute-force top-k on shared queries (the deployment QA gate).
 """
 
 from __future__ import annotations
