@@ -12,8 +12,6 @@ Design rules applied throughout:
 
 from __future__ import annotations
 
-import collections
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -143,14 +141,17 @@ def token_frequencies(sf_dir: str, k: int = 50):
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        counter: collections.Counter = collections.Counter()
-        for t in batch.column("text").to_pylist():
-            if t:
-                counter.update(t.split(" "))
-        toks = list(counter.keys())
+        # empty/null texts contribute nothing (the old Counter loop's
+        # `if t:` guard); Arrow split of "" would otherwise emit [""]
+        col = batch.column("text").combine_chunks()
+        col = col.filter(pc.greater(pc.utf8_length(col), 0))
+        toks = pc.list_flatten(pc.split_pattern(col, " "))
+        g = pd.Series(np.ones(len(toks), dtype=np.int64)).groupby(
+            toks.to_pandas(), sort=False
+        ).sum()
         return pa.table(
-            {"token": pa.array(toks, pa.string()),
-             "n": pa.array([counter[t] for t in toks], pa.int64())}
+            {"token": pa.array(g.index.to_numpy(), pa.string()),
+             "n": pa.array(g.to_numpy(), pa.int64())}
         )
 
     out = (
