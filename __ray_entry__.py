@@ -366,7 +366,7 @@ def oracle_sql() -> dict[str, str]:
         LABEL_CENTROIDS_ORACLE,
     )
     from rayrl.bloom import BLOOM_ORACLES
-    from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE
+    from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE, SOFT_DEDUP_ORACLE
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
     from rayrl.packing import PACKING_ORACLES
@@ -412,4 +412,5 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_outliers"] = EMBEDDING_OUTLIERS_ORACLE
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
     out["ngram_jaccard_exact"] = NGRAM_JACCARD_EXACT_ORACLE
+    out["soft_dedup_weights"] = SOFT_DEDUP_ORACLE
     return out

@@ -80,6 +80,62 @@ def dedup_exact(sf_dir: str):
     )
 
 
+def soft_dedup_weights(sf_dir: str):
+    """(doc_id, n_copies, weight): SOFT exact dedup — instead of
+    dropping duplicates, every doc gets training weight 1/n_copies so
+    a text repeated n times contributes one document's worth of
+    gradient in aggregate (the down-weighting alternative to removal).
+
+    Scale shape: texts hash to the 64-bit content fingerprint in the
+    read pass (C-speed, zero-copy) and NEVER shuffle; per-batch
+    (fp, n) partials feed one distinct-text-sized count reduce, and
+    the counts meet the (doc_id, fp) rows in a bucketed int join —
+    two narrow int shuffles total. Same fp-vs-text grouping trade as
+    `dedup_exact` (63-bit collisions merge distinct texts at
+    ~corpus²/2⁶³ probability; the oracle groups by the text itself)."""
+    from .bytekernels import content_hash64
+    from .shuffle import bucketed_join, group_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch.column("text"))
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(h, pa.int64())})
+
+    fps = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def cnt(batch: pa.Table) -> pd.DataFrame:
+        u, c = np.unique(batch.column("fp").to_numpy(), return_counts=True)
+        return pd.DataFrame({"fp": u, "n_copies": c.astype(np.int64)})
+
+    counts = group_agg(
+        fps.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"],
+        {"n_copies": ("n_copies", "sum")},
+    )
+    joined = bucketed_join(fps, counts, ["fp"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_copies"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_copies": n,
+                "weight": np.round(1.0 / n, 6),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SOFT_DEDUP_ORACLE = """
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+           round(1.0 / count(*) OVER (PARTITION BY text), 6) AS weight
+    FROM documents
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 class _MinHashBands:
@@ -837,6 +893,7 @@ NGRAM_JACCARD_EXACT_ORACLE = """
 
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
+    "soft_dedup_weights": soft_dedup_weights,
     "dedup_minhash": dedup_minhash,
     "near_dedup_keepers": near_dedup_keepers,
     "simhash_fingerprints": simhash_fingerprints,
