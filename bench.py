@@ -134,6 +134,10 @@ def run_bench() -> dict:
         "shuffled_documents",
         "canonical_documents",
         "surprisal_weighted_sample",
+        "curriculum_buckets",
+        "lang_top_terms",
+        "soft_dedup_weights",
+        "table_quality_report",
     ):
         fn = entry_mod.queries()[qname]
         best = None
