@@ -497,3 +497,17 @@ def test_ann_recall_report_shape_and_bounds(ray_session):
     assert ((rep["min_recall"] >= 0.0).all()) and ((rep["mean_recall"] <= 1.0).all())
     rep2 = ann_recall_report(SF_DIR)
     pd.testing.assert_frame_equal(rep, rep2)
+
+
+def test_soft_dedup_weights_conserve_mass(ray_session):
+    """Each duplicate group's weights sum to exactly 1, so the total
+    weight equals the number of DISTINCT texts (dedup_exact's row
+    count) and every doc appears exactly once."""
+    from rayrl.dedup import dedup_exact, soft_dedup_weights
+
+    w = soft_dedup_weights(SF_DIR).to_pandas()
+    n_docs = pq.read_table(f"{SF_DIR}/documents.parquet").num_rows
+    assert len(w) == n_docs and w["doc_id"].is_unique
+    distinct = dedup_exact(SF_DIR).count()
+    assert abs(w["weight"].sum() - distinct) < 1e-3, (w["weight"].sum(), distinct)
+    assert (w["n_copies"] >= 1).all()
