@@ -70,14 +70,27 @@ def er_linkage_metrics(sf_dir: str):
     return pd.DataFrame([{k: round(float(v), 6) for k, v in m.items()}])
 
 
+# Single-entry cache (sf_dir, result): four er_* queries consume the
+# same ~25 s linkage build in one driver process (VERDICT r3 #2). One
+# entry only — a second sf_dir evicts the first, so the object-store
+# pins are bounded no matter how many scales one process queries.
+_LINKAGE_CACHE: list = []
+_LINKAGE_BUILDS: list = []  # sf_dirs built, for the cache test
+
+
 def _small_linkage(sf_dir: str):
     from rayrl import pipeline, synth
     from rayrl.linkage import LinkageConfig, link_datasets
 
+    if _LINKAGE_CACHE and _LINKAGE_CACHE[0][0] == sf_dir:
+        return _LINKAGE_CACHE[0][1]
+    _LINKAGE_BUILDS.append(sf_dir)
     n = max(2000, _n_pages(sf_dir) // 4)
     clean = synth.pages_dataset(n).materialize()
     dirty = pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).dirty.materialize()
-    return link_datasets(clean, dirty, LinkageConfig())
+    res = link_datasets(clean, dirty, LinkageConfig())
+    _LINKAGE_CACHE[:] = [(sf_dir, res)]
+    return res
 
 
 def er_pair_metrics(sf_dir: str):
@@ -129,18 +142,20 @@ def er_feature_vectors(sf_dir: str):
     return _feature_vectors(sf_dir)
 
 
-_VECTOR_CACHE: dict = {}
+_VECTOR_CACHE: list = []  # single (sf_dir, vecs) entry — bounded pin
 
 
 def _feature_vectors(sf_dir: str):
     """Labeled 23-metric vectors for the er_* queries. Cached
-    MATERIALIZED per sf_dir: four queries (labeled_pairs,
-    feature_vectors, predict_links, sample_strat) consume the same
-    ~25 s build — the driver runs them in one process, so the cache
-    saves three rebuilds (the product is bounded by
+    MATERIALIZED, single entry (ADVICE r3: an unbounded per-sf_dir
+    dict pins object-store memory for the driver's lifetime; the
+    common case is one sf_dir per process, so latest-wins): four
+    queries (labeled_pairs, feature_vectors, predict_links,
+    sample_strat) consume the same ~25 s build — the cache saves
+    three rebuilds (the product is bounded by
     (1+neg_ratio)·|matches|, small)."""
-    if sf_dir in _VECTOR_CACHE:
-        return _VECTOR_CACHE[sf_dir]
+    if _VECTOR_CACHE and _VECTOR_CACHE[0][0] == sf_dir:
+        return _VECTOR_CACHE[0][1]
     from rayrl import pipeline, synth
     from rayrl.errors.injector import strip_ledger
     from rayrl.linkage.blocking import LinkageConfig
@@ -152,7 +167,7 @@ def _feature_vectors(sf_dir: str):
         pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7).combined
     ).materialize()
     vecs = feature_vectors(clean, dirty, LinkageConfig(), seed=3).materialize()
-    _VECTOR_CACHE[sf_dir] = vecs
+    _VECTOR_CACHE[:] = [(sf_dir, vecs)]
     return vecs
 
 
@@ -277,7 +292,89 @@ def entry() -> Any:
     return er_linkage_metrics("/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+# The driver's per-round correctness pass verifies exactly the FIRST
+# ~50 keys of queries() in insertion order (CORRECTNESS_r03 == the
+# first 50 of 118). The window below is therefore curated (VERDICT r3
+# #1): the er_* flagship family first (rows-only — non-SQL linkage
+# semantics — but the engine's core deliverable, clean in r01/r02),
+# then oracle-backed queries that have NOT yet had a driver ★pass.
+# Queries already ★-verified in CORRECTNESS_r03 (_R03_VERIFIED) rotate
+# behind them, and the no-oracle fingerprint/LSH entries go last.
+_WINDOW_FIRST = [
+    # --- er_* flagship (rows-only; r01/r02 history clean) ---
+    "er_dirty_pages",
+    "er_ledger",
+    "er_error_rate",
+    "er_linkage_metrics",
+    "er_pair_metrics",
+    "er_best_links",
+    "er_links_1to1",
+    "er_best_links_agg",
+    "er_labeled_pairs",
+    "er_feature_vectors",
+    "er_predict_links",
+    "er_sample_strat",
+    "er_hamming_fields",
+    "er_perturb_flow",
+    # --- oracle-backed, no driver entry yet (rotated into the window) ---
+    "tfidf_top_terms",
+    "pack_assignments",
+    "doc_surprisal",
+    "revenue_rollup",
+    "corpus_pipeline",
+    "curriculum_buckets",
+    "bm25_topk",
+    "dsir_logratio",
+    "inverted_index",
+    "bigram_counts",
+    "distinct_tokens_exact",
+    "source_vocab_stats",
+    "source_vocab_jaccard",
+    "price_qty_corr",
+    "sampled_documents",
+    "shuffled_documents",
+    "weighted_sampled_documents",
+    "mixed_corpus",
+    "token_budget_mix",
+    "source_capped_documents",
+    "source_lang_divergence",
+    "table_quality_report",
+    "lang_top_terms",
+    "contaminated_docs",
+    "boilerplate_cleaned",
+    "paragraph_deduped",
+    "major_tokens",
+    "snapshot_diff",
+    "user_event_windows",
+    "props_value_by_k",
+    "urgent_lineitem_summary",
+    # --- new r4 oracle twins for previously no-oracle families ---
+    "ngram_dup_clusters",
+    "ngram_dup_keepers",
+    "ann_ivf_exact",
+    "embedding_cosine_pairs_exact",
+    "marker_hamming_pairs",
+]
+
+# ★pass rows in CORRECTNESS_r03 — already hard-verified; they re-enter
+# the window in a later round if space frees up.
+_R03_VERIFIED = [
+    "segment_revenue_3way", "links_1to1_orders", "best_event_per_user",
+    "pricing_summary", "top_orders", "customer_order_stats",
+    "customers_without_finished_orders", "one_to_one_orders",
+    "token_frequencies", "exact_dedup_documents", "events_hourly",
+    "lang_profile", "token_counts", "char_class_counts",
+    "quality_scores", "lang_id", "repetition_scores", "pii_scan",
+    "normalized_documents", "canonical_documents", "chunk_documents",
+    "soft_dedup_weights", "ngram_jaccard_exact", "ann_topk",
+    "label_centroids", "embedding_norms", "embedding_outliers",
+    "sessionized_events", "event_funnel", "last_touch_attribution",
+    "error_click_window", "top_orders_per_customer",
+    "order_price_quantiles", "order_price_mad", "docs_above_p90_length",
+]
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     from rayrl.ann import ANN_QUERIES
     from rayrl.bloom import BLOOM_QUERIES
     from rayrl.dedup import DEDUP_QUERIES
@@ -355,18 +452,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "host_stats": host_stats,
         }
     )
+    # folded intermediates (VERDICT r3 #1): each is a byproduct of a
+    # registered query and added only noise to the driver's budget —
+    # doc_fingerprints feeds winnow_fingerprints, pq_codes feeds
+    # ann_pq_topk; both stay importable and pytest-covered.
+    out.pop("doc_fingerprints", None)
+    out.pop("pq_codes", None)
+    return out
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    all_q = _all_queries()
+    oracle_keys = set(oracle_sql())
+    out: dict[str, Callable[[str], Any]] = {}
+    for k in _WINDOW_FIRST:
+        out[k] = all_q[k]  # KeyError here = the window list drifted
+    for k in all_q:  # remaining oracle-backed (the r03-★ rows)
+        if k not in out and k in oracle_keys:
+            out[k] = all_q[k]
+    for k in all_q:  # no-oracle tail
+        if k not in out:
+            out[k] = all_q[k]
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from rayrl.ann import (
+        ANN_IVF_EXACT_ORACLE,
         ANN_TOPK_ORACLE,
+        EMBEDDING_COSINE_PAIRS_ORACLE,
         EMBEDDING_NORMS_ORACLE,
         EMBEDDING_OUTLIERS_ORACLE,
         LABEL_CENTROIDS_ORACLE,
     )
     from rayrl.bloom import BLOOM_ORACLES
-    from rayrl.dedup import NGRAM_JACCARD_EXACT_ORACLE, SOFT_DEDUP_ORACLE
+    from rayrl.dedup import (
+        MARKER_HAMMING_ORACLE,
+        NGRAM_DUP_CLUSTERS_ORACLE,
+        NGRAM_DUP_KEEPERS_ORACLE,
+        NGRAM_JACCARD_EXACT_ORACLE,
+        SOFT_DEDUP_ORACLE,
+    )
     from rayrl.quantiles import QUANTILE_ORACLES
     from rayrl.relational import ORACLES as REL_ORACLES
     from rayrl.packing import PACKING_ORACLES
@@ -413,4 +539,10 @@ def oracle_sql() -> dict[str, str]:
     out["major_tokens"] = MAJOR_TOKENS_ORACLE
     out["ngram_jaccard_exact"] = NGRAM_JACCARD_EXACT_ORACLE
     out["soft_dedup_weights"] = SOFT_DEDUP_ORACLE
+    # round-4 exact-oracle twins (previously no-oracle families)
+    out["ngram_dup_clusters"] = NGRAM_DUP_CLUSTERS_ORACLE
+    out["ngram_dup_keepers"] = NGRAM_DUP_KEEPERS_ORACLE
+    out["ann_ivf_exact"] = ANN_IVF_EXACT_ORACLE
+    out["embedding_cosine_pairs_exact"] = EMBEDDING_COSINE_PAIRS_ORACLE
+    out["marker_hamming_pairs"] = MARKER_HAMMING_ORACLE
     return out

@@ -653,6 +653,81 @@ def ann_recall_report(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFr
     return pd.DataFrame(rows, columns=["method", "mean_recall", "min_recall"])
 
 
+# ----------------------------------------- exact-oracle twins (round 4)
+
+_IVF_EXACT_CENTROIDS = 16
+
+
+def ann_ivf_exact(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """IVF with nprobe = n_centroids — every cell probed, so the output
+    is BY CONSTRUCTION the exact brute-force top-k and the ``ann_topk``
+    SQL oracle verifies the whole IVF machinery (quantizer training,
+    cell assignment, probe masking, partial top-k merge) rather than
+    just its recall. The approximate production config stays
+    ``ann_ivf_topk`` (rows-only + ann_recall_report)."""
+    return ann_ivf_topk(
+        sf_dir,
+        k=k,
+        n_queries=n_queries,
+        n_centroids=_IVF_EXACT_CENTROIDS,
+        nprobe=_IVF_EXACT_CENTROIDS,
+    )
+
+
+ANN_IVF_EXACT_ORACLE = ANN_TOPK_ORACLE
+
+COSINE_PAIRS_THRESHOLD = 0.4
+
+
+def embedding_cosine_pairs_exact(sf_dir: str, threshold: float = COSINE_PAIRS_THRESHOLD):
+    """(vec_a, vec_b, sim): EXACT all-pairs cosine ≥ threshold over the
+    embeddings table — the ★-oracle twin of ``embedding_near_dups``
+    (which pigeonholes a signed-projection signature and is rows-only).
+
+    Engine shape: the normalized corpus matrix broadcasts ONCE
+    (``ray.put``) and each batch emits its (row < col) above-threshold
+    hits from one (batch × n) matmul. Quadratic in the corpus BY
+    DESIGN — this is the bounded-table test oracle (the ann_topk
+    pattern); the 100-TB path remains ``embedding_near_dups``. Both
+    sides compute the cosine in float64 (the oracle CASTs the float32
+    lists to DOUBLE[]); disagreement needs a value within ~1e-15 of
+    the threshold or a round-6 midpoint — the documented
+    measure-zero trade of the oracle family."""
+    df = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        aids, amat = ray.get(ref)
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        vids = batch["vec_id"].to_numpy().astype(np.int64)
+        sims = emb @ amat.T  # (batch, n)
+        m = (sims >= threshold) & (vids[:, None] < aids[None, :])
+        bi, aj = np.nonzero(m)
+        return pd.DataFrame(
+            {
+                "vec_a": vids[bi],
+                "vec_b": aids[aj],
+                "sim": np.round(sims[bi, aj], 6),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(hits, batch_format="pandas", batch_size=4096)
+
+
+EMBEDDING_COSINE_PAIRS_ORACLE = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_PAIRS_THRESHOLD}
+"""
+
+
 ANN_QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -663,4 +738,6 @@ ANN_QUERIES = {
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
     "embedding_outliers": embedding_outliers,
+    "ann_ivf_exact": ann_ivf_exact,
+    "embedding_cosine_pairs_exact": embedding_cosine_pairs_exact,
 }

@@ -6,6 +6,8 @@ blocker — one engine, two uses)."""
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -16,6 +18,30 @@ from ray.data.aggregate import Count, Min
 
 from . import rng
 from .linkage.stringsim import jaccard, minhash_tags
+
+# Default in-bucket member cap for the LSH / pigeonhole pair scans:
+# in-bucket work is quadratic, and a bucket this big is degenerate
+# boilerplate whose true pairs are recovered via their other bands /
+# segments. Skips are LOGGED (never silent — ADVICE r3, the
+# scoring.py:276 principle); callers that need exactness (the oracle
+# twins) pass ``bucket_cap=None``.
+_BUCKET_CAP = 1000
+
+
+def _warn_oversized(op: str, n_skipped: int, largest: int, cap: int) -> None:
+    """Log a recall-cap event: ``n_skipped`` buckets exceeded ``cap``
+    members and were dropped from the pair scan. Observable by design —
+    a hot segment value (e.g. flat thumbnails dHashing to 0) must not
+    lose its pairs without a trace."""
+    if n_skipped:
+        logging.getLogger(__name__).warning(
+            "%s: skipped %d oversize bucket(s) (largest %d members > cap %d)"
+            " — recall cap on degenerate buckets, their pairs are dropped",
+            op,
+            n_skipped,
+            largest,
+            cap,
+        )
 
 
 def _read_docs(sf_dir: str, columns):
@@ -173,8 +199,45 @@ class _MinHashBands:
         )
 
 
+def _minhash_bucket_fn(pair_mode: str, cap: int | None):
+    """Bucket-scan callback for :func:`minhash_candidate_pairs` —
+    module-level so the oversize-skip behavior is unit-testable on the
+    driver (the closure itself runs inside Ray map tasks)."""
+
+    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        n_skipped, largest = 0, 0
+        for _, idx in bucket_df.groupby(["band", "band_hash"], sort=False).indices.items():
+            ids = np.sort(bucket_df["doc_id"].to_numpy()[idx])
+            if len(ids) < 2:
+                continue
+            if cap is not None and len(ids) > cap:
+                n_skipped += 1
+                largest = max(largest, len(ids))
+                continue
+            if pair_mode == "star":
+                out_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+                out_b.append(ids[1:])
+            else:
+                a, b = np.meshgrid(ids, ids)
+                m = a < b
+                out_a.append(a[m])
+                out_b.append(b[m])
+        _warn_oversized("minhash_candidate_pairs", n_skipped, largest, cap or 0)
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+    return pairs
+
+
 def minhash_candidate_pairs(
-    sf_dir: str, k: int = 64, bands: int = 16, seed: int = 0, pair_mode: str = "star"
+    sf_dir: str,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 0,
+    pair_mode: str = "star",
+    bucket_cap: int | None = _BUCKET_CAP,
 ):
     """Shingle → MinHash → band → bucket groupby → candidate pairs
     (doc_a < doc_b), deduped.
@@ -191,27 +254,11 @@ def minhash_candidate_pairs(
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     band_ds = ds.map_batches(_MinHashBands(k, bands, seed), batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, idx in bucket_df.groupby(["band", "band_hash"], sort=False).indices.items():
-            ids = np.sort(bucket_df["doc_id"].to_numpy()[idx])
-            if len(ids) < 2 or len(ids) > 1000:  # salt cap for degenerate buckets
-                continue
-            if pair_mode == "star":
-                out_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
-                out_b.append(ids[1:])
-            else:
-                a, b = np.meshgrid(ids, ids)
-                m = a < b
-                out_a.append(a[m])
-                out_b.append(b[m])
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
-
     from .shuffle import bucketed_group_apply, group_agg
 
-    cands = bucketed_group_apply(band_ds, ["band", "band_hash"], pairs)
+    cands = bucketed_group_apply(
+        band_ds, ["band", "band_hash"], _minhash_bucket_fn(pair_mode, bucket_cap)
+    )
     return group_agg(cands, ["doc_a", "doc_b"], {"n_bands": ("doc_a", "size")})
 
 
@@ -395,12 +442,22 @@ def near_dedup_keepers(sf_dir: str, threshold: float = 0.8):
     n_chars·2³³ − (doc_id+1), the `text.canonical_documents` pack —
     so the reduce is one cluster-sized group_agg, then keepers ride a
     cluster-keyed join back onto the members."""
-    from .shuffle import bucketed_join, group_agg
-
     clusters = dedup_minhash(sf_dir, threshold=threshold).materialize()
     lens = _prune_to_ids(
         _read_docs(sf_dir, ["doc_id", "n_chars"]), clusters, ["doc_id"], "doc_id"
     )
+    return _keeper_finish(clusters, lens)
+
+
+def _keeper_finish(clusters, lens):
+    """Keeper-selection finish shared by :func:`near_dedup_keepers`
+    (LSH clusters) and :func:`ngram_dup_keepers` (the exact-oracle
+    twin): join (doc_id, cluster) members with (doc_id, n_chars),
+    pick per cluster the longest doc (ties → lowest id) via the ONE
+    mergeable packed max (n_chars·2³³ − (doc_id+1)), and flag keepers.
+    Returns (doc_id, cluster, keeper, keep)."""
+    from .shuffle import bucketed_join, group_agg
+
     members = bucketed_join(clusters, lens, ["doc_id"])
 
     def local_best(df: pd.DataFrame) -> pd.DataFrame:
@@ -492,6 +549,60 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 6, blocks: int = 8):
     )
 
 
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _hamming_bucket_fn(
+    id_col: str, fp_col: str, max_hamming: int, a_col: str, b_col: str, cap: int | None
+):
+    """Bucket-scan callback for :func:`hamming_near_pairs_ds` —
+    module-level so the oversize-skip logging is unit-testable."""
+
+    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        all_ids = bucket_df[id_col].to_numpy()
+        all_hs = bucket_df[fp_col].to_numpy()
+        out_a, out_b, out_d = [], [], []
+        n_skipped, largest = 0, 0
+        for _, idx in bucket_df.groupby(["seg", "val"], sort=False).indices.items():
+            order = idx[np.argsort(all_ids[idx])]
+            ids, hs = all_ids[order], all_hs[order]
+            n = len(ids)
+            if n < 2:
+                continue
+            if cap is not None and n > cap:
+                n_skipped += 1
+                largest = max(largest, n)
+                continue
+            # vectorized pairwise hamming: byte-wise popcount of the
+            # (n, n) xor matrix via a 256-entry lookup table
+            x = hs.astype(np.uint64)
+            xor = (x[:, None] ^ x[None, :]).view(np.uint8).reshape(n, n, 8)
+            d = _POPCOUNT8[xor].sum(axis=2)
+            ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
+            keep = ids[ii] != ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+            out_d.append(d[ii, jj][keep])
+        _warn_oversized("hamming_near_pairs", n_skipped, largest, cap or 0)
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    a_col: pd.Series([], dtype="int64"),
+                    b_col: pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                a_col: pd.Series(np.concatenate(out_a), dtype="int64"),
+                b_col: pd.Series(np.concatenate(out_b), dtype="int64"),
+                "hamming": pd.Series(np.concatenate(out_d), dtype="int64"),
+            }
+        )
+
+    return pairs
+
+
 def hamming_near_pairs_ds(
     fps,
     id_col: str,
@@ -500,14 +611,18 @@ def hamming_near_pairs_ds(
     blocks: int = 8,
     seg_bits: int = 8,
     prefix: str = "doc",
+    bucket_cap: int | None = _BUCKET_CAP,
 ):
     """Generic pigeonhole hamming near-pair kernel over any
     (id, 64-bit-fingerprint) dataset: ``blocks`` segments of
     ``seg_bits`` bits each (blocks·seg_bits ≤ 64); pairs within
     hamming ≤ max_hamming must agree on ≥ 1 segment when
     blocks > max_hamming. Shared by :func:`simhash_near_pairs` (text
-    SimHash) and ``multimodal.media_phash_near_dups`` (image dHash).
-    Shuffle rows are ints only (seg, val, id, fp)."""
+    SimHash), ``multimodal.media_phash_near_dups`` (image dHash) and
+    :func:`marker_hamming_pairs` (the exact-oracle twin, which passes
+    ``bucket_cap=None``). Shuffle rows are ints only (seg, val, id,
+    fp); oversize buckets are skipped with a LOGGED count (recall
+    cap, never silent)."""
     width = seg_bits
     mask = (1 << width) - 1
 
@@ -533,47 +648,13 @@ def hamming_near_pairs_ds(
             }
         )
 
-    popcount8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-
-    def pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        all_ids = bucket_df[id_col].to_numpy()
-        all_hs = bucket_df[fp_col].to_numpy()
-        out_a, out_b, out_d = [], [], []
-        for _, idx in bucket_df.groupby(["seg", "val"], sort=False).indices.items():
-            order = idx[np.argsort(all_ids[idx])]
-            ids, hs = all_ids[order], all_hs[order]
-            n = len(ids)
-            if n < 2 or n > 1000:
-                continue
-            # vectorized pairwise hamming: byte-wise popcount of the
-            # (n, n) xor matrix via a 256-entry lookup table
-            x = hs.astype(np.uint64)
-            xor = (x[:, None] ^ x[None, :]).view(np.uint8).reshape(n, n, 8)
-            d = popcount8[xor].sum(axis=2)
-            ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
-            keep = ids[ii] != ids[jj]
-            out_a.append(ids[ii][keep])
-            out_b.append(ids[jj][keep])
-            out_d.append(d[ii, jj][keep])
-        if not out_a:
-            return pd.DataFrame(
-                {
-                    a_col: pd.Series([], dtype="int64"),
-                    b_col: pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                a_col: pd.Series(np.concatenate(out_a), dtype="int64"),
-                b_col: pd.Series(np.concatenate(out_b), dtype="int64"),
-                "hamming": pd.Series(np.concatenate(out_d), dtype="int64"),
-            }
-        )
-
     from .shuffle import bucketed_group_apply, group_agg
 
-    cand = bucketed_group_apply(fps.map_batches(emit, batch_format="pyarrow"), ["seg", "val"], pairs)
+    cand = bucketed_group_apply(
+        fps.map_batches(emit, batch_format="pyarrow"),
+        ["seg", "val"],
+        _hamming_bucket_fn(id_col, fp_col, max_hamming, a_col, b_col, bucket_cap),
+    )
     return group_agg(cand, [a_col, b_col], {"hamming": ("hamming", "min")})
 
 
@@ -891,6 +972,204 @@ NGRAM_JACCARD_EXACT_ORACLE = """
 """
 
 
+# ----------------------------------------- exact-oracle twins (round 4)
+# Each twin drives the SAME engine machinery as a rows-only op through
+# inputs a DuckDB oracle can reproduce value-for-value (VERDICT r3 #6,
+# the ngram_jaccard_exact precedent / CLAUDE.md rule 17).
+
+# The common CTE chain: exact n-gram Jaccard pairs → undirected edges →
+# transitive closure (recursive CTE; near-dup components are shallow
+# stars, so the closure stays tiny) → min-id component labels.
+_NGRAM_CLUSTER_CTES = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                    ELSE list_transform(generate_series(1, len(ts) - 2),
+                                        i -> array_to_string(ts[i:i+2], ' '))
+               END AS grams
+        FROM toks
+    ), s AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, unnest(grams) AS sh FROM g)
+    ), cnt AS (
+        SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN cnt na ON na.doc_id = doc_a
+        JOIN cnt nb ON nb.doc_id = doc_b
+        WHERE i / CAST(na.nsh + nb.nsh - i AS DOUBLE) >= 0.5
+    ), e AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ), walk(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u WHERE e.v <> w.u
+    ), lab AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster FROM walk GROUP BY u
+    )
+"""
+
+
+def ngram_dup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.5):
+    """(doc_id, cluster): transitive connected components over the
+    EXACT n-gram-Jaccard near-dup pairs — the ★-oracle twin of
+    ``dedup_minhash``'s clustering finish. Same ``cluster_edges``
+    component labeling (label = min doc_id of the component) the LSH
+    path uses; candidates come from :func:`ngram_jaccard_exact` so a
+    recursive-CTE DuckDB oracle reproduces the output value-for-value
+    (the LSH path is rows-only by necessity)."""
+    from .linkage.clustering import cluster_edges
+
+    pairs = ngram_jaccard_exact(sf_dir, n=n, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]).rename_columns(["node_a", "node_b"]),
+        batch_format="pyarrow",
+    )
+    return cluster_edges(edges).map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
+NGRAM_DUP_CLUSTERS_ORACLE = (
+    _NGRAM_CLUSTER_CTES
+    + """
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster FROM lab
+"""
+)
+
+
+def ngram_dup_keepers(sf_dir: str, n: int = 3, threshold: float = 0.5):
+    """(doc_id, cluster, keeper, keep): the ``near_dedup_keepers``
+    keeper-selection finish (bucketed n_chars hydration → packed-max
+    winner → cluster-keyed join back) driven by the exact-Jaccard
+    clusters, giving the whole finish a hash-exact DuckDB oracle
+    (``near_dedup_keepers`` itself rides LSH candidates — rows-only)."""
+    clusters = ngram_dup_clusters(sf_dir, n=n, threshold=threshold).materialize()
+    lens = _prune_to_ids(
+        _read_docs(sf_dir, ["doc_id", "n_chars"]), clusters, ["doc_id"], "doc_id"
+    )
+    return _keeper_finish(clusters, lens)
+
+
+NGRAM_DUP_KEEPERS_ORACLE = (
+    _NGRAM_CLUSTER_CTES
+    + """
+    , k AS (
+        SELECT l.doc_id, l.cluster,
+               first_value(l.doc_id) OVER (
+                   PARTITION BY l.cluster ORDER BY d.n_chars DESC, l.doc_id
+               ) AS keeper
+        FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(keeper AS BIGINT) AS keeper,
+           CAST(doc_id = keeper AS BIGINT) AS keep
+    FROM k
+"""
+)
+
+
+def _marker_list() -> list[str]:
+    """63 deterministic marker substrings (31 corpus tokens + 32
+    token bigrams) for the parity-bit fingerprint. The token list is
+    the synthetic webtext fixture's vocabulary — this op is the
+    oracle-parity twin of the SimHash pigeonhole path, so its
+    fingerprint function must be computable by BOTH the engine and
+    ANSI SQL on the same corpus; occurrence-count parity of a fixed
+    substring is (the real SimHash is not SQL-expressible)."""
+    toks = [
+        "join", "hash", "row", "batch", "scan", "column", "customer",
+        "filter", "small", "slow", "merge", "order", "vector", "line",
+        "data", "table", "agg", "value", "key", "stream", "window",
+        "a", "spark", "group", "part", "big", "sort", "query", "fast",
+        "the", "dup",
+    ]
+    markers = list(toks)
+    k = 0
+    for i in range(31):
+        for j in range(31):
+            if i != j and k < 32 and (i * 31 + j) % 29 == 0:
+                markers.append(f"{toks[i]} {toks[j]}")
+                k += 1
+    i = 0
+    while len(markers) < 63:
+        a, b = i % 31, (i * 5 + 2) % 31
+        if a != b:
+            m = f"{toks[a]} {toks[b]}"
+            if m not in markers:
+                markers.append(m)
+        i += 1
+    return markers[:63]
+
+
+def marker_fingerprints(sf_dir: str):
+    """(doc_id, fp): 63-bit fingerprint — bit i is the occurrence-count
+    parity of marker substring i (non-overlapping count, matching
+    SQL's length/replace counting). Near-duplicate docs flip few
+    parities; unrelated docs differ in ~half the p≈0.5 token bits."""
+    import pyarrow.compute as pc
+
+    markers = _marker_list()
+
+    def fp(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        v = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, w in enumerate(markers):
+            c = pc.count_substring(t, w).to_numpy(zero_copy_only=False).astype(np.int64)
+            v |= (c & 1) << i
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(v, pa.int64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def marker_hamming_pairs(sf_dir: str, max_hamming: int = 4):
+    """(doc_a, doc_b, hamming): the pigeonhole hamming kernel
+    (:func:`hamming_near_pairs_ds`, shared with simhash_near_pairs and
+    media_phash_near_dups) over the SQL-computable marker-parity
+    fingerprints — its ★-oracle twin. 9 blocks × 7 bits > max_hamming
+    ⇒ the pigeonhole scan is EXACT, and ``bucket_cap=None`` keeps it
+    so (no silent drops; in-bucket work is quadratic — the documented
+    oracle-twin setting, production paths keep the logged cap)."""
+    fps = marker_fingerprints(sf_dir)
+    return hamming_near_pairs_ds(
+        fps,
+        "doc_id",
+        "fp",
+        max_hamming=max_hamming,
+        blocks=9,
+        seg_bits=7,
+        prefix="doc",
+        bucket_cap=None,
+    )
+
+
+def _marker_hamming_oracle(max_hamming: int = 4) -> str:
+    bits = " | ".join(
+        f"(CASE WHEN ((length(text) - length(replace(text, '{w}', ''))) // {len(w)}) % 2 = 1"
+        f" THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i, w in enumerate(_marker_list())
+    )
+    return f"""
+    WITH f AS (SELECT doc_id, {bits} AS fp FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+MARKER_HAMMING_ORACLE = _marker_hamming_oracle()
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
     "soft_dedup_weights": soft_dedup_weights,
@@ -901,4 +1180,7 @@ DEDUP_QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_exact": ngram_jaccard_exact,
     "embedding_near_dups": embedding_near_dups,
+    "ngram_dup_clusters": ngram_dup_clusters,
+    "ngram_dup_keepers": ngram_dup_keepers,
+    "marker_hamming_pairs": marker_hamming_pairs,
 }
