@@ -67,29 +67,49 @@ def top_orders(sf_dir: str, k: int = 10):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
-def customer_order_stats(sf_dir: str):
+def customer_order_stats(sf_dir: str, broadcast_gate: int | None = None):
     """orders aggregated per customer then hydrated with customer attrs
     via a BROADCAST map-side join (the attach_dbs_to_ids hydration,
     utils.R:152-162, with the small side ray.put once — never a
-    shuffle join)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
-    cust_ref = ray.put(cust.set_index("c_custkey"))
-
+    shuffle join). The broadcast is GATED (segment_revenue_3way's
+    shape, VERDICT r3 #5): customers grow linearly with SF, so above
+    ``broadcast_gate`` rows the hydration falls back to one bucketed
+    hash join instead of shipping the whole dimension to every actor.
+    Both paths are equivalence-tested (test_relational)."""
+    if broadcast_gate is None:
+        broadcast_gate = CUSTOMER_BROADCAST_GATE
     agg = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent"))
     )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
 
-    def hydrate(batch: pd.DataFrame) -> pd.DataFrame:
-        side = ray.get(cust_ref)
-        joined = batch.join(side, on="o_custkey", how="inner")
-        joined["total_spent"] = joined["total_spent"].round(2)
-        return joined.rename(columns={"o_custkey": "c_custkey"})[
-            ["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"]
-        ]
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_spent"] = df["total_spent"].round(2)
+        return df[["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"]]
 
-    return agg.map_batches(hydrate, batch_format="pandas")
+    if cust.count() <= broadcast_gate:
+        cust_ref = ray.put(cust.to_pandas().set_index("c_custkey"))
+
+        def hydrate(batch: pd.DataFrame) -> pd.DataFrame:
+            side = ray.get(cust_ref)
+            joined = batch.join(side, on="o_custkey", how="inner")
+            return finish(joined.rename(columns={"o_custkey": "c_custkey"}))
+
+        return agg.map_batches(hydrate, batch_format="pandas")
+
+    from .shuffle import bucketed_join
+
+    joined = bucketed_join(
+        agg.map_batches(
+            lambda d: d.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+        ),
+        cust,
+        ["c_custkey"],
+    )
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def customers_without_finished_orders(sf_dir: str):

@@ -103,7 +103,14 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     ((a,b), (a,ALL), (ALL,ALL)) as ordinary keyed rows, so a single
     bucketed reduce finishes every grain — no per-grain re-scan, no
     second aggregation pass, and the 3× key-row inflation is ints +
-    short strings only (never payload; CLAUDE.md rule 2)."""
+    short strings only (never payload; CLAUDE.md rule 2).
+
+    NULL keys are sentinel-encoded to 'NULL' before grouping (the
+    shuffle.py null-key contract; ADVICE r3): pandas groupby(dropna)
+    would silently drop null-key rows from EVERY grain including the
+    grand total. The oracle mirrors it with GROUPING()-disambiguated
+    coalesce. Assumed (documented) collision bound: no data value
+    equals the literal 'ALL'/'NULL' sentinels."""
     from .shuffle import group_agg
 
     ds = ray.data.read_parquet(
@@ -113,6 +120,7 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        df = df.fillna({"o_orderpriority": "NULL", "o_orderstatus": "NULL"})
         g = (
             df.groupby(["o_orderpriority", "o_orderstatus"], sort=False, as_index=False)
             .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
@@ -134,8 +142,10 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 REVENUE_ROLLUP_ORACLE = """
-    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-           coalesce(o_orderstatus, 'ALL') AS status,
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE coalesce(o_orderstatus, 'NULL') END AS status,
            round(sum(o_totalprice), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
@@ -147,7 +157,8 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
     — (a,b), (a,ALL), (ALL,b), (ALL,ALL) — emitted by the per-batch
     partial, so one bucketed reduce finishes the whole lattice (the
     rollup's single-shuffle shape with one more grain row; key rows
-    only, never payload)."""
+    only, never payload). NULL keys sentinel-encode to 'NULL' before
+    grouping (see revenue_rollup)."""
     from .shuffle import group_agg
 
     ds = ray.data.read_parquet(
@@ -157,6 +168,7 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        df = df.fillna({"o_orderpriority": "NULL", "o_orderstatus": "NULL"})
         g = (
             df.groupby(["o_orderpriority", "o_orderstatus"], sort=False, as_index=False)
             .agg(revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
@@ -179,8 +191,10 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
 
 
 REVENUE_CUBE_ORACLE = """
-    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-           coalesce(o_orderstatus, 'ALL') AS status,
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE coalesce(o_orderstatus, 'NULL') END AS status,
            round(sum(o_totalprice), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)

@@ -987,25 +987,31 @@ def bm25_topk(sf_dir: str, n_query_terms: int = BM25_QUERY_TERMS, k_top: int = B
             {"doc_id": np.repeat(ids, lens), "term": terms}
         ).drop_duplicates()
         out = occ.groupby("term", sort=False).size().rename("df").reset_index()
-        out["dl"] = 0  # filler; total length rides separate rows
-        tot = pd.DataFrame({"term": ["\x00len"], "df": [0], "dl": [int(lens.sum())]})
+        out["dl"] = 0  # filler; total length rides the is_len=1 row
+        out["is_len"] = 0
+        # corpus length rides the SAME reduce but in its own key
+        # namespace (is_len=1): a corpus token can never collide with
+        # it (ADVICE r3 — the former '\x00len' sentinel shared the
+        # term keyspace)
+        tot = pd.DataFrame({"term": [""], "df": [0], "dl": [int(lens.sum())], "is_len": [1]})
         return pd.concat([out, tot], ignore_index=True)
 
     red = group_agg(
         ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["term"],
+        ["term", "is_len"],
         {"df": ("df", "sum"), "dl": ("dl", "sum")},
     )
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["df", "term"], ascending=[False, True])
         return pd.concat(
-            [df.head(n_query_terms), df[df["term"] == "\x00len"]], ignore_index=True
+            [df[df["is_len"] == 0].head(n_query_terms), df[df["is_len"] == 1]],
+            ignore_index=True,
         ).drop_duplicates()
 
     cand = red.map_batches(local_top, batch_format="pandas").to_pandas()
-    total_len = float(cand.loc[cand["term"] == "\x00len", "dl"].sum())
-    cand = cand[cand["term"] != "\x00len"].sort_values(
+    total_len = float(cand.loc[cand["is_len"] == 1, "dl"].sum())
+    cand = cand[cand["is_len"] == 0].sort_values(
         ["df", "term"], ascending=[False, True]
     )
     qterms = cand["term"].to_numpy()[:n_query_terms]

@@ -140,6 +140,20 @@ def test_segment_revenue_paths_agree(ray_session):
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
 
 
+def test_customer_order_stats_paths_agree(ray_session):
+    from rayrl.relational import customer_order_stats
+
+    broad = customer_order_stats(SF_DIR).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    joined = (
+        customer_order_stats(SF_DIR, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert len(broad) > 0
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
 def test_fused_scorer_matches_individual_stages(ray_session):
     from rayrl.text import (
         FusedDocScorer,

@@ -138,6 +138,39 @@ def test_ngram_dup_clusters_match_components(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_rollup_cube_null_keys(ray_session, tmp_path):
+    """NULL grouping keys must survive into every grain as the 'NULL'
+    sentinel (ADVICE r3: pandas dropna silently removed them from the
+    grand total) — engine vs the GROUPING()-disambiguated oracle."""
+    import duckdb
+
+    from rayrl.stats import (
+        REVENUE_CUBE_ORACLE,
+        REVENUE_ROLLUP_ORACLE,
+        revenue_cube,
+        revenue_rollup,
+    )
+
+    df = pd.DataFrame(
+        {
+            "o_orderpriority": ["1-URGENT", None, "2-HIGH", None],
+            "o_orderstatus": ["F", "O", None, None],
+            "o_totalprice": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')")
+
+    for fn, oracle in ((revenue_rollup, REVENUE_ROLLUP_ORACLE), (revenue_cube, REVENUE_CUBE_ORACLE)):
+        got = fn(str(tmp_path)).sort_values(["priority", "status"]).reset_index(drop=True)
+        want = con.sql(oracle).df().sort_values(["priority", "status"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # the grand total must count ALL four rows
+        top = got[(got["priority"] == "ALL") & (got["status"] == "ALL")]
+        assert int(top["n_orders"].iloc[0]) == 4
+
+
 def test_marker_fingerprints_parity(ray_session):
     """Engine parity bits must equal SQL's non-overlapping
     length/replace counting (pc.count_substring parity)."""
