@@ -545,4 +545,16 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_exact"] = ANN_IVF_EXACT_ORACLE
     out["embedding_cosine_pairs_exact"] = EMBEDDING_COSINE_PAIRS_ORACLE
     out["marker_hamming_pairs"] = MARKER_HAMMING_ORACLE
+    # second r4 twin wave (registered BEHIND the 50-key driver window —
+    # they rotate in next round; pytest verifies them this round):
+    # the LSH probe kernel (degenerate single bucket == brute force),
+    # the k-means assignment kernel (fixed SQL-expressible centroids),
+    # and the streaming-dedup summary counts (order-independent).
+    from rayrl.ann import ANN_LSH_EXACT_ORACLE
+    from rayrl.kmeans import KMEANS_ASSIGN_ORACLE
+    from rayrl.streamdedup import STREAM_DEDUP_ORACLE
+
+    out["ann_lsh_exact"] = ANN_LSH_EXACT_ORACLE
+    out["kmeans_assign_exact"] = KMEANS_ASSIGN_ORACLE
+    out["stream_dedup_summary"] = STREAM_DEDUP_ORACLE
     return out

@@ -676,6 +676,21 @@ def ann_ivf_exact(sf_dir: str, k: int = 10, n_queries: int = 5):
 
 ANN_IVF_EXACT_ORACLE = ANN_TOPK_ORACLE
 
+
+def ann_lsh_exact(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """LSH with ``n_planes = 0`` — every vector (and every query) lands
+    in the single bucket 0, so the bucket probe degenerates to the
+    exact brute-force scan and the ``ann_topk`` SQL oracle verifies the
+    whole LSH machinery (plane hashing, bucket grouping, per-bucket
+    query masking, in-bucket top-k with the (sim desc, vec_id asc)
+    tie-break) rather than just its recall. The approximate production
+    config stays ``ann_lsh_topk`` (rows-only + ann_recall_report);
+    the single-group shuffle here is test-scale by construction."""
+    return ann_lsh_topk(sf_dir, k=k, n_queries=n_queries, n_planes=0)
+
+
+ANN_LSH_EXACT_ORACLE = ANN_TOPK_ORACLE
+
 COSINE_PAIRS_THRESHOLD = 0.4
 
 
@@ -739,5 +754,6 @@ ANN_QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_outliers": embedding_outliers,
     "ann_ivf_exact": ann_ivf_exact,
+    "ann_lsh_exact": ann_lsh_exact,
     "embedding_cosine_pairs_exact": embedding_cosine_pairs_exact,
 }

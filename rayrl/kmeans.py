@@ -273,7 +273,51 @@ def semantic_dedup_ds(
     return bucketed_group_apply(rows, ["cluster"], per_cluster)
 
 
+# ----------------------------------------- exact-oracle twin (round 4)
+
+_ASSIGN_EXACT_K = 8
+
+
+def kmeans_assign_exact(sf_dir: str, k: int = _ASSIGN_EXACT_K):
+    """(vec_id, cluster): one nearest-centroid assignment pass with a
+    FIXED, SQL-expressible centroid set — the embeddings of the ``k``
+    smallest vec_ids — so the DuckDB oracle can reproduce it exactly
+    and ★-verify the assignment kernel (the per-iteration heart of
+    ``kmeans_fit`` / ``semantic_dedup``, which stay rows-only because
+    Lloyd's loop is iterative ML). Distances are float64 on both sides
+    (the oracle CASTs the float32 lists to DOUBLE[]); ties break to the
+    lowest centroid id in both. ``cluster`` is the centroid's vec_id
+    (the hydrated centroid matrix is sorted by vec_id, so the argmin
+    index IS that id). Only integer columns are emitted — no float
+    hash-compare surface."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # k driver-side rows — a fixed-size dimension hydration, not a collect
+    cent = (
+        ds.filter(expr=f"vec_id < {k}")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    centroids = np.array(cent["embedding"].tolist(), dtype=np.float64)
+    return kmeans_assign(ds, centroids).select_columns(["vec_id", "cluster"])
+
+
+KMEANS_ASSIGN_ORACLE = f"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id < {_ASSIGN_EXACT_K}),
+         d AS (SELECT e.vec_id, c.cid,
+                      list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS dist
+               FROM embeddings e CROSS JOIN c)
+    SELECT vec_id, cid AS cluster
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) = 1
+"""
+
+
 KMEANS_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
+    "kmeans_assign_exact": kmeans_assign_exact,
 }

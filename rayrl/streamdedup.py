@@ -119,4 +119,17 @@ def stream_dedup_summary(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# Oracle (round 4): the summary COUNTS are parallelism- and
+# arrival-order-independent (only keeper IDENTITY is order-defined),
+# so SQL can verify them exactly: n_keepers = COUNT(DISTINCT text).
+# The engine counts distinct 64-bit content hashes instead of distinct
+# texts — the CLAUDE.md rule-17 trade (same as soft_dedup_weights):
+# identical up to crc64 collisions, P ≈ n²/2⁶⁵ at any test scale.
+STREAM_DEDUP_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_keepers,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dups
+    FROM documents
+"""
+
 STREAM_DEDUP_QUERIES = {"stream_dedup_summary": stream_dedup_summary}
