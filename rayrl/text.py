@@ -393,6 +393,7 @@ def duplicated_spans(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     broadcast_gate: int = DUPSPAN_BROADCAST_MAX,
+    emit_counts: bool = False,
 ):
     """(doc_id, n_fps, dup_span_frac): per-document cross-document
     substring-duplication signal — the fraction of a doc's winnowed
@@ -531,6 +532,14 @@ def duplicated_spans(
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         nf = df["n_fps"].to_numpy(np.int64)
+        if emit_counts:  # int-only surface for the exact-oracle twin
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_fps": nf,
+                    "n_dup_fps": df["hits"].to_numpy(np.int64),
+                }
+            )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -542,6 +551,50 @@ def duplicated_spans(
         )
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def duplicated_spans_exact(sf_dir: str, k: int = WINNOW_K):
+    """Exact-oracle twin of :func:`duplicated_spans` (round 4): with
+    window ``w=1`` robust winnowing selects EVERY k-gram position (the
+    rightmost minimum of a 1-element window is that element), so the
+    per-doc distinct-fingerprint stream is exactly the doc's distinct
+    byte k-grams and DuckDB can reproduce the whole pipeline by
+    enumerating substrings — verifying the occurrence emit, the
+    fingerprint-frequency reduce, the dup rule (seen in ≥2 docs or ≥2×
+    in one doc), and the per-doc assembly. The engine groups by the
+    64-bit rolling hash of the gram while the oracle groups by the
+    gram VALUE — identical partitions up to hash collisions
+    (CLAUDE.md rule 17; P ≈ grams²/2⁶⁴ at test scale). Output is
+    int-only (doc_id, n_fps, n_dup_fps): no float hash-compare
+    surface. The documents fixture is ASCII (asserted by the oracle's
+    byte/char equivalence: substr positions == byte positions).
+    Production configs stay ``duplicated_spans`` (w=16, winnowed
+    sample); this twin's per-position stream is test-scale evidence
+    for the shared kernel, not a scale path."""
+    return duplicated_spans(sf_dir, k=k, w=1, emit_counts=True)
+
+
+DUPLICATED_SPANS_EXACT_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {WINNOW_K - 2})) AS i
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), {WINNOW_K}) AS g,
+               CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS rep
+        FROM pos GROUP BY doc_id, g
+    ),
+    freq AS (
+        SELECT g, count(*) AS nd, sum(rep) AS srep FROM occ GROUP BY g
+    )
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(sum(CASE WHEN f.nd >= 2 OR f.srep >= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_fps
+    FROM occ o JOIN freq f ON o.g = f.g
+    GROUP BY o.doc_id
+"""
 
 
 CHUNK_TOKENS = 64
@@ -896,6 +949,7 @@ TEXT_QUERIES = {
     "normalized_documents": normalized_documents,
     "canonical_documents": canonical_documents,
     "duplicated_spans": duplicated_spans,
+    "duplicated_spans_exact": duplicated_spans_exact,
     "chunk_documents": chunk_documents,
 }
 
@@ -949,6 +1003,7 @@ def _lang_id_oracle() -> str:
 
 TEXT_ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
+    "duplicated_spans_exact": DUPLICATED_SPANS_EXACT_ORACLE,
     "lang_id": _lang_id_oracle(),
     "token_counts": r"""
         SELECT doc_id,
