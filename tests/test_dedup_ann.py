@@ -511,3 +511,23 @@ def test_soft_dedup_weights_conserve_mass(ray_session):
     distinct = dedup_exact(SF_DIR).count()
     assert abs(w["weight"].sum() - distinct) < 1e-3, (w["weight"].sum(), distinct)
     assert (w["n_copies"] >= 1).all()
+
+
+def test_soft_dedup_weights_path_equivalence(ray_session):
+    """The broadcast-counts plan (default) and the bucketed-join
+    fallback (gate forced to 0) produce identical rows."""
+    from rayrl.dedup import soft_dedup_weights
+
+    a = (
+        soft_dedup_weights(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        soft_dedup_weights(SF_DIR, broadcast_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
