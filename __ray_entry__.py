@@ -356,6 +356,12 @@ _WINDOW_FIRST = [
     "marker_hamming_pairs",
 ]
 
+# Immediately after the 50-key window: new r4 oracle-backed ops —
+# first in line if the driver's window widens; pytest-oracle-verified
+# either way (test_entry_oracles), ahead of the already-★-verified
+# r03 rows which need re-verification least.
+_WINDOW_NEXT = ["c4_filtered", "blocklist_clean_docs", "corpus_splits"]
+
 # ★pass rows in CORRECTNESS_r03 — already hard-verified; they re-enter
 # the window in a later round if space frees up.
 _R03_VERIFIED = [
@@ -467,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for k in _WINDOW_FIRST:
         out[k] = all_q[k]  # KeyError here = the window list drifted
+    for k in _WINDOW_NEXT:
+        out[k] = all_q[k]
     for k in all_q:  # remaining oracle-backed (the r03-★ rows)
         if k not in out and k in oracle_keys:
             out[k] = all_q[k]

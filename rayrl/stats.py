@@ -242,6 +242,87 @@ SAMPLED_DOCUMENTS_ORACLE = f"""
 """
 
 
+# --------------------------------- deterministic train/val/test split
+
+SPLIT_TRAIN_PCT = 96  # h < 96 → train
+SPLIT_VAL_PCT = 98  # 96 ≤ h < 98 → val; the rest → test
+
+
+def corpus_splits(sf_dir: str):
+    """Deterministic train/val/test corpus split (96/2/2 on the same
+    BIGINT-safe multiplicative doc_id hash as `sampled_documents`, so
+    any engine reproduces the assignment) with a per-split audit row:
+    doc count, char volume, distinct languages. The assignment is a
+    stateless per-batch kernel; only split-keyed partials (3 rows per
+    batch) and DISTINCT (split, lang) pairs move, so the reduce is
+    constant-sized at any corpus scale."""
+    from .shuffle import bucketed_join, group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    labels = np.array(["train", "val", "test"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
+        split = labels[(h >= SPLIT_TRAIN_PCT).astype(np.int8) + (h >= SPLIT_VAL_PCT)]
+        df = pd.DataFrame(
+            {
+                "split": split,
+                "chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
+                "lang": batch.column("lang").to_pandas(),
+            }
+        )
+        return df
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sums_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("split", sort=False, as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+
+    sums = group_agg(
+        parts.map_batches(sums_partial, batch_format="pandas"),
+        ["split"],
+        {"n_docs": ("n", "sum"), "total_chars": ("chars", "sum")},
+    )
+    lang_pairs = group_agg(
+        parts.map_batches(
+            lambda df: df[["split", "lang"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["split", "lang"],
+        {"c": ("lang", "size")},
+    )
+    # lang_pairs rows are globally DISTINCT (split, lang) after the
+    # reduce, so a split-keyed size IS the distinct-language count
+    langs = group_agg(lang_pairs, ["split"], {"n_langs": ("c", "size")})
+    return bucketed_join(sums, langs, ["split"])
+
+
+CORPUS_SPLITS_ORACLE = f"""
+    WITH s AS (
+        SELECT CASE WHEN h < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN h < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, n_chars
+        FROM (
+            SELECT ((doc_id % {SAMPLE_MOD}) * {SAMPLE_MUL})
+                       % {SAMPLE_PRIME} % 100 AS h,
+                   lang, n_chars
+            FROM documents
+        )
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM s GROUP BY split
+"""
+
+
 # --------------------------------------- deterministic global shuffle
 
 def shuffled_documents(sf_dir: str):
@@ -956,6 +1037,7 @@ STATS_QUERIES = {
     "revenue_cube": revenue_cube,
     "sampled_documents": sampled_documents,
     "shuffled_documents": shuffled_documents,
+    "corpus_splits": corpus_splits,
     "table_quality_report": table_quality_report,
     "lang_top_terms": lang_top_terms,
     "weighted_sampled_documents": weighted_sampled_documents,
@@ -973,6 +1055,7 @@ STATS_ORACLES = {
     "revenue_cube": REVENUE_CUBE_ORACLE,
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "shuffled_documents": SHUFFLED_DOCUMENTS_ORACLE,
+    "corpus_splits": CORPUS_SPLITS_ORACLE,
     "table_quality_report": QUALITY_REPORT_ORACLE,
     "lang_top_terms": LANG_TOP_TERMS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,

@@ -937,6 +937,97 @@ def pii_scan(sf_dir: str):
     )
 
 
+# ------------------------- C4 heuristic document filter (Raffel 2020)
+
+C4_MIN_TOKENS = 30
+C4_MIN_CHARS = 150
+
+
+def c4_filtered(sf_dir: str):
+    """C4-style heuristic document filter (Raffel et al. 2020 §2.2):
+    keep docs with ≥C4_MIN_TOKENS whitespace tokens and ≥C4_MIN_CHARS
+    chars, no code brace '{', and no 'lorem ipsum' placeholder. One
+    stateless vectorized pass — token/char counts from the byte
+    kernels, substring tests as Arrow RE2 kernels — emitting only
+    (doc_id, n_tokens, n_chars): the text never leaves the stage, so
+    at corpus scale the op streams and nothing shuffles."""
+    import pyarrow.compute as pc
+
+    from .bytekernels import token_count_kernels
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        k = token_count_kernels(text)
+        keep = (
+            (k["n_tokens"] >= C4_MIN_TOKENS)
+            & (k["n_chars"] >= C4_MIN_CHARS)
+            & ~pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
+            & ~pc.match_substring(
+                pc.utf8_lower(text), "lorem ipsum"
+            ).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(k["n_tokens"], pa.int64()),
+                "n_chars": pa.array(k["n_chars"], pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+C4_FILTERED_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {C4_MIN_TOKENS}
+      AND length(text) >= {C4_MIN_CHARS}
+      AND text NOT LIKE '%{{%'
+      AND lower(text) NOT LIKE '%lorem ipsum%'
+"""
+
+
+# ----------------------------- word-boundary blocklist scrub (C4 §2.2)
+
+BLOCKLIST_WORDS = ("spark", "vector")
+
+
+def blocklist_clean_docs(sf_dir: str):
+    """Blocklist scrub: drop any document containing a blocklisted
+    WORD (word-boundary match, not substring) — the C4 "bad words"
+    filter shape. The whole blocklist compiles into one RE2
+    alternation evaluated as a single Arrow kernel call per batch
+    (RE2 alternations stay linear-time, so a real multi-thousand-word
+    list costs one automaton, not one pass per word). Emits only
+    surviving (doc_id, lang): text is pruned from the output."""
+    import pyarrow.compute as pc
+
+    pattern = r"\b(" + "|".join(BLOCKLIST_WORDS) + r")\b"
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            pc.utf8_lower(batch.column("text").combine_chunks()), pattern
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang": batch.column("lang")}
+        ).filter(pc.invert(hit))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BLOCKLIST_CLEAN_ORACLE = (
+    "SELECT doc_id, lang FROM documents "
+    "WHERE NOT regexp_matches(lower(text), '\\b("
+    + "|".join(BLOCKLIST_WORDS)
+    + ")\\b')"
+)
+
+
 TEXT_QUERIES = {
     "token_counts": token_counts,
     "char_class_counts": char_class_counts,
@@ -951,6 +1042,8 @@ TEXT_QUERIES = {
     "duplicated_spans": duplicated_spans,
     "duplicated_spans_exact": duplicated_spans_exact,
     "chunk_documents": chunk_documents,
+    "c4_filtered": c4_filtered,
+    "blocklist_clean_docs": blocklist_clean_docs,
 }
 
 def _lang_id_oracle() -> str:
@@ -1003,6 +1096,8 @@ def _lang_id_oracle() -> str:
 
 TEXT_ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
+    "c4_filtered": C4_FILTERED_ORACLE,
+    "blocklist_clean_docs": BLOCKLIST_CLEAN_ORACLE,
     "duplicated_spans_exact": DUPLICATED_SPANS_EXACT_ORACLE,
     "lang_id": _lang_id_oracle(),
     "token_counts": r"""

@@ -189,3 +189,34 @@ def test_marker_fingerprints_parity(ray_session):
         f"SELECT doc_id, {bits} AS fp FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
     ).df()
     assert np.array_equal(got["fp"].to_numpy(), want["fp"].to_numpy())
+
+
+def test_c4_filter_discriminates(ray_session):
+    """The filter battery must actually split the corpus (not pass or
+    drop everything) and every survivor must satisfy the floors."""
+    from rayrl.text import C4_MIN_CHARS, C4_MIN_TOKENS, c4_filtered
+
+    got = c4_filtered(SF_DIR).to_pandas()
+    import pyarrow.parquet as pq
+
+    total = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert 0 < len(got) < total
+    assert (got["n_tokens"] >= C4_MIN_TOKENS).all()
+    assert (got["n_chars"] >= C4_MIN_CHARS).all()
+
+
+def test_corpus_splits_partition_conservation(ray_session):
+    """The three splits must partition the corpus exactly: doc and
+    char totals conserve, and every split is non-empty at sf0.01."""
+    from rayrl.stats import corpus_splits
+
+    got = corpus_splits(SF_DIR).to_pandas().set_index("split")
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT count(*) AS n, sum(n_chars) AS ch FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    assert set(got.index) == {"train", "val", "test"}
+    assert got["n_docs"].sum() == want["n"][0]
+    assert got["total_chars"].sum() == want["ch"][0]
+    assert (got["n_docs"] > 0).all()
