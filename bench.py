@@ -138,6 +138,8 @@ def run_bench() -> dict:
         "lang_top_terms",
         "soft_dedup_weights",
         "table_quality_report",
+        "c4_filtered",
+        "corpus_splits",
     ):
         fn = entry_mod.queries()[qname]
         best = None

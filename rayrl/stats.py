@@ -252,11 +252,12 @@ def corpus_splits(sf_dir: str):
     """Deterministic train/val/test corpus split (96/2/2 on the same
     BIGINT-safe multiplicative doc_id hash as `sampled_documents`, so
     any engine reproduces the assignment) with a per-split audit row:
-    doc count, char volume, distinct languages. The assignment is a
-    stateless per-batch kernel; only split-keyed partials (3 rows per
-    batch) and DISTINCT (split, lang) pairs move, so the reduce is
-    constant-sized at any corpus scale."""
-    from .shuffle import bucketed_join, group_agg
+    doc count, char volume, distinct languages. ONE read pass emits
+    per-batch (split, lang)-keyed partials (≤ 3·|langs| rows per
+    batch), one narrow shuffle reduces them, and the finish runs on
+    the reduced table — bounded by 3·|langs| rows at any corpus
+    scale."""
+    from .shuffle import group_agg
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
@@ -270,36 +271,23 @@ def corpus_splits(sf_dir: str):
         df = pd.DataFrame(
             {
                 "split": split,
-                "chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
                 "lang": batch.column("lang").to_pandas(),
+                "chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
             }
         )
-        return df
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-
-    def sums_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("split", sort=False, as_index=False).agg(
+        return df.groupby(["split", "lang"], sort=False, as_index=False).agg(
             n=("chars", "size"), chars=("chars", "sum")
         )
 
-    sums = group_agg(
-        parts.map_batches(sums_partial, batch_format="pandas"),
-        ["split"],
-        {"n_docs": ("n", "sum"), "total_chars": ("chars", "sum")},
-    )
-    lang_pairs = group_agg(
-        parts.map_batches(
-            lambda df: df[["split", "lang"]].drop_duplicates(),
-            batch_format="pandas",
-        ),
+    pairs = group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["split", "lang"],
-        {"c": ("lang", "size")},
+        {"n": ("n", "sum"), "chars": ("chars", "sum")},
+    ).to_pandas()  # ≤ 3·|langs| rows — bounded, driver-safe
+    out = pairs.groupby("split", sort=False, as_index=False).agg(
+        n_docs=("n", "sum"), total_chars=("chars", "sum"), n_langs=("lang", "size")
     )
-    # lang_pairs rows are globally DISTINCT (split, lang) after the
-    # reduce, so a split-keyed size IS the distinct-language count
-    langs = group_agg(lang_pairs, ["split"], {"n_langs": ("c", "size")})
-    return bucketed_join(sums, langs, ["split"])
+    return out
 
 
 CORPUS_SPLITS_ORACLE = f"""

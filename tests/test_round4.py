@@ -210,7 +210,7 @@ def test_corpus_splits_partition_conservation(ray_session):
     char totals conserve, and every split is non-empty at sf0.01."""
     from rayrl.stats import corpus_splits
 
-    got = corpus_splits(SF_DIR).to_pandas().set_index("split")
+    got = corpus_splits(SF_DIR).set_index("split")
     import duckdb
 
     want = duckdb.sql(
