@@ -244,6 +244,119 @@ def minhash_tags(k: int, seed: int = 0) -> np.ndarray:
     return rng.hash_u64(np.arange(k, dtype=np.int64), seed, rng.tag_for("minhash"))
 
 
+_OPH_DENS_C = np.uint64(0xBF58476D1CE4E5B9)  # odd mixer for densify offsets
+
+
+def oph_signatures_batch(col, k: int, seed: int = 0) -> np.ndarray:
+    """One-permutation MinHash (Li/Owen/Zhang 2012) with rotational
+    densification (Shrivastava 2017): ONE splitmix pass buckets every
+    shingle code into one of ``k`` bins by its top bits and the
+    per-(row, bin) min falls out of one sort + segment-min —
+    O(shingles + n·k) per batch versus classic k-min's O(shingles·k).
+    At 10¹²-document scale this is the difference between the payload
+    stage being hash-bound or not; per-lane match probability is ≈ the
+    Jaccard similarity exactly as with k independent permutations, so
+    banding/est-Jaccard math downstream is unchanged.
+
+    Empty bins copy the circularly-next filled bin's value plus
+    j·ODD_C (j = circular distance), so two rows densifying the same
+    bin from different distances cannot spuriously agree. Rows with no
+    shingles (empty/null text) return all-zero signatures — the same
+    convention as ``minhash_signatures_batch``.
+
+    ``col`` is a pyarrow string array/chunked array (zero-copy byte
+    view; the 4-byte shingle windows are computed over the whole batch
+    buffer in one vectorized pass) or a list of Python strings.
+    ``k`` must be a power of two ≤ 65536."""
+    import pyarrow as pa
+
+    from ..bytekernels import string_view
+
+    if isinstance(col, list):
+        col = pa.array([t if t is not None else "" for t in col], pa.string())
+    assert k & (k - 1) == 0 and k <= 65536
+    shift = np.uint64(64 - int(k).bit_length() + 1)
+    tag = rng.hash_u64(np.arange(1, dtype=np.int64), seed, rng.tag_for("oph"))[0]
+
+    data, offsets = string_view(col)
+    n = len(offsets) - 1
+    out = np.zeros((n, k), dtype=np.uint64)
+    if n == 0 or len(data) == 0:
+        return out
+    lens = offsets[1:] - offsets[:-1]
+
+    # full-buffer 4-byte windows; valid per-row windows = offsets[i] ..
+    # offsets[i+1]-4 (rows shorter than the window pad with 1s below)
+    b = data.astype(np.uint64)
+    if len(b) >= _SHINGLE_N:
+        codes_all = (
+            (b[:-3] << np.uint64(24))
+            | (b[1:-2] << np.uint64(16))
+            | (b[2:-1] << np.uint64(8))
+            | b[3:]
+        )
+    else:
+        codes_all = np.zeros(0, np.uint64)
+    counts = np.maximum(lens - (_SHINGLE_N - 1), 0)
+    counts[lens == 0] = 0
+    short = np.flatnonzero((lens > 0) & (lens < _SHINGLE_N))
+    counts[short] = 0  # appended individually below
+    total = int(counts.sum())
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts_rep = np.repeat(offsets[:-1], counts)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(cum, counts) + starts_rep
+    codes = codes_all[idx]
+    if len(short):
+        pads = []
+        for i in short:
+            seg = np.pad(
+                data[offsets[i] : offsets[i + 1]].astype(np.uint64),
+                (0, _SHINGLE_N - int(lens[i])),
+                constant_values=1,
+            )
+            pads.append(
+                (seg[0] << np.uint64(24))
+                | (seg[1] << np.uint64(16))
+                | (seg[2] << np.uint64(8))
+                | seg[3]
+            )
+        codes = np.concatenate([codes, np.array(pads, dtype=np.uint64)])
+        row_of = np.concatenate([row_of, short.astype(np.int64)])
+
+    if not len(codes):
+        return out
+    h = rng._splitmix64(codes ^ tag)
+    bins = (h >> shift).astype(np.int64)
+    key = row_of * k + bins
+    order = np.argsort(key, kind="stable")
+    sk, sv = key[order], h[order]
+    seg = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+    mins = np.minimum.reduceat(sv, seg)
+    ukeys = sk[seg]
+
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+    M = np.full((n, k), EMPTY, dtype=np.uint64)
+    M[ukeys // k, ukeys % k] = mins
+
+    filled = M != EMPTY
+    has_any = filled.any(axis=1)
+    # circular next-filled-bin index via a doubled suffix-min scan
+    bpos = np.arange(k, dtype=np.int64)
+    BIG = np.int64(4 * k)
+    base = np.where(filled, bpos[None, :], BIG)
+    D = np.concatenate([base, np.where(filled, bpos[None, :] + k, BIG)], axis=1)
+    nxt = np.minimum.accumulate(D[:, ::-1], axis=1)[:, ::-1][:, :k]
+    rows_ok = np.flatnonzero(has_any)
+    if len(rows_ok):
+        nx = nxt[rows_ok]
+        j = (nx - bpos[None, :]).astype(np.uint64)
+        src = nx % k
+        vals = M[rows_ok[:, None], src] + j * _OPH_DENS_C
+        out[rows_ok] = vals
+    return out
+
+
 def minhash_bytes(s: str, tags: np.ndarray) -> np.ndarray:
     """Byte-packed k-wide MinHash signature (lowest byte of each
     minhash). est-Jaccard(a, b) = mean(bytes equal) − 1/256 collision

@@ -39,3 +39,58 @@ def test_minhash_similarity_monotone():
     assert near > 0.6 > far
     again = ss.minhash_signature("the quick brown fox jumps over the lazy dog", tags)
     assert np.array_equal(s1, again)
+
+
+def test_oph_edge_rows_and_column_parity():
+    """Empty/null rows give all-zero signatures; sub-window rows pad to
+    one shingle; list input, pa column, and sliced-column views all
+    produce identical signatures (zero-copy offset handling)."""
+    import pyarrow as pa
+
+    texts = ["", "ab", "abcd", "hello world this is a test " * 5, None]
+    sig = ss.oph_signatures_batch(texts, 128, seed=0x5161)
+    assert sig.shape == (5, 128)
+    assert (sig[0] == 0).all() and (sig[4] == 0).all()
+    assert (sig[1] != 0).any() and (sig[2] != 0).any()
+    col = pa.array([t or "" for t in texts])
+    assert np.array_equal(sig, ss.oph_signatures_batch(col, 128, 0x5161))
+    assert np.array_equal(
+        ss.oph_signatures_batch(col.slice(2, 2), 128, 0x5161), sig[2:4]
+    )
+
+
+def test_oph_estimator_tracks_jaccard():
+    """Byte-lane est-Jaccard from OPH signatures must track the true
+    shingle Jaccard about as tightly as classic k-min (k=128 → std
+    ≈ 0.04; densification costs a little, gate at 0.06)."""
+    import random
+
+    random.seed(1)
+    words = ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+
+    def noisy(t, rate):
+        chars = list(t)
+        for i in range(len(chars)):
+            if random.random() < rate:
+                chars[i] = random.choice("abcdefghijklmnop")
+        return "".join(chars)
+
+    errs = []
+    for _ in range(50):
+        t1 = " ".join(random.choice(words) for _ in range(60))
+        t2 = noisy(t1, random.choice([0.01, 0.05, 0.12]))
+        a = set(np.unique(ss.shingle_codes(t1)))
+        b = set(np.unique(ss.shingle_codes(t2)))
+        true_j = len(a & b) / len(a | b)
+        op = ss.oph_signatures_batch([t1, t2], 128, 0x5161) & np.uint64(0xFF)
+        errs.append((op[0] == op[1]).mean() - 1 / 256 - true_j)
+    assert abs(np.mean(errs)) < 0.02
+    assert np.std(errs) < 0.06
+
+
+def test_oph_densified_lanes_disagree_for_disjoint_texts():
+    """Two shingle-disjoint texts must not spuriously agree on
+    densified (empty-bin) lanes — the j·C offset rule."""
+    op = ss.oph_signatures_batch(["abcdefgh", "zyxwvuts"], 128, 0x5161)
+    frac_equal = (op[0] == op[1]).mean()
+    assert frac_equal < 0.05
