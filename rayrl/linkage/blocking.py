@@ -75,6 +75,16 @@ class LinkageConfig:
         return self.word_bands * self.word_r
 
 
+def _packed_binary(mat: np.ndarray) -> pa.Array:
+    """(n, w) uint8 matrix → Arrow binary array directly on the numpy
+    buffer (arithmetic offsets; no per-row Python bytes objects)."""
+    n, w = mat.shape
+    offs = np.arange(n + 1, dtype=np.int32) * np.int32(w)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(mat)]
+    )
+
+
 def _host_of(url: str) -> str:
     # normalized url host; never the path (the path encodes the truth key)
     try:
@@ -120,11 +130,17 @@ class PayloadBuilder:
         return mixed.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .stringsim import minhash_signatures_batch, oph_signatures_batch
+        from .stringsim import (
+            batch_shingles,
+            kmin_from_shingles,
+            minhash_signatures_batch,
+            oph_from_shingles,
+            word_bigram_minhash,
+        )
 
         cfg = self.cfg
         uids = batch.column("row_uid").to_numpy()
-        texts = batch.column("text").to_pylist()
+        tcol = batch.column("text").combine_chunks()
         urls = batch.column("url").to_pylist()
         if cfg.sig_algo == "oph":
             # Scorer signature via one-permutation MinHash: ONE hash
@@ -135,25 +151,33 @@ class PayloadBuilder:
             # per-lane collision ≈ j for every pair, and fixed-hash
             # OPH bins violate that on shingle universes with heavy
             # hitters (bin minima become global properties — measured
-            # 22× candidate blowup when banding used OPH lanes).
-            mh_sig = oph_signatures_batch(
-                batch.column("text"), self.SIG_K, cfg.seed ^ 0x5161
+            # 22× candidate blowup when banding used OPH lanes). Both
+            # signatures share one shingle pass; word-bigram lanes are
+            # the vectorized segment-polynomial kernel.
+            codes, row_of, _n = batch_shingles(tcol)
+            mh_sig = oph_from_shingles(codes, row_of, len(tcol), self.SIG_K, cfg.seed ^ 0x5161)
+            mh_band = kmin_from_shingles(
+                codes, row_of, len(tcol), self.tags[: cfg.n_char_lanes]
             )
-            mh_band = minhash_signatures_batch(texts, self.tags[: cfg.n_char_lanes])
+            wl_all = (word_bigram_minhash(tcol, self.wtags) & np.uint64(0xFFFF)).astype(
+                np.uint16
+            )
         else:
+            texts = tcol.to_pylist()
             mh_sig = mh_band = minhash_signatures_batch(texts, self.tags)  # (n, 128)
+            wl_all = np.zeros((len(texts), cfg.n_word_lanes), np.uint16)
+            for i, t in enumerate(texts):
+                if t:
+                    wl_all[i] = (self._word_lanes(t) & np.uint64(0xFFFF)).astype(np.uint16)
         sig_bytes = (mh_sig & np.uint64(0xFF)).astype(np.uint8)
         char_lanes = (mh_band[:, : cfg.n_char_lanes] & np.uint64(0xFFFF)).astype(np.uint16)
-        sigs = []
-        bsigs = []
-        for i, t in enumerate(texts):
-            if not t:
-                sigs.append(b"\x00" * self.SIG_K)
-                bsigs.append(b"\x00" * (cfg.n_char_lanes + cfg.n_word_lanes) * 2)
-                continue
-            sigs.append(sig_bytes[i].tobytes())
-            wl = (self._word_lanes(t) & np.uint64(0xFFFF)).astype(np.uint16)
-            bsigs.append(char_lanes[i].tobytes() + wl.tobytes())
+        # empty/null texts carry all-zero sig AND bsig (every kernel
+        # above already returns zero rows for them; wl covers bsig)
+        bsig_mat = np.ascontiguousarray(
+            np.concatenate([char_lanes, wl_all], axis=1)
+        ).view(np.uint8)
+        sig_arr = _packed_binary(np.ascontiguousarray(sig_bytes))
+        bsig_arr = _packed_binary(bsig_mat)
         hosts = np.fromiter(
             (zlib.crc32(_host_of(u).encode()) for u in urls), dtype=np.int64, count=len(urls)
         )
@@ -163,8 +187,8 @@ class PayloadBuilder:
                 "truth": batch.column("record_id"),
                 "lang": batch.column("lang"),
                 "host": pa.array(hosts, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
-                "bsig": pa.array(bsigs, pa.binary()),
+                "sig": sig_arr,
+                "bsig": bsig_arr,
             }
         )
 

@@ -246,6 +246,102 @@ def minhash_tags(k: int, seed: int = 0) -> np.ndarray:
 
 _OPH_DENS_C = np.uint64(0xBF58476D1CE4E5B9)  # odd mixer for densify offsets
 
+# position-independent segment polynomial hash: H(bytes[s:e]) =
+# (pre[e] - pre[s]) · P⁻ˢ where pre[i] = Σ_{j<i} b_j·Pʲ (mod 2⁶⁴).
+# P odd → P is invertible mod 2⁶⁴, so one prefix pass + one gather
+# hashes EVERY variable-length segment of a batch buffer — no Python
+# per token (the crc32-per-bigram loop this replaces was the payload
+# builder's second-largest term).
+_POLY_P = np.uint64(0x100000001B3)
+_POLY_PINV = np.uint64(pow(0x100000001B3, -1, 2**64))
+_pow_cache: dict = {}
+
+
+def _poly_powers(L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P^i, P^-i) for i in [0, L] — grown geometrically and cached
+    per process (CLAUDE.md rule 10: built once, gathered many)."""
+    cur = _pow_cache.get("len", 0)
+    if cur < L + 1:
+        size = max(1 << 20, 1 << (L + 1).bit_length())
+        pw = np.empty(size, np.uint64)
+        pw[0] = 1
+        pw[1:] = _POLY_P
+        np.multiply.accumulate(pw, out=pw)
+        pinv = np.empty(size, np.uint64)
+        pinv[0] = 1
+        pinv[1:] = _POLY_PINV
+        np.multiply.accumulate(pinv, out=pinv)
+        _pow_cache.update(len=size, pow=pw, pinv=pinv)
+    return _pow_cache["pow"], _pow_cache["pinv"]
+
+
+def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
+    """(n, len(tags)) k-min MinHash over word-BIGRAM codes, fully
+    vectorized over the batch: tokens = single-space splits (empty
+    tokens from doubled/trailing spaces included, mirroring
+    ``str.split(' ')``), token code = segment polynomial hash (above),
+    bigram code = splitmix(code_a·ODD ^ code_b). Rows with < 2 tokens
+    hash their whole text as one code; empty/null rows return zeros."""
+    import pyarrow as pa
+
+    from ..bytekernels import string_view
+
+    if isinstance(col, list):
+        col = pa.array([t if t is not None else "" for t in col], pa.string())
+    data, offsets = string_view(col)
+    n = len(offsets) - 1
+    out = np.zeros((n, len(tags)), dtype=np.uint64)
+    if n == 0 or len(data) == 0:
+        return out
+    POW, PINV = _poly_powers(len(data))
+    pre = np.empty(len(data) + 1, np.uint64)
+    pre[0] = 0
+    np.cumsum(data.astype(np.uint64) * POW[: len(data)], out=pre[1:])
+
+    sp = np.flatnonzero(data == 32)
+    # global token order: starts = row starts ∪ (space+1), ends =
+    # spaces ∪ row ends; at position ties a previous row's trailing
+    # token precedes the next row's first (lexsort flags)
+    starts = np.concatenate([offsets[:-1], sp + 1])
+    s_flag = np.concatenate([np.ones(n, np.int8), np.zeros(len(sp), np.int8)])
+    s_ord = np.lexsort((s_flag, starts))
+    starts = starts[s_ord]
+    ends = np.concatenate([sp, offsets[1:]])
+    e_flag = np.concatenate([np.ones(len(sp), np.int8), np.zeros(n, np.int8)])
+    e_ord = np.lexsort((e_flag, ends))
+    ends = ends[e_ord]
+
+    n_sp_row = np.bincount(
+        np.searchsorted(offsets, sp, side="right") - 1, minlength=n
+    )
+    n_tok = 1 + n_sp_row
+    row_of_tok = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+
+    seg = (pre[ends] - pre[starts]) * PINV[starts]
+    tok_len = (ends - starts).astype(np.uint64)
+    tc = rng._splitmix64(seg ^ tok_len * _OPH_DENS_C)
+
+    pairable = row_of_tok[1:] == row_of_tok[:-1]
+    bg = rng._splitmix64(tc[:-1] * _OPH_DENS_C ^ tc[1:])[pairable]
+    bg_row = row_of_tok[:-1][pairable]
+    # rows with a single token fall back to their whole-text code
+    single = np.flatnonzero(n_tok == 1)
+    tok_start_of_row = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    codes = np.concatenate([bg, tc[tok_start_of_row[single]]])
+    rows = np.concatenate([bg_row, single])
+    order = np.argsort(rows, kind="stable")
+    codes, rows = codes[order], rows[order]
+
+    seg_starts = np.flatnonzero(np.concatenate([[True], rows[1:] != rows[:-1]]))
+    urows = rows[seg_starts]
+    sub = np.empty((len(urows), len(tags)), dtype=np.uint64)
+    for j, t in enumerate(tags):
+        mixed = rng._splitmix64(codes ^ t)
+        sub[:, j] = np.minimum.reduceat(mixed, seg_starts)
+    out[urows] = sub
+    out[offsets[1:] == offsets[:-1]] = 0  # empty/null rows
+    return out
+
 
 def oph_signatures_batch(col, k: int, seed: int = 0) -> np.ndarray:
     """One-permutation MinHash (Li/Owen/Zhang 2012) with rotational
@@ -268,21 +364,26 @@ def oph_signatures_batch(col, k: int, seed: int = 0) -> np.ndarray:
     view; the 4-byte shingle windows are computed over the whole batch
     buffer in one vectorized pass) or a list of Python strings.
     ``k`` must be a power of two ≤ 65536."""
+    codes, row_of, n = batch_shingles(col)
+    return oph_from_shingles(codes, row_of, n, k, seed)
+
+
+def batch_shingles(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """Whole-batch shingle extraction: (codes, row_of, n_rows) with
+    ``row_of`` sorted ascending — ONE vectorized pass over the batch
+    buffer instead of a per-doc Python loop. Per-row code multisets
+    are exactly ``shingle_codes(text)`` (same short-row padding), so
+    any min-based signature built on them equals the per-row path."""
     import pyarrow as pa
 
     from ..bytekernels import string_view
 
     if isinstance(col, list):
         col = pa.array([t if t is not None else "" for t in col], pa.string())
-    assert k & (k - 1) == 0 and k <= 65536
-    shift = np.uint64(64 - int(k).bit_length() + 1)
-    tag = rng.hash_u64(np.arange(1, dtype=np.int64), seed, rng.tag_for("oph"))[0]
-
     data, offsets = string_view(col)
     n = len(offsets) - 1
-    out = np.zeros((n, k), dtype=np.uint64)
     if n == 0 or len(data) == 0:
-        return out
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), n
     lens = offsets[1:] - offsets[:-1]
 
     # full-buffer 4-byte windows; valid per-row windows = offsets[i] ..
@@ -298,9 +399,7 @@ def oph_signatures_batch(col, k: int, seed: int = 0) -> np.ndarray:
     else:
         codes_all = np.zeros(0, np.uint64)
     counts = np.maximum(lens - (_SHINGLE_N - 1), 0)
-    counts[lens == 0] = 0
     short = np.flatnonzero((lens > 0) & (lens < _SHINGLE_N))
-    counts[short] = 0  # appended individually below
     total = int(counts.sum())
     row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
     starts_rep = np.repeat(offsets[:-1], counts)
@@ -323,7 +422,39 @@ def oph_signatures_batch(col, k: int, seed: int = 0) -> np.ndarray:
             )
         codes = np.concatenate([codes, np.array(pads, dtype=np.uint64)])
         row_of = np.concatenate([row_of, short.astype(np.int64)])
+        order = np.argsort(row_of, kind="stable")
+        codes, row_of = codes[order], row_of[order]
+    return codes, row_of, n
 
+
+def kmin_from_shingles(
+    codes: np.ndarray, row_of: np.ndarray, n: int, tags: np.ndarray
+) -> np.ndarray:
+    """Classic k-min MinHash from a shared ``batch_shingles`` pass —
+    byte-identical to ``minhash_signatures_batch`` (min over the raw
+    per-row code multiset) without re-extracting shingles."""
+    out = np.zeros((n, len(tags)), dtype=np.uint64)
+    if not len(codes):
+        return out
+    seg = np.flatnonzero(np.concatenate([[True], row_of[1:] != row_of[:-1]]))
+    urows = row_of[seg]
+    sub = np.empty((len(urows), len(tags)), dtype=np.uint64)
+    for j in range(len(tags)):
+        mixed = rng._splitmix64(codes ^ tags[j])
+        sub[:, j] = np.minimum.reduceat(mixed, seg)
+    out[urows] = sub
+    return out
+
+
+def oph_from_shingles(
+    codes: np.ndarray, row_of: np.ndarray, n: int, k: int, seed: int = 0
+) -> np.ndarray:
+    """OPH core over a shared ``batch_shingles`` pass (see
+    ``oph_signatures_batch``)."""
+    assert k & (k - 1) == 0 and k <= 65536
+    shift = np.uint64(64 - int(k).bit_length() + 1)
+    tag = rng.hash_u64(np.arange(1, dtype=np.int64), seed, rng.tag_for("oph"))[0]
+    out = np.zeros((n, k), dtype=np.uint64)
     if not len(codes):
         return out
     h = rng._splitmix64(codes ^ tag)
