@@ -219,11 +219,14 @@ class _MinHashBands:
         self.r = k // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .linkage.stringsim import minhash_signatures_batch
+        from .linkage.stringsim import batch_shingles, kmin_from_shingles
 
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        sig = minhash_signatures_batch(texts, self.tags)  # (n, k) uint64
+        # shared whole-buffer shingle pass (byte-identical to the
+        # per-row minhash_signatures_batch — parity-tested)
+        codes, row_of, n_rows = batch_shingles(batch.column("text"))
+        sig = kmin_from_shingles(codes, row_of, n_rows, self.tags)  # (n, k) uint64
         nonempty = np.fromiter((bool(t) for t in texts), dtype=bool, count=len(texts))
         sig = sig[nonempty]
         keep_ids = ids[nonempty]
@@ -316,14 +319,17 @@ class _SigStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .linkage.stringsim import minhash_signatures_batch
+        from .linkage.blocking import _packed_binary
+        from .linkage.stringsim import batch_shingles, kmin_from_shingles
 
-        texts = batch.column("text").to_pylist()
-        sig = (minhash_signatures_batch(texts, self.tags) & np.uint64(0xFF)).astype(np.uint8)
+        codes, row_of, n_rows = batch_shingles(batch.column("text"))
+        sig = (kmin_from_shingles(codes, row_of, n_rows, self.tags) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
+                "sig": _packed_binary(np.ascontiguousarray(sig)),
             }
         )
 
