@@ -254,25 +254,36 @@ _OPH_DENS_C = np.uint64(0xBF58476D1CE4E5B9)  # odd mixer for densify offsets
 # builder's second-largest term).
 _POLY_P = np.uint64(0x100000001B3)
 _POLY_PINV = np.uint64(pow(0x100000001B3, -1, 2**64))
+_POLY_B = 4096  # block size: P^i = powb[i % B] · heads[i // B]
 _pow_cache: dict = {}
 
 
-def _poly_powers(L: int) -> tuple[np.ndarray, np.ndarray]:
-    """(P^i, P^-i) for i in [0, L] — grown geometrically and cached
-    per process (CLAUDE.md rule 10: built once, gathered many)."""
-    cur = _pow_cache.get("len", 0)
-    if cur < L + 1:
-        size = max(1 << 20, 1 << (L + 1).bit_length())
-        pw = np.empty(size, np.uint64)
-        pw[0] = 1
-        pw[1:] = _POLY_P
-        np.multiply.accumulate(pw, out=pw)
-        pinv = np.empty(size, np.uint64)
-        pinv[0] = 1
-        pinv[1:] = _POLY_PINV
-        np.multiply.accumulate(pinv, out=pinv)
-        _pow_cache.update(len=size, pow=pw, pinv=pinv)
-    return _pow_cache["pow"], _pow_cache["pinv"]
+def _poly_blocks() -> tuple[np.ndarray, np.ndarray]:
+    """Cached 4096-entry (P^i, P^-i) block tables. Full-length power
+    arrays would pin 8× the batch text bytes per worker FOREVER (the
+    cache outlives batches); the two-level scheme P^i =
+    powb[i mod B]·(P^B)^(i div B) needs only these blocks plus a
+    per-call heads array of len/4096 entries."""
+    if "powb" not in _pow_cache:
+        powb = np.empty(_POLY_B + 1, np.uint64)
+        powb[0] = 1
+        powb[1:] = _POLY_P
+        np.multiply.accumulate(powb, out=powb)
+        pinvb = np.empty(_POLY_B + 1, np.uint64)
+        pinvb[0] = 1
+        pinvb[1:] = _POLY_PINV
+        np.multiply.accumulate(pinvb, out=pinvb)
+        _pow_cache.update(powb=powb, pinvb=pinvb)
+    return _pow_cache["powb"], _pow_cache["pinvb"]
+
+
+def _poly_heads(n_blocks: int, step: np.uint64) -> np.ndarray:
+    """(step)^j for j in [0, n_blocks) — built per call (tiny)."""
+    heads = np.empty(max(n_blocks, 1), np.uint64)
+    heads[0] = 1
+    heads[1:] = step
+    np.multiply.accumulate(heads, out=heads)
+    return heads
 
 
 def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
@@ -293,10 +304,22 @@ def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
     out = np.zeros((n, len(tags)), dtype=np.uint64)
     if n == 0 or len(data) == 0:
         return out
-    POW, PINV = _poly_powers(len(data))
-    pre = np.empty(len(data) + 1, np.uint64)
+    powb, pinvb = _poly_blocks()
+    L = len(data)
+    nb = (L + _POLY_B - 1) // _POLY_B
+    heads = _poly_heads(nb, powb[_POLY_B])
+    scaled = np.zeros(nb * _POLY_B, np.uint64)
+    scaled[:L] = data
+    sc2 = scaled.reshape(nb, _POLY_B)
+    sc2 *= powb[None, :_POLY_B]
+    sc2 *= heads[:, None]
+    pre = np.empty(L + 1, np.uint64)
     pre[0] = 0
-    np.cumsum(data.astype(np.uint64) * POW[: len(data)], out=pre[1:])
+    np.cumsum(scaled[:L], out=pre[1:])
+
+    def PINV(pos: np.ndarray) -> np.ndarray:
+        inv_heads = _poly_heads(nb, pinvb[_POLY_B])
+        return pinvb[pos & (_POLY_B - 1)] * inv_heads[pos >> 12]
 
     sp = np.flatnonzero(data == 32)
     # global token order: starts = row starts ∪ (space+1), ends =
@@ -317,7 +340,7 @@ def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
     n_tok = 1 + n_sp_row
     row_of_tok = np.repeat(np.arange(n, dtype=np.int64), n_tok)
 
-    seg = (pre[ends] - pre[starts]) * PINV[starts]
+    seg = (pre[ends] - pre[starts]) * PINV(starts)
     tok_len = (ends - starts).astype(np.uint64)
     tc = rng._splitmix64(seg ^ tok_len * _OPH_DENS_C)
 

@@ -94,3 +94,49 @@ def test_oph_densified_lanes_disagree_for_disjoint_texts():
     op = ss.oph_signatures_batch(["abcdefgh", "zyxwvuts"], 128, 0x5161)
     frac_equal = (op[0] == op[1]).mean()
     assert frac_equal < 0.05
+
+
+def test_word_bigram_minhash_matches_slow_mirror():
+    """The vectorized segment-polynomial word-bigram kernel must equal
+    a per-token Python mirror on edge rows: empty, single-token,
+    doubled/leading/trailing spaces (str.split(' ') semantics)."""
+    import warnings
+
+    from rayrl import rng as _rng
+    from rayrl.linkage.stringsim import _OPH_DENS_C, _POLY_P
+
+    tags = ss.minhash_tags(8, 0x77AB)
+    texts = ["hello world foo", "single", "", "a  b", " lead", "trail ",
+             "one two three four five"]
+    got = ss.word_bigram_minhash(texts, tags)
+
+    def tok_hash(tok):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # intentional u64 wraparound
+            acc = np.uint64(0)
+            for j, byt in enumerate(tok.encode()):
+                acc = acc + np.uint64(byt) * (_POLY_P ** np.uint64(j))
+            x = acc ^ np.uint64(len(tok.encode())) * _OPH_DENS_C
+        return _rng._splitmix64(np.array([x], np.uint64))[0]
+
+    def slow_row(t):
+        if not t:
+            return np.zeros(len(tags), np.uint64)
+        tcs = [tok_hash(x) for x in t.split(" ")]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            if len(tcs) < 2:
+                codes = np.array([tcs[0]], np.uint64)
+            else:
+                codes = _rng._splitmix64(
+                    np.array(
+                        [tcs[i] * _OPH_DENS_C ^ tcs[i + 1] for i in range(len(tcs) - 1)],
+                        np.uint64,
+                    )
+                )
+        return np.array(
+            [np.min(_rng._splitmix64(codes ^ tg)) for tg in tags], np.uint64
+        )
+
+    want = np.stack([slow_row(t) for t in texts])
+    assert np.array_equal(got, want)
