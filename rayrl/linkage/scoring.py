@@ -403,15 +403,20 @@ def candidate_pairs_broadcast(payload_ds, cfg: LinkageConfig):
         zero_copy_batch=True,
     )
     hot_ref = ray.put(_combine_hot_keys(ray.get(guard_tasks), cfg))
-    # few chunky actors: the per-batch work is one vectorized probe, so
-    # a big pool only adds actor-startup ramp to the critical path
+    # Pool sizing (measured at 600k/32cpus): 131072-row batches gave
+    # the probe only ~5 units of parallelism (5.5 s); 16384-row
+    # batches across a warmed 8+-actor pool read 2.0 s. The MIN pool
+    # size scales with the cluster so a 4-cpu run can still place its
+    # actors (min=8 would strand the pool waiting for CPUs).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    min_actors = max(2, min(8, cpus // 4))
     pairs = dirty_payload.map_batches(
         _FoldProbeStage,
         fn_constructor_args=(shard_refs, cfg, hot_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=131072,
-        concurrency=(2, 8),
+        batch_size=16384,
+        concurrency=(min_actors, max(min_actors, min(24, cpus))),
     )
     # keep the index shards alive until the lazy pair stream executes
     pairs._rayrl_band_index_refs = shard_refs
