@@ -219,15 +219,20 @@ class _MinHashBands:
         self.r = k // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from .linkage.stringsim import batch_shingles, kmin_from_shingles
 
         ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
         # shared whole-buffer shingle pass (byte-identical to the
         # per-row minhash_signatures_batch — parity-tested)
         codes, row_of, n_rows = batch_shingles(batch.column("text"))
         sig = kmin_from_shingles(codes, row_of, n_rows, self.tags)  # (n, k) uint64
-        nonempty = np.fromiter((bool(t) for t in texts), dtype=bool, count=len(texts))
+        # non-empty mask without materializing texts into Python
+        # objects (VERDICT r4): byte length > 0, null → False
+        nonempty = pc.fill_null(
+            pc.greater(pc.binary_length(batch.column("text")), 0), False
+        ).to_numpy(zero_copy_only=False)
         sig = sig[nonempty]
         keep_ids = ids[nonempty]
         n = len(keep_ids)
@@ -551,32 +556,29 @@ def simhash_fingerprints(sf_dir: str, seed: int = 0):
     concatenated shingle hashes, per-doc segment sums via cumsum gather
     (the round-1 per-doc/per-bit Python loops, same values)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    from .linkage.stringsim import shingle_codes
+    from .linkage.stringsim import batch_shingles
 
     def sim(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
+        # one whole-buffer shingle pass (VERDICT r4: replaces the
+        # to_pylist + per-doc shingle_codes loop; per-row code
+        # multisets are identical, and the bit votes are per-row sums
+        # so order within a row cannot matter)
+        codes, row_of, n = batch_shingles(batch.column("text"))
         out = np.zeros(n, dtype=np.int64)
-        codes_list, rows = [], []
-        for i, t in enumerate(texts):
-            if t:
-                codes_list.append(shingle_codes(t))
-                rows.append(i)
-        if rows:
-            lens = np.fromiter((len(c) for c in codes_list), dtype=np.int64, count=len(rows))
-            allcodes = np.concatenate(codes_list)
-            hashes = rng._splitmix64(allcodes ^ np.uint64(seed))
+        if len(codes):
+            seg_starts = np.flatnonzero(
+                np.concatenate([[True], row_of[1:] != row_of[:-1]])
+            )
+            urows = row_of[seg_starts]
+            lens = np.diff(np.concatenate([seg_starts, [len(codes)]]))
+            hashes = rng._splitmix64(codes ^ np.uint64(seed))
             bits = (
                 (hashes[:, None] >> np.arange(63, dtype=np.uint64)[None, :]) & np.uint64(1)
             ).astype(np.int64)
-            cs = np.zeros((len(hashes) + 1, 63), dtype=np.int64)
-            np.cumsum(bits, axis=0, out=cs[1:])
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            seg = cs[ends] - cs[starts]  # per-doc bit counts
+            seg = np.add.reduceat(bits, seg_starts, axis=0)  # per-doc bit counts
             votes = seg * 2 - lens[:, None]
             fp = ((votes > 0).astype(np.int64) << np.arange(63, dtype=np.int64)[None, :]).sum(axis=1)
-            out[np.array(rows)] = fp  # 63 bits → stays positive in int64
+            out[urows] = fp  # 63 bits → stays positive in int64
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
 
     return ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)

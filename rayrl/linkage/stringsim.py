@@ -317,11 +317,21 @@ def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
     pre[0] = 0
     np.cumsum(scaled[:L], out=pre[1:])
 
+    _POLY_SHIFT = _POLY_B.bit_length() - 1  # log2(_POLY_B); keeps the
+    # shift coupled to the modulus below (ADVICE r4: a hardcoded 12
+    # silently breaks if _POLY_B changes)
+
     def PINV(pos: np.ndarray) -> np.ndarray:
         inv_heads = _poly_heads(nb, pinvb[_POLY_B])
-        return pinvb[pos & (_POLY_B - 1)] * inv_heads[pos >> 12]
+        return pinvb[pos & (_POLY_B - 1)] * inv_heads[pos >> _POLY_SHIFT]
 
+    # ``data`` is the PARENT buffer (string_view is zero-copy): a
+    # sliced/offset Arrow array carries bytes outside
+    # [offsets[0], offsets[-1]) whose spaces would map to row -1 / n
+    # (ADVICE r4) — restrict the scan to the slice's byte range
     sp = np.flatnonzero(data == 32)
+    if offsets[0] != 0 or offsets[-1] != len(data):
+        sp = sp[(sp >= offsets[0]) & (sp < offsets[-1])]
     # global token order: starts = row starts ∪ (space+1), ends =
     # spaces ∪ row ends; at position ties a previous row's trailing
     # token precedes the next row's first (lexsort flags)

@@ -140,3 +140,32 @@ def test_word_bigram_minhash_matches_slow_mirror():
 
     want = np.stack([slow_row(t) for t in texts])
     assert np.array_equal(got, want)
+
+
+def test_word_bigram_minhash_sliced_offset_array():
+    """A sliced/offset Arrow array must hash identically to the same
+    rows in a compact array (ADVICE r4: the space scan runs over the
+    PARENT buffer, so spaces outside the slice used to map to row
+    -1/n and crash or corrupt)."""
+    import pyarrow as pa
+
+    tags = ss.minhash_tags(8, 0x77AB)
+    texts = ["aa bb cc", "dd ee", "ff gg hh ii", "jj", "kk ll"]
+    parent = pa.array(texts, pa.string())
+    sliced = parent.slice(1, 3)
+    got = ss.word_bigram_minhash(sliced, tags)
+    want = ss.word_bigram_minhash(texts[1:4], tags)
+    assert np.array_equal(got, want)
+
+
+def test_kmin_from_shingles_equals_per_row_batch():
+    """The shared batch_shingles → kmin_from_shingles path must be
+    byte-identical to minhash_signatures_batch on edge rows (empty,
+    <4-byte, None) — the regression guard the r4 ADVICE asked for."""
+    tags = ss.minhash_tags(16, 0x1234)
+    texts = ["hello world text", "", "ab", None, "x", "the quick brown fox",
+             "aaa", "abcd", "nearly the same text here"]
+    codes, row_of, n = ss.batch_shingles(texts)
+    got = ss.kmin_from_shingles(codes, row_of, n, tags)
+    want = ss.minhash_signatures_batch(texts, tags)
+    assert np.array_equal(got, want)
