@@ -180,12 +180,23 @@ def _local_components(a: np.ndarray, b: np.ndarray, nodes: np.ndarray) -> np.nda
     return labels
 
 
+# In-task all-pairs bound for one cluster: C(n, 2) above this and the
+# cluster is skipped (members all kept) — the same logged recall cap as
+# the LSH bucket scans (dedup._BUCKET_CAP / scoring max_block_pairs).
+# At the default, one cluster's sim work tops out at ~10⁸ dot products
+# per strip pass; a skewed giant cluster (boilerplate embeddings all
+# landing in one centroid) degrades to "kept, logged" instead of OOMing
+# the task. Exactness callers (tests, small corpora) pass None.
+MAX_CLUSTER_PAIRS = 50_000_000
+
+
 def semantic_dedup(
     sf_dir: str,
     k: int = K_CLUSTERS,
     iters: int = ITERS,
     threshold: float = SEM_THRESHOLD,
     seed: int = 1,
+    max_cluster_pairs: "int | None" = MAX_CLUSTER_PAIRS,
 ):
     """SemDeDup (Abbas et al., 2023): k-means the embedding space, then
     within each cluster connect pairs with cosine ≥ threshold and keep
@@ -200,11 +211,17 @@ def semantic_dedup(
     k ≈ n/10⁴; here k is a parameter). The matmul runs in row strips so
     the sim matrix never exceeds strip × cluster floats, and components
     resolve with in-task vectorized pointer jumping — nothing touches
-    the driver."""
+    the driver. A cluster whose C(n,2) exceeds ``max_cluster_pairs``
+    (skewed boilerplate embeddings) keeps all its members and logs the
+    skip instead of running the uncapped all-pairs (VERDICT r4 #3 —
+    same observable recall-cap contract as the LSH bucket scans)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return semantic_dedup_ds(ds, k=k, iters=iters, threshold=threshold, seed=seed)
+    return semantic_dedup_ds(
+        ds, k=k, iters=iters, threshold=threshold, seed=seed,
+        max_cluster_pairs=max_cluster_pairs,
+    )
 
 
 def semantic_dedup_ds(
@@ -213,6 +230,7 @@ def semantic_dedup_ds(
     iters: int = ITERS,
     threshold: float = SEM_THRESHOLD,
     seed: int = 1,
+    max_cluster_pairs: "int | None" = MAX_CLUSTER_PAIRS,
 ):
     ds = ds.materialize()
     centroids = kmeans_fit(ds, k=k, iters=iters, seed=seed)
@@ -234,9 +252,24 @@ def semantic_dedup_ds(
     rows = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
     def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _warn_oversized
+
         out = []
+        n_skipped, largest = 0, 0
         for cl, g in df.groupby("cluster", sort=False):
             ids = g["vec_id"].to_numpy().astype(np.int64)
+            if (
+                max_cluster_pairs is not None
+                and len(ids) * (len(ids) - 1) // 2 > max_cluster_pairs
+            ):
+                # oversize cluster: keep every member (rep = self),
+                # log the recall cap — never an uncapped all-pairs
+                n_skipped += 1
+                largest = max(largest, len(ids))
+                out.append(
+                    pd.DataFrame({"vec_id": ids, "cluster": int(cl), "rep": ids})
+                )
+                continue
             mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
             norm = np.linalg.norm(mat, axis=1, keepdims=True)
             norm[norm == 0.0] = 1.0
@@ -256,6 +289,7 @@ def semantic_dedup_ds(
             out.append(
                 pd.DataFrame({"vec_id": ids, "cluster": int(cl), "rep": rep})
             )
+        _warn_oversized("semantic_dedup", n_skipped, largest, max_cluster_pairs or 0)
         return (
             pd.concat(out)
             if out

@@ -8,12 +8,25 @@ dedup re-shuffles the corpus per run; the streaming index admits new
 documents as they arrive, which is how an ingest pipeline runs.
 
 Scale shape: the index is SHARDED by fingerprint range across
-``n_shards`` actors (each holds a Python set — C-speed per-lookup
-hashing beats numpy rebuild-and-isin here, CLAUDE.md rule 9), so
-memory and lookup load spread evenly across the cluster and the
-map stage talks to each shard with one bulk call per batch.
-Fingerprints are the 64-bit content hashes of ``bytekernels`` — texts
-never travel to the index.
+``n_shards`` actors, so memory and lookup load spread evenly across
+the cluster and the map stage talks to each shard with one bulk call
+per batch. Fingerprints are the 64-bit content hashes of
+``bytekernels`` — texts never travel to the index.
+
+Memory bound (VERDICT r4 #4 — the 100 TB story): each shard is
+two-tier. New fingerprints land in a live Python set (C-speed
+per-lookup hashing — CLAUDE.md rule 9); when the live set reaches
+``compact_above`` entries it is FROZEN into a sorted uint64 numpy
+array (8 B/entry vs ~60 B/entry for set storage) and the set restarts
+empty. Bulk lookups pre-screen against the frozen tiers with one
+vectorized searchsorted per tier (tiers merge once >8 accumulate, so
+lookups stay O(log n) over ≤ 8 arrays) and only frozen-misses touch
+the set. Per-shard memory is therefore ~8 B per distinct fingerprint
++ a bounded ``compact_above``-sized set: at 10¹² distinct docs that is
+8 TB across the cluster — 31 GB/node at 256 nodes, i.e. shard count,
+not algorithm, is the knob. Exactness is preserved (no Bloom false
+positives); an approximate prefilter tier is unnecessary because the
+frozen-tier probe is already vectorized per bulk call.
 
 Determinism: the SET of surviving distinct fingerprints (and thus the
 keeper COUNT) is parallelism-independent; WHICH duplicate becomes the
@@ -32,29 +45,63 @@ import ray.data
 N_SHARDS = 8
 
 
+# live-set compaction threshold: ~60 MB of set overhead per shard at
+# the default before a freeze folds it to 8 MB of sorted uint64
+COMPACT_ABOVE = 1_000_000
+_MAX_FROZEN_TIERS = 8
+
+
 @ray.remote(num_cpus=0.25)
 class FingerprintShard:
-    """One shard of the shared mutable index."""
+    """One shard of the shared mutable index — bounded-overhead
+    two-tier storage (module docstring has the 100 TB math)."""
 
-    def __init__(self):
-        self._seen: set = set()
+    def __init__(self, compact_above: int = COMPACT_ABOVE):
+        self._live: set = set()
+        self._frozen: list[np.ndarray] = []  # sorted uint64, disjoint
+        self._compact_above = max(1, compact_above)
 
     def check_and_add(self, fps: np.ndarray) -> np.ndarray:
         """Register fingerprints; mask[i] = True iff fps[i] is the
         first occurrence ever seen by this shard (within-call dups
         resolve in array order)."""
-        seen = self._seen
+        fps = np.ascontiguousarray(fps, dtype=np.uint64)
+        in_frozen = np.zeros(len(fps), dtype=bool)
+        for arr in self._frozen:  # vectorized pre-screen per tier
+            ix = np.searchsorted(arr, fps)
+            ok = ix < len(arr)
+            hit = np.zeros(len(fps), dtype=bool)
+            hit[ok] = arr[ix[ok]] == fps[ok]
+            in_frozen |= hit
         out = np.empty(len(fps), dtype=bool)
+        live = self._live
+        frozen_hits = in_frozen.tolist()
         for i, f in enumerate(fps.tolist()):
-            if f in seen:
+            if frozen_hits[i] or f in live:
                 out[i] = False
             else:
-                seen.add(f)
+                live.add(f)
                 out[i] = True
+        if len(live) >= self._compact_above:
+            self._frozen.append(
+                np.sort(np.fromiter(live, dtype=np.uint64, count=len(live)))
+            )
+            live.clear()
+            if len(self._frozen) > _MAX_FROZEN_TIERS:
+                # tiers are disjoint by construction — concat+sort merges
+                self._frozen = [np.sort(np.concatenate(self._frozen))]
         return out
 
     def size(self) -> int:
-        return len(self._seen)
+        return len(self._live) + sum(len(a) for a in self._frozen)
+
+    def tier_stats(self) -> dict:
+        """(n_live, n_frozen, n_tiers) — the capacity test's probe."""
+        return {
+            "n_live": len(self._live),
+            "n_frozen": int(sum(len(a) for a in self._frozen)),
+            "n_tiers": len(self._frozen),
+        }
 
 
 class _StreamDedupStage:
@@ -81,11 +128,15 @@ class _StreamDedupStage:
         return batch.append_column("is_first", pa.array(mask))
 
 
-def stream_dedup_flags(ds: "ray.data.Dataset", n_shards: int = N_SHARDS):
+def stream_dedup_flags(
+    ds: "ray.data.Dataset",
+    n_shards: int = N_SHARDS,
+    compact_above: int = COMPACT_ABOVE,
+):
     """Append an ``is_first`` column to a text dataset via the shared
     index. Returns (flagged_dataset, shard_handles) — the caller owns
     the actors' lifetime (they die with the handles)."""
-    shards = [FingerprintShard.remote() for _ in range(n_shards)]
+    shards = [FingerprintShard.remote(compact_above) for _ in range(n_shards)]
     flagged = ds.map_batches(
         _StreamDedupStage,
         fn_constructor_args=(shards,),

@@ -115,3 +115,19 @@ def test_train_filter_run_resumes_bit_exact(ray_session, tmp_path):
     mb = json.load(open(os.path.join(out_b, "weights.json")))
     assert ma["losses"] == mb["losses"] and ma["bias"] == mb["bias"]
     assert s4["kept"] == s4b["kept"] == 40
+
+
+def test_gd_tol_early_exit_prefix_identical(ray_session):
+    """tol>0 stops at the quantized-loss plateau; the iterations it
+    does run are bit-identical to the tol=0 path's prefix (VERDICT r4
+    #6 — early exit must not change the trajectory, only truncate it)."""
+    ds = ray.data.from_arrow(_planted())
+    full = fit_hashed_logistic(ds, "text", "y", iters=12, tol=0.0)
+    tol = fit_hashed_logistic(ds, "text", "y", iters=12, tol=5e-3)
+    k = len(tol["losses"])
+    assert k < 12  # the plateau fires on this fixture
+    assert tol["losses"] == full["losses"][:k]
+    # and re-running the tol path reproduces itself exactly
+    again = fit_hashed_logistic(ds, "text", "y", iters=12, tol=5e-3)
+    assert again["losses"] == tol["losses"]
+    np.testing.assert_array_equal(again["w"], tol["w"])
