@@ -293,90 +293,81 @@ def entry() -> Any:
 
 
 # The driver's per-round correctness pass verifies exactly the FIRST
-# ~50 keys of queries() in insertion order (CORRECTNESS_r03 == the
-# first 50 of 118). The window below is therefore curated (VERDICT r3
-# #1): the er_* flagship family first (rows-only — non-SQL linkage
-# semantics — but the engine's core deliverable, clean in r01/r02),
-# then oracle-backed queries that have NOT yet had a driver ★pass.
-# Queries already ★-verified in CORRECTNESS_r03 (_R03_VERIFIED) rotate
-# behind them, and the no-oracle fingerprint/LSH entries go last.
+# ~50 keys of queries() in insertion order. Round-5 curation (VERDICT
+# r4 #1/#2): the new SQL-checkable flagship invariant first, then four
+# er_* representatives (rows-only, clean in r01-r04; the other ten
+# er_* rotate behind the window to free slots), then the 16
+# oracle-backed queries that have never had a driver ★pass (with this
+# window every oracle-backed query is ★-verified cumulatively:
+# 71 in r3+r4 + 16 + er_invariant_check = 88/88), then ★r3 rows for
+# re-verification (oldest stars first).
 _WINDOW_FIRST = [
-    # --- er_* flagship (rows-only; r01/r02 history clean) ---
-    "er_dirty_pages",
+    # --- flagship: the ledger⇔data invariant, hash-checked in SQL ---
+    "er_invariant_check",
+    # --- er_* representatives (rows-only; r01-r04 history clean) ---
+    "er_linkage_metrics",
     "er_ledger",
     "er_error_rate",
-    "er_linkage_metrics",
-    "er_pair_metrics",
-    "er_best_links",
-    "er_links_1to1",
-    "er_best_links_agg",
-    "er_labeled_pairs",
-    "er_feature_vectors",
-    "er_predict_links",
-    "er_sample_strat",
-    "er_hamming_fields",
     "er_perturb_flow",
-    # --- oracle-backed, no driver entry yet (rotated into the window) ---
-    "tfidf_top_terms",
-    "pack_assignments",
-    "doc_surprisal",
-    "revenue_rollup",
-    "corpus_pipeline",
-    "curriculum_buckets",
-    "bm25_topk",
-    "dsir_logratio",
-    "inverted_index",
-    "bigram_counts",
-    "distinct_tokens_exact",
-    "source_vocab_stats",
-    "source_vocab_jaccard",
-    "price_qty_corr",
-    "sampled_documents",
-    "shuffled_documents",
-    "weighted_sampled_documents",
-    "mixed_corpus",
-    "token_budget_mix",
-    "source_capped_documents",
-    "source_lang_divergence",
-    "table_quality_report",
-    "lang_top_terms",
-    "contaminated_docs",
-    "boilerplate_cleaned",
-    "paragraph_deduped",
-    "major_tokens",
-    "snapshot_diff",
-    "user_event_windows",
-    "props_value_by_k",
-    "urgent_lineitem_summary",
-    # --- new r4 oracle twins for previously no-oracle families ---
-    "ngram_dup_clusters",
-    "ngram_dup_keepers",
-    "ann_ivf_exact",
-    "embedding_cosine_pairs_exact",
-    "marker_hamming_pairs",
+    # --- oracle-backed, never driver-★-verified (r5 rotation) ---
+    "ann_lsh_exact",
+    "blocklist_clean_docs",
+    "c4_filtered",
+    "corpus_splits",
+    "customer_order_list",
+    "doc_bigram_surprisal",
+    "duplicated_spans_exact",
+    "kmeans_assign_exact",
+    "merged_snapshot",
+    "normalized_order_prices",
+    "packed_texts",
+    "ranked_orders",
+    "revenue_cube",
+    "stream_dedup_summary",
+    "surprisal_weighted_sample",
+    "user_event_type_pivot",
+    # --- ★r3 rows, oldest verification — re-confirm with spare slots ---
+    "segment_revenue_3way",
+    "links_1to1_orders",
+    "best_event_per_user",
+    "pricing_summary",
+    "top_orders",
+    "customer_order_stats",
+    "customers_without_finished_orders",
+    "one_to_one_orders",
+    "token_frequencies",
+    "exact_dedup_documents",
+    "events_hourly",
+    "lang_profile",
+    "token_counts",
+    "char_class_counts",
+    "quality_scores",
+    "lang_id",
+    "repetition_scores",
+    "pii_scan",
+    "normalized_documents",
+    "canonical_documents",
+    "chunk_documents",
+    "soft_dedup_weights",
+    "ngram_jaccard_exact",
+    "ann_topk",
+    "label_centroids",
+    "embedding_norms",
+    "embedding_outliers",
+    "sessionized_events",
+    "event_funnel",
 ]
 
-# Immediately after the 50-key window: new r4 oracle-backed ops —
-# first in line if the driver's window widens; pytest-oracle-verified
-# either way (test_entry_oracles), ahead of the already-★-verified
-# r03 rows which need re-verification least.
-_WINDOW_NEXT = ["c4_filtered", "blocklist_clean_docs", "corpus_splits"]
-
-# ★pass rows in CORRECTNESS_r03 — already hard-verified; they re-enter
-# the window in a later round if space frees up.
-_R03_VERIFIED = [
-    "segment_revenue_3way", "links_1to1_orders", "best_event_per_user",
-    "pricing_summary", "top_orders", "customer_order_stats",
-    "customers_without_finished_orders", "one_to_one_orders",
-    "token_frequencies", "exact_dedup_documents", "events_hourly",
-    "lang_profile", "token_counts", "char_class_counts",
-    "quality_scores", "lang_id", "repetition_scores", "pii_scan",
-    "normalized_documents", "canonical_documents", "chunk_documents",
-    "soft_dedup_weights", "ngram_jaccard_exact", "ann_topk",
-    "label_centroids", "embedding_norms", "embedding_outliers",
-    "sessionized_events", "event_funnel", "last_touch_attribution",
-    "error_click_window", "top_orders_per_customer",
-    "order_price_quantiles", "order_price_mad", "docs_above_p90_length",
+# Immediately after the 50-key window: the remaining ★r3 rows, then
+# (via the oracle-backed loop in queries()) every ★r4 row — all are
+# pytest-oracle-verified each run regardless (test_entry_oracles).
+_WINDOW_NEXT = [
+    "last_touch_attribution",
+    "error_click_window",
+    "top_orders_per_customer",
+    "order_price_quantiles",
+    "order_price_mad",
+    "docs_above_p90_length",
 ]
 
 
@@ -433,6 +424,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
     out.update(KMEANS_QUERIES)
     out.update(MLFILTER_QUERIES)
     out.update(STREAM_DEDUP_QUERIES)
+    from rayrl.invariant import INVARIANT_QUERIES
+
+    out.update(INVARIANT_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -565,4 +559,11 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_exact"] = ANN_LSH_EXACT_ORACLE
     out["kmeans_assign_exact"] = KMEANS_ASSIGN_ORACLE
     out["stream_dedup_summary"] = STREAM_DEDUP_ORACLE
+    # round-5: the flagship ledger⇔data invariant — the Ray query
+    # exports (clean, dirty, ledger) to Parquet and this DuckDB twin
+    # recomputes the same all-integer summary from the files (the
+    # query runs before its oracle in both the driver and pytest)
+    from rayrl.invariant import INVARIANT_ORACLES
+
+    out.update(INVARIANT_ORACLES)
     return out

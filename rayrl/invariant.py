@@ -1,0 +1,357 @@
+"""Hard oracle for the error-injection flagship (VERDICT r4 #2).
+
+The er_* family is rows-only in the driver because linkage/injection
+semantics aren't SQL-expressible — but the NORTH-RULE INVARIANT is:
+rows the ledger never touched must be byte-identical to clean per url,
+and the ledger's before/after chain must reconcile exactly with the
+dirty table. ``er_invariant_check`` runs the injector, exports the
+(clean, dirty, ledger) triple to Parquet under /tmp, verifies the
+invariant DISTRIBUTED (bucketed joins — no driver-side row loops), and
+returns a one-row all-integer summary. ``ER_INVARIANT_ORACLE`` is a
+DuckDB twin that recomputes the same summary from the exported Parquet
+— so the driver's hash compare ★-verifies the engine's core
+deliverable end-to-end.
+
+Reference semantics being checked (file:line into /root/reference/):
+- ledger shape + "only erred values enter the ledger": R/1_error.R:30-36
+- every error op appends (id, field, before, after): update_error_record
+  call sites, e.g. R/2_edit_errors.R and R/1_error.R:56-60
+- realized-rate reads DISTINCT ledger ids: utils.R:648-661
+- add_duplicates re-appends the PRISTINE original: R/6_file_based_errors.R:53-56
+- twins get id "123{id}789": R/6_file_based_errors.R:167
+
+Checks (every n_bad_* must be 0):
+- n_bad_untouched: orig rows with no text-ledger entry whose text
+  differs from clean (the byte-identity invariant).
+- n_bad_before / n_bad_after: the text chain's first ``before`` must be
+  the clean text; its last ``after`` must be the dirty text.
+- n_chain_breaks: consecutive text entries must hand off after→before.
+- n_bad_url: url is never an error target — must match clean on every
+  original row.
+- n_bad_pristine: rows with NO ledger entry of any mutating kind must
+  match clean on text, lang AND warc_ts.
+- n_bad_dup: add_duplicates copies must be byte-identical to clean.
+- n_bad_twin: each twin ledger entry's ``after`` must equal the text of
+  the dirty row holding the mangled id (and n_twin_rows ==
+  n_twin_ledger).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+EXPORT_DIR = "/tmp/rayrl_er_invariant"
+
+
+def _chain_per_record(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-record text-chain summary over (record_id, seq, before,
+    after) rows: first before, last after, count of after→before
+    hand-off breaks. Vectorized over the bucket."""
+    df = df.sort_values(["record_id", "seq"], kind="stable")
+    rid = df["record_id"].to_numpy()
+    first = np.concatenate([[True], rid[1:] != rid[:-1]])
+    last = np.concatenate([rid[1:] != rid[:-1], [True]])
+    before = df["before"].to_numpy()
+    after = df["after"].to_numpy()
+    brk = np.zeros(len(df), dtype=np.int64)
+    if len(df) > 1:
+        brk[:-1] = ((after[:-1] != before[1:]) & (rid[:-1] == rid[1:])).astype(np.int64)
+    seg = np.flatnonzero(first)
+    return pd.DataFrame(
+        {
+            "record_id": rid[first],
+            "first_before": before[first],
+            "last_after": after[last],
+            # float on purpose: this column rides a LEFT join later and
+            # an int64 column with join-nulls would trip the pandas
+            # float-truncation hazard (CLAUDE.md rule 14); values are
+            # tiny counts, exactly representable
+            "n_breaks": np.add.reduceat(brk, seg).astype(np.float64),
+        }
+    )
+
+
+def er_invariant_check(sf_dir: str):
+    """Inject at 10% on the pages fixture, export (clean, dirty,
+    ledger) to EXPORT_DIR (overwritten per call — the DuckDB twin reads
+    the same triple), and verify the ledger⇔data invariant with
+    distributed joins. One all-int64 row; every n_bad_* must be 0."""
+    from . import pipeline, synth
+    from .schema import DUP_UID_OFFSET, TWIN_UID_OFFSET
+    from .shuffle import bucketed_group_apply, bucketed_join
+
+    import pyarrow.parquet as pq
+
+    n = max(2000, pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows // 12)
+    clean = synth.pages_dataset(n).materialize()
+    out = pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7)
+    combined = out.combined.materialize()
+    dirty = pipeline.strip_ledger(combined).materialize()
+    ledger = pipeline.extract_ledger(combined).materialize()
+
+    cols = ["row_uid", "record_id", "url", "warc_ts", "text", "lang"]
+    shutil.rmtree(EXPORT_DIR, ignore_errors=True)
+    clean.select_columns(cols).write_parquet(f"{EXPORT_DIR}/clean")
+    dirty.select_columns(cols).write_parquet(f"{EXPORT_DIR}/dirty")
+    ledger.write_parquet(f"{EXPORT_DIR}/ledger")
+
+    n_clean = clean.count()
+    n_dirty = dirty.count()
+    n_ledger = ledger.count()
+
+    # --- text chain per record (excluding 'twin': it annotates the
+    # SOURCE record but rewrites a NEW row, checked separately below)
+    text_led = ledger.filter(expr="field == 'text' and error != 'twin'")
+    chain = bucketed_group_apply(
+        text_led.select_columns(["record_id", "seq", "before", "after"]),
+        ["record_id"],
+        _chain_per_record,
+        num_buckets=16,
+    ).materialize()
+    n_text_touched = chain.count()
+    n_chain_breaks = int(chain.sum("n_breaks") or 0)
+
+    # --- record ids with ANY mutating ledger entry (duplicate/twin
+    # entries do not mutate their source row)
+    def _any_mark(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(subset=["record_id"])[["record_id"]].copy()
+        out["any_mark"] = "y"
+        return out
+
+    any_tbl = bucketed_group_apply(
+        ledger.filter(expr="error != 'twin' and error != 'duplicate'").select_columns(
+            ["record_id"]
+        ),
+        ["record_id"],
+        _any_mark,
+        num_buckets=16,
+    )
+
+    # --- original rows: dirty ⋈ clean on record_id, then LEFT joins
+    # with the chain and any-touched marks (string columns only on the
+    # left-join right sides — rule 14)
+    def _slim(prefix):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "record_id": df["record_id"].to_numpy(),
+                    f"{prefix}_url": df["url"].to_numpy(),
+                    f"{prefix}_text": df["text"].to_numpy(),
+                    f"{prefix}_lang": df["lang"].to_numpy(),
+                    f"{prefix}_ts": df["warc_ts"].astype("datetime64[us]").astype(str),
+                }
+            )
+
+        return fn
+
+    dirty_orig = dirty.filter(expr=f"row_uid < {DUP_UID_OFFSET}").map_batches(
+        _slim("d"), batch_format="pandas"
+    )
+    clean_slim = clean.map_batches(_slim("c"), batch_format="pandas")
+    j = bucketed_join(dirty_orig, clean_slim, ["record_id"], num_buckets=16)
+    j = bucketed_join(
+        j, chain.drop_columns(["n_breaks"]), ["record_id"], num_buckets=16, how="left"
+    )
+    j = bucketed_join(j, any_tbl, ["record_id"], num_buckets=16, how="left")
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        touched_text = df["first_before"].notna()
+        text_diff = df["d_text"].fillna("\0") != df["c_text"].fillna("\0")
+        lang_diff = df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0")
+        ts_diff = df["d_ts"] != df["c_ts"]
+        pristine = df["any_mark"].isna()
+        return pd.DataFrame(
+            {
+                "n_bad_untouched": [int((~touched_text & text_diff).sum())],
+                "n_bad_before": [
+                    int((touched_text & (df["first_before"] != df["c_text"])).sum())
+                ],
+                "n_bad_after": [
+                    int((touched_text & (df["last_after"] != df["d_text"])).sum())
+                ],
+                "n_bad_url": [int((df["d_url"] != df["c_url"]).sum())],
+                "n_bad_pristine": [
+                    int((pristine & (text_diff | lang_diff | ts_diff)).sum())
+                ],
+            }
+        )
+
+    agg = j.map_batches(_flags, batch_format="pandas").to_pandas().sum()
+
+    # --- duplicate rows byte-identical to clean (pristine re-append)
+    dup_rows = dirty.filter(
+        expr=f"row_uid >= {DUP_UID_OFFSET} and row_uid < {TWIN_UID_OFFSET}"
+    ).map_batches(_slim("d"), batch_format="pandas")
+    jd = bucketed_join(dup_rows, clean_slim, ["record_id"], num_buckets=16)
+
+    def _dup_flags(df: pd.DataFrame) -> pd.DataFrame:
+        bad = (
+            (df["d_text"].fillna("\0") != df["c_text"].fillna("\0"))
+            | (df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0"))
+            | (df["d_ts"] != df["c_ts"])
+            | (df["d_url"] != df["c_url"])
+        )
+        return pd.DataFrame({"n_bad_dup": [int(bad.sum())]})
+
+    n_bad_dup = int(jd.map_batches(_dup_flags, batch_format="pandas").to_pandas().sum().iloc[0])
+
+    # --- twin rows: ledger 'twin' entries point (via the mangled id)
+    # at a dirty row whose text is the entry's ``after``
+    def _mangle(df: pd.DataFrame) -> pd.DataFrame:
+        rid = df["record_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "record_id": ("123" + rid.astype(str) + "789").astype("int64"),
+                "twin_after": df["after"].to_numpy(),
+            }
+        )
+
+    twin_led = ledger.filter(expr="error == 'twin'").map_batches(
+        _mangle, batch_format="pandas"
+    ).materialize()
+    twin_rows = dirty.filter(expr=f"row_uid >= {TWIN_UID_OFFSET}").map_batches(
+        lambda df: pd.DataFrame(
+            {"record_id": df["record_id"].to_numpy(), "twin_text": df["text"].to_numpy()}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    n_twin_ledger = twin_led.count()
+    n_twin_rows = twin_rows.count()
+    if n_twin_ledger == 0 or n_twin_rows == 0:
+        # small fixtures can draw zero twins (the op skips records
+        # whose tokens have no same-length/initial candidate); an
+        # empty Dataset has no schema, so skip the join outright
+        n_bad_twin = 0
+    else:
+        jt = bucketed_join(twin_led, twin_rows, ["record_id"], num_buckets=16)
+
+        def _twin_flags(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n_bad_twin": [int((df["twin_after"] != df["twin_text"]).sum())]}
+            )
+
+        n_bad_twin = int(
+            jt.map_batches(_twin_flags, batch_format="pandas").to_pandas().sum().iloc[0]
+        )
+
+    return pd.DataFrame(
+        [
+            {
+                "n_clean": n_clean,
+                "n_dirty": n_dirty,
+                "n_ledger": n_ledger,
+                "n_text_touched": n_text_touched,
+                "n_chain_breaks": n_chain_breaks,
+                "n_bad_untouched": int(agg["n_bad_untouched"]),
+                "n_bad_before": int(agg["n_bad_before"]),
+                "n_bad_after": int(agg["n_bad_after"]),
+                "n_bad_url": int(agg["n_bad_url"]),
+                "n_bad_pristine": int(agg["n_bad_pristine"]),
+                "n_bad_dup": n_bad_dup,
+                "n_bad_twin": n_bad_twin,
+                "n_twin_ledger": n_twin_ledger,
+                "n_twin_rows": n_twin_rows,
+            }
+        ]
+    ).astype("int64")
+
+
+# DuckDB twin over the exported triple. The query MUST run first (it
+# writes EXPORT_DIR) — the driver and test_entry_oracles both run the
+# Ray query before its oracle. DUP/TWIN offsets inlined (1<<60, 1<<61).
+ER_INVARIANT_ORACLE = f"""
+WITH clean AS (SELECT * FROM read_parquet('{EXPORT_DIR}/clean/*.parquet')),
+     dirty AS (SELECT * FROM read_parquet('{EXPORT_DIR}/dirty/*.parquet')),
+     ledger AS (SELECT * FROM read_parquet('{EXPORT_DIR}/ledger/*.parquet')),
+     tl AS (SELECT record_id, seq, before, after FROM ledger
+            WHERE field = 'text' AND error <> 'twin'),
+     chain AS (
+       SELECT record_id,
+              arg_min(before, seq) AS first_before,
+              arg_max(after, seq) AS last_after,
+              coalesce(sum(CASE WHEN prev_after IS NOT NULL
+                                 AND prev_after <> before THEN 1 ELSE 0 END), 0)
+                AS n_breaks
+       FROM (SELECT record_id, seq, before, after,
+                    lag(after) OVER (PARTITION BY record_id ORDER BY seq)
+                      AS prev_after
+             FROM tl)
+       GROUP BY record_id
+     ),
+     any_touched AS (
+       SELECT DISTINCT record_id FROM ledger
+       WHERE error NOT IN ('twin', 'duplicate')
+     ),
+     orig AS (
+       SELECT d.record_id,
+              d.text AS d_text, c.text AS c_text,
+              d.lang AS d_lang, c.lang AS c_lang,
+              d.warc_ts AS d_ts, c.warc_ts AS c_ts,
+              d.url AS d_url, c.url AS c_url,
+              ch.first_before, ch.last_after,
+              (a.record_id IS NOT NULL) AS touched_any
+       FROM dirty d
+       JOIN clean c ON d.record_id = c.record_id
+       LEFT JOIN chain ch ON d.record_id = ch.record_id
+       LEFT JOIN any_touched a ON d.record_id = a.record_id
+       WHERE d.row_uid < {1 << 60}
+     ),
+     dup AS (
+       SELECT d.text AS d_text, c.text AS c_text, d.lang AS d_lang,
+              c.lang AS c_lang, d.warc_ts AS d_ts, c.warc_ts AS c_ts,
+              d.url AS d_url, c.url AS c_url
+       FROM dirty d JOIN clean c ON d.record_id = c.record_id
+       WHERE d.row_uid >= {1 << 60} AND d.row_uid < {1 << 61}
+     ),
+     twin_led AS (
+       SELECT CAST('123' || CAST(record_id AS VARCHAR) || '789' AS BIGINT)
+                AS twin_id,
+              after AS twin_after
+       FROM ledger WHERE error = 'twin'
+     ),
+     twin_rows AS (
+       SELECT record_id AS twin_id, text AS twin_text FROM dirty
+       WHERE row_uid >= {1 << 61}
+     )
+SELECT CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_clean,
+       CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
+       CAST((SELECT count(*) FROM ledger) AS BIGINT) AS n_ledger,
+       CAST((SELECT count(*) FROM chain) AS BIGINT) AS n_text_touched,
+       CAST((SELECT coalesce(sum(n_breaks), 0) FROM chain) AS BIGINT)
+         AS n_chain_breaks,
+       CAST((SELECT count(*) FROM orig
+             WHERE first_before IS NULL AND d_text IS DISTINCT FROM c_text)
+            AS BIGINT) AS n_bad_untouched,
+       CAST((SELECT count(*) FROM orig
+             WHERE first_before IS NOT NULL AND first_before <> c_text)
+            AS BIGINT) AS n_bad_before,
+       CAST((SELECT count(*) FROM orig
+             WHERE last_after IS NOT NULL AND last_after <> d_text)
+            AS BIGINT) AS n_bad_after,
+       CAST((SELECT count(*) FROM orig WHERE d_url <> c_url) AS BIGINT)
+         AS n_bad_url,
+       CAST((SELECT count(*) FROM orig
+             WHERE NOT touched_any
+               AND (d_text IS DISTINCT FROM c_text
+                    OR d_lang IS DISTINCT FROM c_lang
+                    OR d_ts IS DISTINCT FROM c_ts)) AS BIGINT)
+         AS n_bad_pristine,
+       CAST((SELECT count(*) FROM dup
+             WHERE d_text IS DISTINCT FROM c_text
+                OR d_lang IS DISTINCT FROM c_lang
+                OR d_ts IS DISTINCT FROM c_ts
+                OR d_url <> c_url) AS BIGINT) AS n_bad_dup,
+       CAST((SELECT count(*) FROM twin_led t JOIN twin_rows r USING (twin_id)
+             WHERE t.twin_after <> r.twin_text) AS BIGINT) AS n_bad_twin,
+       CAST((SELECT count(*) FROM twin_led) AS BIGINT) AS n_twin_ledger,
+       CAST((SELECT count(*) FROM twin_rows) AS BIGINT) AS n_twin_rows
+"""
+
+INVARIANT_QUERIES = {"er_invariant_check": er_invariant_check}
+INVARIANT_ORACLES = {"er_invariant_check": ER_INVARIANT_ORACLE}

@@ -1,0 +1,47 @@
+"""er_invariant_check: the ledger⇔data invariant holds on the real
+injector output, the DuckDB twin recomputes the identical summary from
+the exported Parquet, and the oracle actually DETECTS tampering (a
+corrupted dirty row flips at least one n_bad_* counter)."""
+
+import glob
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+from rayrl.invariant import ER_INVARIANT_ORACLE, EXPORT_DIR, er_invariant_check
+
+BAD_COLS = [
+    "n_chain_breaks", "n_bad_untouched", "n_bad_before", "n_bad_after",
+    "n_bad_url", "n_bad_pristine", "n_bad_dup", "n_bad_twin",
+]
+
+
+def test_invariant_holds_and_oracle_detects_tampering(ray_session):
+    res = er_invariant_check("/root/testdata/sf0.001")
+    row = res.iloc[0]
+    assert (res[BAD_COLS].iloc[0] == 0).all(), res.T
+    assert row["n_twin_ledger"] == row["n_twin_rows"]
+    assert row["n_dirty"] >= row["n_clean"]  # dups/twins append
+    assert 0 < row["n_text_touched"] < row["n_clean"]
+
+    # DuckDB twin over the exported triple reproduces the summary
+    odf = duckdb.sql(ER_INVARIANT_ORACLE).df()
+    pd.testing.assert_frame_equal(
+        res[sorted(res.columns)].reset_index(drop=True),
+        odf[sorted(odf.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # tamper with one ORIGINAL dirty row's text → the oracle must flag
+    # it (touched row → n_bad_after; untouched → n_bad_untouched; and
+    # a pristine row additionally fires n_bad_pristine)
+    f = sorted(glob.glob(f"{EXPORT_DIR}/dirty/*.parquet"))[0]
+    t = pq.read_table(f).to_pandas()
+    orig_ix = t.index[t["row_uid"] < (1 << 60)][0]
+    t.loc[orig_ix, "text"] = str(t.loc[orig_ix, "text"]) + " XTAMPERX"
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(t, preserve_index=False), f
+    )
+    tampered = duckdb.sql(ER_INVARIANT_ORACLE).df()
+    assert int(tampered[BAD_COLS].sum().sum()) >= 1

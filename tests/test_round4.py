@@ -16,20 +16,22 @@ SF_DIR = "/root/testdata/sf0.001"
 # ------------------------------------------------- driver-window contract
 
 def test_window_is_first_50_and_oracle_backed():
-    """The driver verifies exactly the first ~50 queries() keys
-    (CORRECTNESS_r03 == the first 50 of r3's 118). The window must be
-    the curated list: er_* flagship first, every non-er entry
-    oracle-backed, nothing duplicated, nothing missing."""
+    """The driver verifies exactly the first ~50 queries() keys. The
+    round-5 window: the SQL-checkable flagship invariant first, four
+    er_* representatives, then only oracle-backed keys (the 16
+    never-★-verified rows ahead of ★r3 re-confirmations), nothing
+    duplicated, nothing missing."""
     q = list(entry_mod.queries())
     oracles = entry_mod.oracle_sql()
     assert len(entry_mod._WINDOW_FIRST) == 50
     assert q[:50] == entry_mod._WINDOW_FIRST
     assert len(set(entry_mod._WINDOW_FIRST)) == 50
-    non_er = [k for k in entry_mod._WINDOW_FIRST if not k.startswith("er_")]
-    assert all(k in oracles for k in non_er), [k for k in non_er if k not in oracles]
-    # the flagship family is entirely inside the window
-    er = [k for k in q if k.startswith("er_")]
-    assert set(er) <= set(entry_mod._WINDOW_FIRST)
+    assert q[0] == "er_invariant_check" and "er_invariant_check" in oracles
+    reps = {"er_linkage_metrics", "er_ledger", "er_error_rate", "er_perturb_flow"}
+    assert reps <= set(entry_mod._WINDOW_FIRST[:5])
+    # every other window entry is oracle-backed
+    rest = [k for k in entry_mod._WINDOW_FIRST if k not in reps]
+    assert all(k in oracles for k in rest), [k for k in rest if k not in oracles]
 
 
 def test_oracles_after_window_then_no_oracle_tail():
