@@ -2,12 +2,14 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic fake decoder (byte-histogram "pixels")
-stands in. Everything around the stub — schema, batch sizing, actor
-signature, zero-copy binary handling, output layout — is real and
-tested; swapping in PIL/ffmpeg is a one-function change."""
+The decode step rides an import-try: when PIL is installed,
+``decode_image`` really decodes (grayscale 8×8 thumbnail — the dHash
+input); in this container (no image/audio libs) it raises
+NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (byte-tile "pixels") stands in. Everything
+around the decode — schema, batch sizing, actor signature, zero-copy
+binary handling, output layout, PIL dispatch — is real and tested
+(the dispatch via a monkeypatched decoder)."""
 
 from __future__ import annotations
 
@@ -15,6 +17,23 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+try:  # real decoder when the environment has it (VERDICT r4 #8)
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
+
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """bytes → grayscale 8×8 uint8 thumbnail via PIL (the dHash
+    input shape). Only reachable when PIL imported."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    return np.asarray(img, dtype=np.uint8)
 
 
 MEDIA_SCHEMA = pa.schema(
@@ -29,13 +48,18 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an (h, w) uint8 array. Real decode
-    needs PIL/opencv — not in this container."""
-    if not fake:
-        raise NotImplementedError("image decode requires PIL/opencv; use fake=True in the sandbox")
-    # deterministic fake: tile the byte stream into an 8×8 "thumbnail"
-    b = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
-    return b.reshape(8, 8)
+    """Decode an image payload to an (8, 8) uint8 thumbnail. With
+    ``fake=True`` a deterministic byte-tile stand-in runs (the sandbox
+    path — also the right choice for non-image payloads like the pages
+    html column); otherwise PIL decodes for real when installed, and
+    the call raises if no decoder exists."""
+    if fake:
+        # deterministic fake: tile the byte stream into an 8×8 "thumbnail"
+        b = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+        return b.reshape(8, 8)
+    if _HAVE_PIL:
+        return _pil_decode(payload)
+    raise NotImplementedError("image decode requires PIL (pip install pillow); use fake=True in the sandbox")
 
 
 class MediaFeatures:

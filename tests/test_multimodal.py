@@ -95,3 +95,29 @@ def test_dhash56_and_phash_near_dups(ray_session):
     assert (0, 2) in lookup and 1 <= lookup[(0, 2)] <= 4
     # no random payload pairs with the planted trio
     assert not any(a > 2 or b > 2 for a, b in lookup if (a, b) not in [(0, 1), (0, 2), (1, 2)])
+
+
+def test_decode_image_pil_dispatch(monkeypatch):
+    """decode_image routes to the real decoder when PIL is present
+    (dispatch verified with a monkeypatched decoder — PIL itself is
+    absent in the sandbox) and raises without it unless fake=True."""
+    import pytest
+
+    from rayrl import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...", fake=False)
+    # fake path unaffected by PIL availability
+    assert mm.decode_image(b"abc", fake=True).shape == (8, 8)
+
+    calls = []
+
+    def fake_pil_decode(payload):
+        calls.append(payload)
+        return np.full((8, 8), 7, np.uint8)
+
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(mm, "_pil_decode", fake_pil_decode)
+    out = mm.decode_image(b"\x89PNGpayload", fake=False)
+    assert calls == [b"\x89PNGpayload"]
+    assert out.shape == (8, 8) and out.dtype == np.uint8
