@@ -34,6 +34,12 @@ Checks (every n_bad_* must be 0):
 - n_bad_twin: each twin ledger entry's ``after`` must equal the text of
   the dirty row holding the mangled id (and n_twin_rows ==
   n_twin_ledger).
+- n_bad_lang_untouched / n_bad_lang_before / n_bad_lang_after /
+  n_lang_breaks: the same chain contract for the ``lang`` field, where
+  ``after`` can be NULL (make_missing) — nulls ride a chr(1) sentinel
+  through the chain aggregation on BOTH engines because DuckDB's
+  arg_max skips NULL args (a bare arg_max(after, seq) would silently
+  return the penultimate value for a missing-last chain).
 """
 
 from __future__ import annotations
@@ -117,6 +123,40 @@ def er_invariant_check(sf_dir: str):
     n_text_touched = chain.count()
     n_chain_breaks = int(chain.sum("n_breaks") or 0)
 
+    # --- lang chain per record (null-safe: make_missing's after is
+    # NULL — sentinel-encode before the chain aggregation, mirroring
+    # the oracle's coalesce(x, chr(1)))
+    NULL_S = "\x01"
+
+    def _sentinel(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "record_id": df["record_id"].to_numpy(),
+                "seq": df["seq"].to_numpy(),
+                "before": df["before"].fillna(NULL_S).to_numpy(),
+                "after": df["after"].fillna(NULL_S).to_numpy(),
+            }
+        )
+
+    lang_led = ledger.filter(expr="field == 'lang' and error != 'twin'").map_batches(
+        _sentinel, batch_format="pandas"
+    )
+    lchain_raw = bucketed_group_apply(
+        lang_led, ["record_id"], _chain_per_record, num_buckets=16
+    ).materialize()
+    n_lang_touched = lchain_raw.count()
+    n_lang_breaks = int(lchain_raw.sum("n_breaks") or 0) if n_lang_touched else 0
+    lchain = (
+        lchain_raw.drop_columns(["n_breaks"]).map_batches(
+            lambda df: df.rename(
+                columns={"first_before": "l_first", "last_after": "l_last"}
+            ),
+            batch_format="pandas",
+        )
+        if n_lang_touched
+        else None
+    )
+
     # --- record ids with ANY mutating ledger entry (duplicate/twin
     # entries do not mutate their source row)
     def _any_mark(df: pd.DataFrame) -> pd.DataFrame:
@@ -158,6 +198,8 @@ def er_invariant_check(sf_dir: str):
     j = bucketed_join(
         j, chain.drop_columns(["n_breaks"]), ["record_id"], num_buckets=16, how="left"
     )
+    if lchain is not None:
+        j = bucketed_join(j, lchain, ["record_id"], num_buckets=16, how="left")
     j = bucketed_join(j, any_tbl, ["record_id"], num_buckets=16, how="left")
 
     def _flags(df: pd.DataFrame) -> pd.DataFrame:
@@ -166,6 +208,17 @@ def er_invariant_check(sf_dir: str):
         lang_diff = df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0")
         ts_diff = df["d_ts"] != df["c_ts"]
         pristine = df["any_mark"].isna()
+        if "l_first" in df.columns:
+            touched_lang = df["l_first"].notna()
+            bad_l_unt = int((~touched_lang & lang_diff).sum())
+            bad_l_bef = int(
+                (touched_lang & (df["l_first"] != df["c_lang"].fillna(NULL_S))).sum()
+            )
+            bad_l_aft = int(
+                (touched_lang & (df["l_last"] != df["d_lang"].fillna(NULL_S))).sum()
+            )
+        else:  # no lang errors drawn at this scale
+            bad_l_unt, bad_l_bef, bad_l_aft = int(lang_diff.sum()), 0, 0
         return pd.DataFrame(
             {
                 "n_bad_untouched": [int((~touched_text & text_diff).sum())],
@@ -179,6 +232,9 @@ def er_invariant_check(sf_dir: str):
                 "n_bad_pristine": [
                     int((pristine & (text_diff | lang_diff | ts_diff)).sum())
                 ],
+                "n_bad_lang_untouched": [bad_l_unt],
+                "n_bad_lang_before": [bad_l_bef],
+                "n_bad_lang_after": [bad_l_aft],
             }
         )
 
@@ -257,6 +313,11 @@ def er_invariant_check(sf_dir: str):
                 "n_bad_twin": n_bad_twin,
                 "n_twin_ledger": n_twin_ledger,
                 "n_twin_rows": n_twin_rows,
+                "n_lang_touched": n_lang_touched,
+                "n_lang_breaks": n_lang_breaks,
+                "n_bad_lang_untouched": int(agg["n_bad_lang_untouched"]),
+                "n_bad_lang_before": int(agg["n_bad_lang_before"]),
+                "n_bad_lang_after": int(agg["n_bad_lang_after"]),
             }
         ]
     ).astype("int64")
@@ -288,6 +349,23 @@ WITH clean AS (SELECT * FROM read_parquet('{EXPORT_DIR}/clean/*.parquet')),
        SELECT DISTINCT record_id FROM ledger
        WHERE error NOT IN ('twin', 'duplicate')
      ),
+     ll AS (SELECT record_id, seq,
+                   coalesce(before, chr(1)) AS before,
+                   coalesce(after, chr(1)) AS after
+            FROM ledger WHERE field = 'lang' AND error <> 'twin'),
+     lchain AS (
+       SELECT record_id,
+              arg_min(before, seq) AS l_first,
+              arg_max(after, seq) AS l_last,
+              coalesce(sum(CASE WHEN prev_after IS NOT NULL
+                                 AND prev_after <> before THEN 1 ELSE 0 END), 0)
+                AS l_breaks
+       FROM (SELECT record_id, seq, before, after,
+                    lag(after) OVER (PARTITION BY record_id ORDER BY seq)
+                      AS prev_after
+             FROM ll)
+       GROUP BY record_id
+     ),
      orig AS (
        SELECT d.record_id,
               d.text AS d_text, c.text AS c_text,
@@ -295,10 +373,12 @@ WITH clean AS (SELECT * FROM read_parquet('{EXPORT_DIR}/clean/*.parquet')),
               d.warc_ts AS d_ts, c.warc_ts AS c_ts,
               d.url AS d_url, c.url AS c_url,
               ch.first_before, ch.last_after,
+              lc.l_first, lc.l_last,
               (a.record_id IS NOT NULL) AS touched_any
        FROM dirty d
        JOIN clean c ON d.record_id = c.record_id
        LEFT JOIN chain ch ON d.record_id = ch.record_id
+       LEFT JOIN lchain lc ON d.record_id = lc.record_id
        LEFT JOIN any_touched a ON d.record_id = a.record_id
        WHERE d.row_uid < {1 << 60}
      ),
@@ -350,7 +430,21 @@ SELECT CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_clean,
        CAST((SELECT count(*) FROM twin_led t JOIN twin_rows r USING (twin_id)
              WHERE t.twin_after <> r.twin_text) AS BIGINT) AS n_bad_twin,
        CAST((SELECT count(*) FROM twin_led) AS BIGINT) AS n_twin_ledger,
-       CAST((SELECT count(*) FROM twin_rows) AS BIGINT) AS n_twin_rows
+       CAST((SELECT count(*) FROM twin_rows) AS BIGINT) AS n_twin_rows,
+       CAST((SELECT count(*) FROM lchain) AS BIGINT) AS n_lang_touched,
+       CAST((SELECT coalesce(sum(l_breaks), 0) FROM lchain) AS BIGINT)
+         AS n_lang_breaks,
+       CAST((SELECT count(*) FROM orig
+             WHERE l_first IS NULL AND d_lang IS DISTINCT FROM c_lang)
+            AS BIGINT) AS n_bad_lang_untouched,
+       CAST((SELECT count(*) FROM orig
+             WHERE l_first IS NOT NULL
+               AND l_first <> coalesce(c_lang, chr(1))) AS BIGINT)
+         AS n_bad_lang_before,
+       CAST((SELECT count(*) FROM orig
+             WHERE l_first IS NOT NULL
+               AND l_last <> coalesce(d_lang, chr(1))) AS BIGINT)
+         AS n_bad_lang_after
 """
 
 INVARIANT_QUERIES = {"er_invariant_check": er_invariant_check}

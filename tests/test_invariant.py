@@ -14,6 +14,8 @@ from rayrl.invariant import ER_INVARIANT_ORACLE, EXPORT_DIR, er_invariant_check
 BAD_COLS = [
     "n_chain_breaks", "n_bad_untouched", "n_bad_before", "n_bad_after",
     "n_bad_url", "n_bad_pristine", "n_bad_dup", "n_bad_twin",
+    "n_lang_breaks", "n_bad_lang_untouched", "n_bad_lang_before",
+    "n_bad_lang_after",
 ]
 
 
