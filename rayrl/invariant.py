@@ -40,6 +40,16 @@ Checks (every n_bad_* must be 0):
   through the chain aggregation on BOTH engines because DuckDB's
   arg_max skips NULL args (a bare arg_max(after, seq) would silently
   return the penultimate value for a missing-last chain).
+- n_bad_ts_untouched / n_bad_ts_before / n_bad_ts_after / n_ts_breaks:
+  the chain contract for ``warc_ts`` (date_swap / date_transpose /
+  date_replace). Ledger values are ISO strings
+  (np.datetime_as_string); both engines normalize ledger strings AND
+  table timestamps to '%Y-%m-%d %H:%M:%S' before comparing (the data
+  is second-granularity, so the format is lossless).
+
+With all three mutated fields chained, the invariant covers the FULL
+mutating surface of the benchmark spec chain — the dirty table is
+exactly (clean ⊕ ledger) or the hash check fails.
 """
 
 from __future__ import annotations
@@ -157,6 +167,43 @@ def er_invariant_check(sf_dir: str):
         else None
     )
 
+    # --- warc_ts chain per record: ledger holds ISO strings
+    # (np.datetime_as_string, 'T' separator + micros); normalize to
+    # second-granularity '%Y-%m-%d %H:%M:%S' — the same form _slim
+    # exports — so chain values compare exactly against table values
+    _TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+    def _ts_sentinel(df: pd.DataFrame) -> pd.DataFrame:
+        b = pd.to_datetime(df["before"]).dt.strftime(_TS_FMT)
+        a = pd.to_datetime(df["after"]).dt.strftime(_TS_FMT)
+        return pd.DataFrame(
+            {
+                "record_id": df["record_id"].to_numpy(),
+                "seq": df["seq"].to_numpy(),
+                "before": b.fillna(NULL_S).to_numpy(),
+                "after": a.fillna(NULL_S).to_numpy(),
+            }
+        )
+
+    ts_led = ledger.filter(expr="field == 'warc_ts' and error != 'twin'").map_batches(
+        _ts_sentinel, batch_format="pandas"
+    )
+    tchain_raw = bucketed_group_apply(
+        ts_led, ["record_id"], _chain_per_record, num_buckets=16
+    ).materialize()
+    n_ts_touched = tchain_raw.count()
+    n_ts_breaks = int(tchain_raw.sum("n_breaks") or 0) if n_ts_touched else 0
+    tchain = (
+        tchain_raw.drop_columns(["n_breaks"]).map_batches(
+            lambda df: df.rename(
+                columns={"first_before": "t_first", "last_after": "t_last"}
+            ),
+            batch_format="pandas",
+        )
+        if n_ts_touched
+        else None
+    )
+
     # --- record ids with ANY mutating ledger entry (duplicate/twin
     # entries do not mutate their source row)
     def _any_mark(df: pd.DataFrame) -> pd.DataFrame:
@@ -184,7 +231,11 @@ def er_invariant_check(sf_dir: str):
                     f"{prefix}_url": df["url"].to_numpy(),
                     f"{prefix}_text": df["text"].to_numpy(),
                     f"{prefix}_lang": df["lang"].to_numpy(),
-                    f"{prefix}_ts": df["warc_ts"].astype("datetime64[us]").astype(str),
+                    f"{prefix}_ts": df["warc_ts"]
+                    .astype("datetime64[us]")
+                    .dt.strftime(_TS_FMT)
+                    .fillna(NULL_S)
+                    .to_numpy(),
                 }
             )
 
@@ -200,6 +251,8 @@ def er_invariant_check(sf_dir: str):
     )
     if lchain is not None:
         j = bucketed_join(j, lchain, ["record_id"], num_buckets=16, how="left")
+    if tchain is not None:
+        j = bucketed_join(j, tchain, ["record_id"], num_buckets=16, how="left")
     j = bucketed_join(j, any_tbl, ["record_id"], num_buckets=16, how="left")
 
     def _flags(df: pd.DataFrame) -> pd.DataFrame:
@@ -219,6 +272,13 @@ def er_invariant_check(sf_dir: str):
             )
         else:  # no lang errors drawn at this scale
             bad_l_unt, bad_l_bef, bad_l_aft = int(lang_diff.sum()), 0, 0
+        if "t_first" in df.columns:
+            touched_ts = df["t_first"].notna()
+            bad_t_unt = int((~touched_ts & ts_diff).sum())
+            bad_t_bef = int((touched_ts & (df["t_first"] != df["c_ts"])).sum())
+            bad_t_aft = int((touched_ts & (df["t_last"] != df["d_ts"])).sum())
+        else:  # no date errors drawn at this scale
+            bad_t_unt, bad_t_bef, bad_t_aft = int(ts_diff.sum()), 0, 0
         return pd.DataFrame(
             {
                 "n_bad_untouched": [int((~touched_text & text_diff).sum())],
@@ -235,6 +295,9 @@ def er_invariant_check(sf_dir: str):
                 "n_bad_lang_untouched": [bad_l_unt],
                 "n_bad_lang_before": [bad_l_bef],
                 "n_bad_lang_after": [bad_l_aft],
+                "n_bad_ts_untouched": [bad_t_unt],
+                "n_bad_ts_before": [bad_t_bef],
+                "n_bad_ts_after": [bad_t_aft],
             }
         )
 
@@ -318,6 +381,11 @@ def er_invariant_check(sf_dir: str):
                 "n_bad_lang_untouched": int(agg["n_bad_lang_untouched"]),
                 "n_bad_lang_before": int(agg["n_bad_lang_before"]),
                 "n_bad_lang_after": int(agg["n_bad_lang_after"]),
+                "n_ts_touched": n_ts_touched,
+                "n_ts_breaks": n_ts_breaks,
+                "n_bad_ts_untouched": int(agg["n_bad_ts_untouched"]),
+                "n_bad_ts_before": int(agg["n_bad_ts_before"]),
+                "n_bad_ts_after": int(agg["n_bad_ts_after"]),
             }
         ]
     ).astype("int64")
@@ -366,19 +434,42 @@ WITH clean AS (SELECT * FROM read_parquet('{EXPORT_DIR}/clean/*.parquet')),
              FROM ll)
        GROUP BY record_id
      ),
+     tt AS (SELECT record_id, seq,
+                   coalesce(strftime(CAST(before AS TIMESTAMP),
+                                     '%Y-%m-%d %H:%M:%S'), chr(1)) AS before,
+                   coalesce(strftime(CAST(after AS TIMESTAMP),
+                                     '%Y-%m-%d %H:%M:%S'), chr(1)) AS after
+            FROM ledger WHERE field = 'warc_ts' AND error <> 'twin'),
+     tchain AS (
+       SELECT record_id,
+              arg_min(before, seq) AS t_first,
+              arg_max(after, seq) AS t_last,
+              coalesce(sum(CASE WHEN prev_after IS NOT NULL
+                                 AND prev_after <> before THEN 1 ELSE 0 END), 0)
+                AS t_breaks
+       FROM (SELECT record_id, seq, before, after,
+                    lag(after) OVER (PARTITION BY record_id ORDER BY seq)
+                      AS prev_after
+             FROM tt)
+       GROUP BY record_id
+     ),
      orig AS (
        SELECT d.record_id,
               d.text AS d_text, c.text AS c_text,
               d.lang AS d_lang, c.lang AS c_lang,
               d.warc_ts AS d_ts, c.warc_ts AS c_ts,
+              coalesce(strftime(d.warc_ts, '%Y-%m-%d %H:%M:%S'), chr(1)) AS d_tss,
+              coalesce(strftime(c.warc_ts, '%Y-%m-%d %H:%M:%S'), chr(1)) AS c_tss,
               d.url AS d_url, c.url AS c_url,
               ch.first_before, ch.last_after,
               lc.l_first, lc.l_last,
+              tc.t_first, tc.t_last,
               (a.record_id IS NOT NULL) AS touched_any
        FROM dirty d
        JOIN clean c ON d.record_id = c.record_id
        LEFT JOIN chain ch ON d.record_id = ch.record_id
        LEFT JOIN lchain lc ON d.record_id = lc.record_id
+       LEFT JOIN tchain tc ON d.record_id = tc.record_id
        LEFT JOIN any_touched a ON d.record_id = a.record_id
        WHERE d.row_uid < {1 << 60}
      ),
@@ -444,7 +535,19 @@ SELECT CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_clean,
        CAST((SELECT count(*) FROM orig
              WHERE l_first IS NOT NULL
                AND l_last <> coalesce(d_lang, chr(1))) AS BIGINT)
-         AS n_bad_lang_after
+         AS n_bad_lang_after,
+       CAST((SELECT count(*) FROM tchain) AS BIGINT) AS n_ts_touched,
+       CAST((SELECT coalesce(sum(t_breaks), 0) FROM tchain) AS BIGINT)
+         AS n_ts_breaks,
+       CAST((SELECT count(*) FROM orig
+             WHERE t_first IS NULL AND d_ts IS DISTINCT FROM c_ts)
+            AS BIGINT) AS n_bad_ts_untouched,
+       CAST((SELECT count(*) FROM orig
+             WHERE t_first IS NOT NULL AND t_first <> c_tss) AS BIGINT)
+         AS n_bad_ts_before,
+       CAST((SELECT count(*) FROM orig
+             WHERE t_first IS NOT NULL AND t_last <> d_tss) AS BIGINT)
+         AS n_bad_ts_after
 """
 
 INVARIANT_QUERIES = {"er_invariant_check": er_invariant_check}

@@ -16,6 +16,8 @@ BAD_COLS = [
     "n_bad_url", "n_bad_pristine", "n_bad_dup", "n_bad_twin",
     "n_lang_breaks", "n_bad_lang_untouched", "n_bad_lang_before",
     "n_bad_lang_after",
+    "n_ts_breaks", "n_bad_ts_untouched", "n_bad_ts_before",
+    "n_bad_ts_after",
 ]
 
 
