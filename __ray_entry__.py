@@ -183,6 +183,18 @@ def er_predict_links(sf_dir: str):
     )
 
 
+def er_model_zoo(sf_dir: str):
+    """Caret-model-parity zoo (standard_n.R:141-184, utils.R:916-995):
+    deterministic rf / RFF-svm / mlp + the logistic baseline trained on
+    the labeled vectors, each scored distributed — one metrics row per
+    model (accuracy / auc / f1, the reference's confusionMatrix gate).
+    Non-SQL semantics (model training), rows-only by design; the
+    per-model accuracy gates live in tests/test_models.py."""
+    from rayrl.linkage.models import model_zoo_report
+
+    return model_zoo_report(_feature_vectors(sf_dir), fast=True)
+
+
 def er_sample_strat(sf_dir: str):
     """Stratified train sample over the labeled feature vectors
     (sample_strat, paper_flow_dob_latest.Rmd:161-172): 1:4
@@ -309,6 +321,8 @@ _WINDOW_FIRST = [
     "er_ledger",
     "er_error_rate",
     "er_perturb_flow",
+    # --- r5: caret-model parity zoo (rows-only — model training) ---
+    "er_model_zoo",
     # --- oracle-backed, never driver-★-verified (r5 rotation) ---
     "ann_lsh_exact",
     "blocklist_clean_docs",
@@ -355,7 +369,6 @@ _WINDOW_FIRST = [
     "embedding_norms",
     "embedding_outliers",
     "sessionized_events",
-    "event_funnel",
 ]
 
 # Immediately after the 50-key window: the remaining ★r3 rows, then
@@ -435,6 +448,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "er_labeled_pairs": er_labeled_pairs,
             "er_feature_vectors": er_feature_vectors,
             "er_predict_links": er_predict_links,
+            "er_model_zoo": er_model_zoo,
             "er_sample_strat": er_sample_strat,
             "er_best_links_agg": er_best_links_agg,
             "er_hamming_fields": er_hamming_fields,

@@ -98,28 +98,24 @@ class RuleScorer:
 TRAIN_DRIVER_MAX = 2_000_000
 
 
-def fit_logistic(
+def collect_training_frame(
     vectors_ds,
-    cols: "list[str] | None" = None,
+    cols: list[str],
     label: str = "match",
-    iters: int = 200,
-    lr: float = 0.3,
-    l2: float = 1e-3,
     driver_max: int = TRAIN_DRIVER_MAX,
     seed: int = 23,
-) -> dict:
-    """Deterministic logistic fit over labeled feature vectors →
-    params dict for :class:`LinearScorer`.
+) -> pd.DataFrame:
+    """Gated, order-independent training collect shared by every
+    trainer (logistic here; rf/svm/nn in ``models.py``).
 
-    Full-batch gradient descent in float64 — no data-order dependence,
-    so the fit is identical at any parallelism (the repo's determinism
-    rule). The collect is gated: above ``driver_max`` rows a
-    deterministic hash sample (rng counter stream — also
-    order-independent) thins the training set; the reference itself
-    trains on a ≤27k-row sample (standard_n.R:58-99)."""
+    Above ``driver_max`` rows a deterministic hash sample (rng counter
+    stream keyed on the pair ids — order-independent) thins the set;
+    the result is sorted by (node_a, node_b) so downstream full-batch
+    fits see one canonical row order at any parallelism. The reference
+    itself trains caret models driver-side on a ≤27k-row sample
+    (standard_n.R:58-99) — the bound is the parity, not a shortcut."""
     from .. import rng
 
-    cols = list(cols or METRIC_COLUMNS)
     narrow = vectors_ds.select_columns(["node_a", "node_b", label, *cols])
     n_rows = narrow.count()
     if n_rows > driver_max:
@@ -135,7 +131,27 @@ def fit_logistic(
             return batch[h < cut]
 
         narrow = narrow.map_batches(gate, batch_format="pandas")
-    df = narrow.to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    return narrow.to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True)
+
+
+def fit_logistic(
+    vectors_ds,
+    cols: "list[str] | None" = None,
+    label: str = "match",
+    iters: int = 200,
+    lr: float = 0.3,
+    l2: float = 1e-3,
+    driver_max: int = TRAIN_DRIVER_MAX,
+    seed: int = 23,
+) -> dict:
+    """Deterministic logistic fit over labeled feature vectors →
+    params dict for :class:`LinearScorer`.
+
+    Full-batch gradient descent in float64 — no data-order dependence,
+    so the fit is identical at any parallelism (the repo's determinism
+    rule). The collect is gated via :func:`collect_training_frame`."""
+    cols = list(cols or METRIC_COLUMNS)
+    df = collect_training_frame(vectors_ds, cols, label, driver_max, seed)
     y = (df[label].to_numpy() == "match").astype(np.float64)
     X = feature_matrix(df, cols)
     mean = X.mean(axis=0)

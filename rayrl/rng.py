@@ -64,3 +64,13 @@ def randint(record_ids: np.ndarray, n: np.ndarray | int, seed: int, tag: np.uint
     array (per-row modulus, e.g. string lengths)."""
     n_arr = np.maximum(np.asarray(n, dtype=np.uint64), _U64(1))
     return (hash_u64(record_ids, seed, tag) % n_arr).astype(np.int64)
+
+
+def normal(record_ids: np.ndarray, seed: int, tag: np.uint64 | int = 0) -> np.ndarray:
+    """Deterministic standard-normal draw per record id (Box–Muller
+    over two derived uniform streams). Used for model-weight init and
+    random-feature matrices (models.py) so trained weights are
+    byte-identical at any parallelism."""
+    u1 = uniform(record_ids, seed, tag)
+    u2 = uniform(record_ids, seed, int(tag) + 1)
+    return np.sqrt(-2.0 * np.log1p(-u1)) * np.cos(2.0 * np.pi * u2)

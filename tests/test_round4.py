@@ -27,8 +27,13 @@ def test_window_is_first_50_and_oracle_backed():
     assert q[:50] == entry_mod._WINDOW_FIRST
     assert len(set(entry_mod._WINDOW_FIRST)) == 50
     assert q[0] == "er_invariant_check" and "er_invariant_check" in oracles
-    reps = {"er_linkage_metrics", "er_ledger", "er_error_rate", "er_perturb_flow"}
-    assert reps <= set(entry_mod._WINDOW_FIRST[:5])
+    # rows-only representatives: the four er_* history keys + the r5
+    # caret-model zoo (model training — non-SQL by nature)
+    reps = {
+        "er_linkage_metrics", "er_ledger", "er_error_rate",
+        "er_perturb_flow", "er_model_zoo",
+    }
+    assert reps <= set(entry_mod._WINDOW_FIRST[:6])
     # every other window entry is oracle-backed
     rest = [k for k in entry_mod._WINDOW_FIRST if k not in reps]
     assert all(k in oracles for k in rest), [k for k in rest if k not in oracles]
