@@ -2,14 +2,21 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The decode step rides an import-try: when PIL is installed,
-``decode_image`` really decodes (grayscale 8×8 thumbnail — the dHash
-input); in this container (no image/audio libs) it raises
-NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (byte-tile "pixels") stands in. Everything
-around the decode — schema, batch sizing, actor signature, zero-copy
-binary handling, output layout, PIL dispatch — is real and tested
-(the dispatch via a monkeypatched decoder)."""
+Decode dispatch, most-capable-available first:
+
+1. **native NumPy decoders** for the headerless-simple formats —
+   binary PPM (P6), PGM (P5) and uncompressed 24/32-bit BMP — parsed
+   straight from the payload bytes (magic-sniffed), luma-converted
+   (ITU-R 601) and box-filter downsampled to the 8×8 dHash thumbnail.
+   These run in THIS sandbox: real pixels in, real thumbnails out.
+2. **PIL** when installed (everything else: JPEG/PNG/...).
+3. otherwise ``NotImplementedError`` — unless ``fake=True``, where a
+   deterministic byte-tile stand-in runs (the right choice for
+   non-image payloads like the pages html column).
+
+Everything around the decode — schema, batch sizing, actor signature,
+zero-copy binary handling, output layout — is decoder-agnostic and
+tested against all three paths."""
 
 from __future__ import annotations
 
@@ -47,19 +54,117 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → (h, w) uint8 grayscale, ITU-R 601 weights
+    (PIL convert('L') uses the same integer formula)."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _downsample8(gray: np.ndarray) -> np.ndarray:
+    """(h, w) → (8, 8) by box-filter (area-mean) pooling: each output
+    cell averages its integer pixel bucket via two reduceat passes —
+    no Python loop, any input size ≥ 1×1. Dimensions < 8 are integer-
+    upsampled first (reduceat needs strictly increasing bucket
+    boundaries, i.e. every output cell ≥ 1 source pixel)."""
+    h, w = gray.shape
+    if h < 8:
+        gray = np.repeat(gray, -(-8 // h), axis=0)
+        h = gray.shape[0]
+    if w < 8:
+        gray = np.repeat(gray, -(-8 // w), axis=1)
+        w = gray.shape[1]
+    rb = (np.arange(8) * h) // 8
+    cb = (np.arange(8) * w) // 8
+    acc = np.add.reduceat(gray.astype(np.float64), rb, axis=0)
+    acc = np.add.reduceat(acc, cb, axis=1)
+    rc = np.diff(np.append(rb, h)).astype(np.float64)
+    cc = np.diff(np.append(cb, w)).astype(np.float64)
+    return np.clip(acc / (rc[:, None] * cc[None, :]), 0, 255).astype(np.uint8)
+
+
+def _decode_pnm(payload: bytes) -> "np.ndarray | None":
+    """Binary PPM (P6) / PGM (P5), maxval ≤ 255 — parsed with plain
+    token scanning (whitespace + '#' comments per the netpbm spec)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    # tokenize the header: magic, width, height, maxval
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None  # 16-bit samples: leave to PIL
+    i += 1  # exactly one whitespace byte after maxval
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
+    if ch == 3:
+        return _downsample8(_luma(raster.reshape(h, w, 3)))
+    return _downsample8(raster.reshape(h, w))
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray | None":
+    """Uncompressed (BI_RGB) 24/32-bit BMP: bottom-up or top-down,
+    4-byte-padded rows, BGR(A) channel order."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    off = int(np.frombuffer(payload, np.uint32, 1, 10)[0])
+    w = int(np.frombuffer(payload, np.int32, 1, 18)[0])
+    h = int(np.frombuffer(payload, np.int32, 1, 22)[0])
+    bpp = int(np.frombuffer(payload, np.uint16, 1, 28)[0])
+    comp = int(np.frombuffer(payload, np.uint32, 1, 30)[0])
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None  # RLE/paletted: leave to PIL
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    raster = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    rows = raster.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows[..., :3]
+    return _downsample8(_luma(bgr[..., ::-1]))
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an (8, 8) uint8 thumbnail. With
-    ``fake=True`` a deterministic byte-tile stand-in runs (the sandbox
-    path — also the right choice for non-image payloads like the pages
-    html column); otherwise PIL decodes for real when installed, and
-    the call raises if no decoder exists."""
+    ``fake=True`` a deterministic byte-tile stand-in runs (the right
+    choice for non-image payloads like the pages html column).
+    Otherwise: native NumPy decode for PPM/PGM/BMP (works in this
+    sandbox — no image library needed), PIL for every other format
+    when installed, else NotImplementedError."""
     if fake:
         # deterministic fake: tile the byte stream into an 8×8 "thumbnail"
         b = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
         return b.reshape(8, 8)
+    native = _decode_pnm(payload)
+    if native is None:
+        native = _decode_bmp(payload)
+    if native is not None:
+        return native
     if _HAVE_PIL:
         return _pil_decode(payload)
-    raise NotImplementedError("image decode requires PIL (pip install pillow); use fake=True in the sandbox")
+    raise NotImplementedError(
+        "payload is not PPM/PGM/BMP and PIL is not installed; use fake=True for non-image payloads"
+    )
 
 
 class MediaFeatures:
@@ -104,10 +209,13 @@ class MediaFeatures:
         )
 
 
-def media_features(ds, batch_size: int = 256, concurrency=2):
-    """Wire a binary-payload Dataset through the feature stage."""
+def media_features(ds, batch_size: int = 256, concurrency=2, fake_decode: bool = True):
+    """Wire a binary-payload Dataset through the feature stage.
+    ``fake_decode=False`` decodes real pixels (native PPM/PGM/BMP or
+    PIL)."""
     return ds.map_batches(
         MediaFeatures,
+        fn_constructor_args=(fake_decode,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -150,7 +258,7 @@ class ImagePhash:
         )
 
 
-def media_phash_near_dups(ds, max_hamming: int = 4, batch_size: int = 256):
+def media_phash_near_dups(ds, max_hamming: int = 4, batch_size: int = 256, fake_decode: bool = True):
     """Near-duplicate image pairs by dHash hamming ≤ ``max_hamming``:
     fingerprint in an actor pool (binary never leaves its batch), then
     the generic pigeonhole segment shuffle over int-only rows
@@ -160,6 +268,7 @@ def media_phash_near_dups(ds, max_hamming: int = 4, batch_size: int = 256):
 
     fps = ds.map_batches(
         ImagePhash,
+        fn_constructor_args=(fake_decode,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

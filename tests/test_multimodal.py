@@ -97,6 +97,108 @@ def test_dhash56_and_phash_near_dups(ray_session):
     assert not any(a > 2 or b > 2 for a, b in lookup if (a, b) not in [(0, 1), (0, 2), (1, 2)])
 
 
+# ---------------------------------------------- native NumPy decoders
+
+
+def _ppm(w, h, rgb_fn) -> bytes:
+    """Binary P6 with a comment line, pixels from rgb_fn(x, y)."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.extend(rgb_fn(x, y))
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _pgm(w, h, g_fn) -> bytes:
+    px = bytes(g_fn(x, y) for y in range(h) for x in range(w))
+    return b"P5 %d %d 255\n" % (w, h) + px
+
+
+def _bmp24(w, h, rgb_fn, top_down=False) -> bytes:
+    """Uncompressed 24-bit BMP, bottom-up unless top_down."""
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            row.extend((b, g, r))  # BGR on disk
+        row.extend(b"\0" * (stride - len(row)))
+        rows.append(bytes(row))
+    raster = b"".join(rows)
+    import struct
+
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return header + dib + raster
+
+
+def test_native_decode_solid_and_luma():
+    """PPM/PGM/BMP payloads decode to real pixels in-sandbox: solid
+    colors land on their ITU-R 601 luma everywhere."""
+    red = decode_image(_ppm(16, 12, lambda x, y: (255, 0, 0)))
+    assert red.shape == (8, 8) and (red == 76).all()  # 255*299//1000
+    gray = decode_image(_pgm(5, 9, lambda x, y: 133))
+    assert (gray == 133).all()
+    green = decode_image(_bmp24(10, 10, lambda x, y: (0, 255, 0)))
+    assert (green == 149).all()  # 255*587//1000
+
+
+def test_native_decode_orientation_and_downsample():
+    """Top half white / bottom black must decode with the bright rows
+    on top for BOTH bottom-up and top-down BMPs (and PPM), proving the
+    row-order handling; box-filter pooling averages odd sizes."""
+
+    def half(x, y):  # y counts from the top of the image
+        return (255, 255, 255) if y < 6 else (0, 0, 0)
+
+    for payload in (
+        _ppm(12, 12, half),
+        _bmp24(12, 12, half, top_down=False),
+        _bmp24(12, 12, half, top_down=True),
+    ):
+        t = decode_image(payload)
+        assert (t[:3] == 255).all() and (t[-3:] == 0).all()
+    # box pooling: 16×16 with one white pixel averages its 2×2 cell
+    t = decode_image(_pgm(16, 16, lambda x, y: 255 if (x, y) == (0, 0) else 0))
+    assert t[0, 0] == 63  # 255 / 4, floor
+    assert t[1:, 1:].max() == 0
+
+
+def test_native_decode_phash_e2e(ray_session):
+    """End-to-end real-decode path: identical PPMs pair at hamming 0,
+    a shifted gradient pairs near, solid noise images stay unpaired."""
+    from rayrl.multimodal import media_phash_near_dups
+
+    def grad(x, y):
+        v = min(255, 16 * x)
+        return (v, v, v)
+
+    def grad2(x, y):
+        v = min(255, 16 * x + 8)
+        return (v, v, v)
+
+    payloads = [_ppm(16, 16, grad), _ppm(16, 16, grad), _ppm(16, 16, grad2)] + [
+        _ppm(16, 16, lambda x, y, i=i: ((x * 37 + y * 91 + i * 53) % 256,) * 3)
+        for i in range(20)
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    pairs = media_phash_near_dups(
+        ray.data.from_arrow(tbl), max_hamming=4, fake_decode=False
+    ).to_pandas()
+    lookup = {(a, b): d for a, b, d in pairs.itertuples(index=False)}
+    assert lookup.get((0, 1)) == 0
+    assert (0, 2) in lookup  # same monotone gradient rows → tiny hamming
+
+
 def test_decode_image_pil_dispatch(monkeypatch):
     """decode_image routes to the real decoder when PIL is present
     (dispatch verified with a monkeypatched decoder — PIL itself is
