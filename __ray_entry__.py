@@ -195,6 +195,23 @@ def er_model_zoo(sf_dir: str):
     return model_zoo_report(_feature_vectors(sf_dir), fast=True)
 
 
+def er_learning_curve(sf_dir: str):
+    """Train-size sweep vs a fixed test set — the reference's
+    benchmarking grid (standard_n.R:58-99/:92, Rmd:215-292): one
+    metrics row per (model, train_n) over the labeled vectors. Nested
+    hash-prefix train sets isolate size from resampling noise.
+    Rows-only (model training — non-SQL); gates in tests/test_models."""
+    from rayrl.linkage.models import learning_curve
+
+    return learning_curve(
+        _feature_vectors(sf_dir),
+        model_names=("logistic", "rf"),
+        train_sizes=(250, 1000),
+        test_n=400,
+        fast=True,
+    )
+
+
 def er_sample_strat(sf_dir: str):
     """Stratified train sample over the labeled feature vectors
     (sample_strat, paper_flow_dob_latest.Rmd:161-172): 1:4
@@ -449,6 +466,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "er_feature_vectors": er_feature_vectors,
             "er_predict_links": er_predict_links,
             "er_model_zoo": er_model_zoo,
+            "er_learning_curve": er_learning_curve,
             "er_sample_strat": er_sample_strat,
             "er_best_links_agg": er_best_links_agg,
             "er_hamming_fields": er_hamming_fields,

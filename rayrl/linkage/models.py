@@ -724,17 +724,8 @@ def predict_links_model(vectors_ds, model: str, params: "dict | None" = None, **
     return predict_links_raw(vectors_ds, scorer_cls, (ref,))
 
 
-def model_zoo_report(vectors_ds, fast: bool = False) -> pd.DataFrame:
-    """Train all three caret-parity models + the logistic baseline on
-    the labeled vectors and score them — one row per model with the
-    reference's headline metrics (confusionMatrix / AUC,
-    standard_n.R:155-159). ``fast`` shrinks the rf/svm grids for
-    benchmark loops."""
-    from .predict import fit_logistic, predict_links_logistic
-    from .resolve import auc_score
-
-    vectors_ds = vectors_ds.materialize()
-    kw: dict[str, dict] = {"rf": {}, "svm": {}, "nn": {}}
+def _fast_kwargs(fast: bool) -> dict[str, dict]:
+    kw: dict[str, dict] = {"logistic": {}, "rf": {}, "svm": {}, "nn": {}}
     if fast:
         kw["rf"] = {"ntree": 96, "mtry": 5}
         # sigma: the reference grid's low end — kernlab's sigest-style
@@ -742,26 +733,87 @@ def model_zoo_report(vectors_ds, fast: bool = False) -> pd.DataFrame:
         # there; the full default grid CV-selects 0.03546 on its own)
         kw["svm"] = {"sigma_grid": (0.03546,), "c_grid": (1.0,), "cv_folds": 3}
         kw["nn"] = {"epochs": 150}
+    return kw
+
+
+def _score_metrics(pred_ds) -> dict:
+    from .resolve import auc_score
+
+    df = pred_ds.select_columns(["match", "match_prob", "match_pred"]).to_pandas()
+    truth = (df["match"] == "match").to_numpy()
+    pred = df["match_pred"].to_numpy().astype(bool)
+    tp = int((pred & truth).sum())
+    fp = int((pred & ~truth).sum())
+    fn = int((~pred & truth).sum())
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return {
+        "n_pairs": len(df),
+        "accuracy": round(float((pred == truth).mean()), 6),
+        "auc": round(auc_score(truth, df["match_prob"].to_numpy()), 6),
+        "f1": round(2 * prec * rec / max(prec + rec, 1e-12), 6),
+    }
+
+
+def learning_curve(
+    vectors_ds,
+    model_names: tuple = ("logistic", "rf", "svm", "nn"),
+    train_sizes: tuple = (250, 500, 1000),
+    test_n: int = 500,
+    fast: bool = True,
+    seed: int = 133,
+) -> pd.DataFrame:
+    """Train-size sweep against a FIXED test set — the reference's
+    benchmarking grid (standard_n.R:58-99: seed-133 fixed test split,
+    train truncated to each size; :92 sweeps 1,000–25,000 step 3,000;
+    Rmd:215-292 reports the metric grid per model × size).
+
+    The split rides ``sampling.train_test_split``'s hash-rank
+    machinery, so (a) every size's train set is a PREFIX of the next
+    (smallest hashes first — the sweep isolates size, not resampling
+    noise) and (b) the sweep is deterministic at any parallelism.
+    One row per (model, train_n): accuracy / auc / f1 on the shared
+    held-out test set."""
+    from .predict import LinearScorer, fit_logistic
+    from .sampling import train_test_split
+
+    vectors_ds = vectors_ds.materialize()
+    kw = _fast_kwargs(fast)
+    fits: dict[str, tuple] = {
+        "logistic": (fit_logistic, LinearScorer),
+        **_SCORERS,
+    }
     rows = []
+    for train_n in train_sizes:
+        split = train_test_split(vectors_ds, test_n=test_n, train_n=train_n, seed=seed)
+        train = split["train"].materialize()
+        test = split["test"].materialize()
+        n_train = train.count()
+        for name in model_names:
+            fit, scorer_cls = fits[name]
+            params = fit(train, **kw[name])
+            ref = ray.put(params)
+            m = _score_metrics(predict_links_raw(test, scorer_cls, (ref,)))
+            rows.append({"model": name, "train_n": n_train, **m})
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["model", "train_n"])
+        .reset_index(drop=True)
+    )
+
+
+def model_zoo_report(vectors_ds, fast: bool = False) -> pd.DataFrame:
+    """Train all three caret-parity models + the logistic baseline on
+    the labeled vectors and score them — one row per model with the
+    reference's headline metrics (confusionMatrix / AUC,
+    standard_n.R:155-159). ``fast`` shrinks the rf/svm grids for
+    benchmark loops."""
+    from .predict import predict_links_logistic
+
+    vectors_ds = vectors_ds.materialize()
+    kw = _fast_kwargs(fast)
     preds = {"logistic": predict_links_logistic(vectors_ds)}
     for name in ("rf", "svm", "nn"):
         preds[name] = predict_links_model(vectors_ds, name, **kw[name])
-    for name, ds in preds.items():
-        df = ds.select_columns(["match", "match_prob", "match_pred"]).to_pandas()
-        truth = (df["match"] == "match").to_numpy()
-        pred = df["match_pred"].to_numpy().astype(bool)
-        tp = int((pred & truth).sum())
-        fp = int((pred & ~truth).sum())
-        fn = int((~pred & truth).sum())
-        prec = tp / max(tp + fp, 1)
-        rec = tp / max(tp + fn, 1)
-        rows.append(
-            {
-                "model": name,
-                "n_pairs": len(df),
-                "accuracy": round(float((pred == truth).mean()), 6),
-                "auc": round(auc_score(truth, df["match_prob"].to_numpy()), 6),
-                "f1": round(2 * prec * rec / max(prec + rec, 1e-12), 6),
-            }
-        )
+    rows = [{"model": name, **_score_metrics(ds)} for name, ds in preds.items()]
     return pd.DataFrame(rows).sort_values("model").reset_index(drop=True)

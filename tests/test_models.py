@@ -109,6 +109,30 @@ def test_median_impute_handles_nan_batches(vectors):
         assert ((prob >= 0) & (prob <= 1)).all()
 
 
+def test_learning_curve_fixed_test_and_nested_prefix(vectors):
+    """standard_n.R sweep parity: one row per (model, train_n), shared
+    fixed test set, train sets nested by hash-prefix construction."""
+    from rayrl.linkage.models import learning_curve
+    from rayrl.linkage.sampling import train_test_split
+
+    rep = learning_curve(
+        vectors, model_names=("logistic", "rf"), train_sizes=(200, 600),
+        test_n=300, fast=True,
+    )
+    assert len(rep) == 4  # 2 models × 2 sizes
+    assert set(rep["model"]) == {"logistic", "rf"}
+    assert sorted(rep["train_n"].unique()) == [200, 600]
+    assert (rep["n_pairs"] == rep["n_pairs"].iloc[0]).all()  # fixed test
+    assert (rep["accuracy"] >= 0.9).all(), rep.to_dict()
+    # nested prefixes: the 200-row train set ⊂ the 800-row train set
+    key = ["node_a", "node_b"]
+    small = train_test_split(vectors, test_n=300, train_n=200)["train"].to_pandas()
+    big = train_test_split(vectors, test_n=300, train_n=600)["train"].to_pandas()
+    s = set(map(tuple, small[key].to_numpy()))
+    b = set(map(tuple, big[key].to_numpy()))
+    assert s <= b and len(s) == 200 and len(b) == 600
+
+
 def test_histogram_cart_learns_nonlinear_split():
     """Unit-level: the forest separates an interaction (XOR) no linear
     model can — proof the tree growth is real, not a thresholded
