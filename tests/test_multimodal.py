@@ -199,6 +199,48 @@ def test_native_decode_phash_e2e(ray_session):
     assert (0, 2) in lookup  # same monotone gradient rows → tiny hamming
 
 
+def test_native_decode_matches_slow_mirror():
+    """Property: for arbitrary sizes and pixel grids, the vectorized
+    PPM decode equals a naive per-cell Python mirror (luma + box
+    mean)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+        got = decode_image(payload)
+        # slow mirror: integer luma then mean over each cell's bucket,
+        # including the <8 integer upsampling the fast path applies
+        lum = (
+            px[..., 0].astype(np.uint32) * 299
+            + px[..., 1].astype(np.uint32) * 587
+            + px[..., 2].astype(np.uint32) * 114
+        ) // 1000
+        if h < 8:
+            lum = np.repeat(lum, -(-8 // h), axis=0)
+        if w < 8:
+            lum = np.repeat(lum, -(-8 // w), axis=1)
+        hh, ww = lum.shape
+        want = np.zeros((8, 8), np.uint8)
+        for r in range(8):
+            for c in range(8):
+                cell = lum[
+                    (r * hh) // 8 : ((r + 1) * hh) // 8,
+                    (c * ww) // 8 : ((c + 1) * ww) // 8,
+                ]
+                want[r, c] = min(255, int(cell.mean()))
+        np.testing.assert_array_equal(got, want)
+
+    check()
+
+
 def test_decode_image_pil_dispatch(monkeypatch):
     """decode_image routes to the real decoder when PIL is present
     (dispatch verified with a monkeypatched decoder — PIL itself is
