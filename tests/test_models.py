@@ -133,7 +133,26 @@ def test_learning_curve_fixed_test_and_nested_prefix(vectors):
     assert s <= b and len(s) == 200 and len(b) == 600
 
 
-def test_histogram_cart_learns_nonlinear_split():
+def test_fits_survive_single_class_training(ray_session):
+    """Degenerate labeled set (zero matches — e.g. a pathological
+    blocking run): every trainer must fit without error and emit
+    finite probabilities ≤ 0.5-ish (no crash, no NaN)."""
+    import ray
+
+    n = 300
+    ids = np.arange(n)
+    df = pd.DataFrame({"node_a": ids, "node_b": ids + 10_000, "match": "unmatch"})
+    for j, c in enumerate(METRIC_COLUMNS):
+        df[c] = rng.uniform(ids, 9, rng.tag_for(c)) - 0.5
+    ds = ray.data.from_pandas(df)
+    for name, kw in (
+        ("rf", {"ntree": 16, "mtry": 5}),
+        ("svm", {"sigma_grid": (0.05,), "c_grid": (1.0,), "cv_folds": 2}),
+        ("nn", {"epochs": 20}),
+    ):
+        got = predict_links_model(ds, name, **kw).to_pandas()
+        assert np.isfinite(got["match_prob"]).all(), name
+        assert (got["match_pred"] == 0).all(), name
     """Unit-level: the forest separates an interaction (XOR) no linear
     model can — proof the tree growth is real, not a thresholded
     linear rule."""
