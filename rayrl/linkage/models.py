@@ -147,6 +147,9 @@ def _grow_tree(
     left = [-1]
     right = [-1]
     value = [float(y[rows].mean()) if len(rows) else 0.0]
+    importance = np.zeros(p)  # Σ gini decrease per split feature
+    #   (randomForest's MeanDecreaseGini — the reference trains with
+    #   importance=TRUE, standard_n.R:148)
     node_of = np.zeros(len(rows), dtype=np.int64)  # per bootstrap row
     active = np.array([0], dtype=np.int64)
     r_codes = codes[rows]
@@ -218,6 +221,7 @@ def _grow_tree(
             thr[nid] = int(bb[s])
             split_feat[s] = f
             split_bin[s] = int(bb[s])
+            importance[f] += float(parent_cost[s] - best_cost[s])
             for child in (len(feat), len(feat) + 1):
                 new_active.append(child)
             left[nid] = len(feat)
@@ -250,6 +254,7 @@ def _grow_tree(
         "left": np.asarray(left, dtype=np.int64),
         "right": np.asarray(right, dtype=np.int64),
         "value": np.asarray(value, dtype=np.float64),
+        "importance": importance,
     }
 
 
@@ -379,7 +384,12 @@ def fit_random_forest(
                 best_acc, mtry = acc, m
     trees, _ = build(ntree, mtry, "rf.final")
     flat = _flatten_forest(trees)
+    # MeanDecreaseGini, normalized to sum 1 (caret rf importance=TRUE)
+    imp = np.sum([t["importance"] for t in trees], axis=0)
+    if imp.sum() > 0:
+        imp = imp / imp.sum()
     return {
+        "importance": {c: round(float(v), 6) for c, v in zip(cols, imp)},
         "cols": cols,
         "medians": med,
         "edges": edges,

@@ -69,6 +69,12 @@ def test_rf_oob_mtry_tuning_selects_from_grid(vectors):
     assert params["mtry"] in (3, 9)
     assert [m for m, _ in params["tune"]] == [3, 9]
     assert all(0.0 <= a <= 1.0 for _, a in params["tune"])
+    # MeanDecreaseGini (caret importance=TRUE): normalized, and the
+    # name-edit metrics — the strongest linkage signal — rank high
+    imp = params["importance"]
+    assert abs(sum(imp.values()) - 1.0) < 1e-6
+    top8 = sorted(imp, key=imp.get, reverse=True)[:8]
+    assert {"metric_fname_dl", "metric_lname_dl", "metric_fname_jw", "metric_lname_jw"} & set(top8)
 
 
 def test_svm_cv_grid_and_platt_probability(vectors):
@@ -153,6 +159,9 @@ def test_fits_survive_single_class_training(ray_session):
         got = predict_links_model(ds, name, **kw).to_pandas()
         assert np.isfinite(got["match_prob"]).all(), name
         assert (got["match_pred"] == 0).all(), name
+
+
+def test_histogram_cart_learns_nonlinear_split():
     """Unit-level: the forest separates an interaction (XOR) no linear
     model can — proof the tree growth is real, not a thresholded
     linear rule."""
