@@ -1,0 +1,48 @@
+"""Extension-dispatched source reads — ``read_data`` parity.
+
+The reference's ``read_data`` (benchmarking/utils.R:331-343) sniffs the
+file extension and routes to read_csv / read_rds. Here the same
+dispatch routes to the matching ``ray.data`` reader so every pipeline
+in this engine can start from CSV/TSV/JSONL drops as well as Parquet:
+
+- ``.parquet`` (or a directory of them) → ``read_parquet`` with
+  ``columns=`` pushed into the read (row-group/column pruning — the
+  100 TB rule: never lift columns a 2-column transform won't touch);
+- ``.csv`` / ``.tsv`` → ``read_csv`` (Arrow CSV reader; tab delimiter
+  inferred from the extension), column pruning applied as a
+  ``select_columns`` immediately after the scan (Arrow's CSV reader
+  still parses whole rows — convert hot feeds to Parquet for real
+  pruning; the dispatch keeps ingest working either way);
+- ``.json`` / ``.jsonl`` → ``read_json`` (newline-delimited), same
+  post-scan pruning.
+
+The RDS branch has no Ray/Arrow equivalent (R's serialization format);
+this engine's checkpoint reader (``rayrl.checkpoint`` — Parquet +
+manifest) is the counterpart, matching SURVEY §2.1's mapping.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+
+def read_any(path: str, columns: "list[str] | None" = None, **kw):
+    """Read ``path`` into a Dataset by extension dispatch. ``columns``
+    prunes at the scan for Parquet and right after it otherwise;
+    unknown extensions raise rather than guess."""
+    low = path.lower()
+    if os.path.isdir(path) or low.endswith(".parquet"):
+        return ray.data.read_parquet(path, columns=columns, **kw)
+    if low.endswith((".csv", ".tsv", ".csv.gz", ".tsv.gz")):
+        if ".tsv" in low:
+            from pyarrow import csv as pacsv
+
+            kw.setdefault("parse_options", pacsv.ParseOptions(delimiter="\t"))
+        ds = ray.data.read_csv(path, **kw)
+    elif low.endswith((".json", ".jsonl", ".json.gz", ".jsonl.gz")):
+        ds = ray.data.read_json(path, **kw)
+    else:
+        raise ValueError(f"read_any: no reader for {path!r} (parquet/csv/tsv/json[l])")
+    return ds.select_columns(columns) if columns else ds
