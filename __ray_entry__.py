@@ -185,7 +185,8 @@ def er_predict_links(sf_dir: str):
 
 def er_model_zoo(sf_dir: str):
     """Caret-model-parity zoo (standard_n.R:141-184, utils.R:916-995):
-    deterministic rf / RFF-svm / mlp + the logistic baseline trained on
+    deterministic rf / RFF-svm (radial + linear) / mlp + the logistic
+    baseline trained on
     the labeled vectors, each scored distributed — one metrics row per
     model (accuracy / auc / f1, the reference's confusionMatrix gate).
     Non-SQL semantics (model training), rows-only by design; the

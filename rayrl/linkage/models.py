@@ -472,6 +472,7 @@ def fit_svm_rff(
     c_grid: tuple = (0.1, 0.5, 1.0, 10.0),
     cv_folds: int = 5,
     iters: int = 300,
+    kernel: str = "rbf",
     driver_max: int = TRAIN_DRIVER_MAX,
     seed: int = 37,
 ) -> dict:
@@ -485,7 +486,11 @@ def fit_svm_rff(
     feature map is reproducible anywhere. Model selection is
     deterministic k-fold CV with folds assigned by pair-key hash
     (order-independent); the winning (σ, C) trains on all rows and is
-    Platt-calibrated to a probability."""
+    Platt-calibrated to a probability.
+
+    ``kernel='linear'`` skips the Fourier map and trains the hinge on
+    the standardized features directly — caret ``svmLinear`` parity
+    (paper_flow_uniform_sample.Rmd:272-284, default C grid)."""
     cols = list(cols or METRIC_COLUMNS)
     df = collect_training_frame(vectors_ds, cols, label, driver_max, seed)
     X = raw_matrix(df, cols)
@@ -511,11 +516,19 @@ def fit_svm_rff(
         )
         return W, b
 
+    if kernel == "linear":
+        sigma_grid = (None,)  # one grid axis: C only
+
+    def feature_map(sigma):
+        if sigma is None:
+            return None, None, Xs
+        W, b_r = rff_params(sigma)
+        return W, b_r, _rff_map(Xs, W, b_r)
+
     cv: list[tuple[float, float, float]] = []
     best = (-1.0, sigma_grid[0], c_grid[0])
     for sigma in sigma_grid:
-        W, b_r = rff_params(sigma)
-        Z = _rff_map(Xs, W, b_r)
+        W, b_r, Z = feature_map(sigma)
         for C in c_grid:
             accs = []
             for k in range(cv_folds):
@@ -530,11 +543,11 @@ def fit_svm_rff(
             if acc > best[0] + 1e-12:  # ties keep grid order, like caret
                 best = (acc, sigma, C)
     _, sigma, C = best
-    W, b_r = rff_params(sigma)
-    Z = _rff_map(Xs, W, b_r)
+    W, b_r, Z = feature_map(sigma)
     w, b = _fit_sq_hinge(Z, y_pm, C, iters)
     a_pl, b_pl = _platt(Z @ w + b, y)
     return {
+        "kernel": kernel,
         "cols": cols,
         "medians": med,
         "mean": mean,
@@ -563,7 +576,8 @@ class RFFSVMScorer:
     def match_prob(self, batch: pd.DataFrame) -> np.ndarray:
         p = self.p
         X = _median_impute(raw_matrix(batch, p["cols"]), p["medians"])
-        Z = _rff_map((X - p["mean"]) / p["std"], p["W"], p["b_rff"])
+        Xs = (X - p["mean"]) / p["std"]
+        Z = _rff_map(Xs, p["W"], p["b_rff"]) if p["W"] is not None else Xs
         f = Z @ p["w"] + p["b"]
         return 1.0 / (1.0 + np.exp(-(p["platt_a"] * f + p["platt_b"])))
 
@@ -717,9 +731,17 @@ class MLPScorer:
 
 # ----------------------------------------------------- convenience API
 
+def fit_svm_linear(vectors_ds, **kw):
+    """caret ``svmLinear`` (paper_flow_uniform_sample.Rmd:272-284):
+    the hinge fit on standardized features, default C, no sigma axis."""
+    kw.setdefault("c_grid", (1.0,))
+    return fit_svm_rff(vectors_ds, kernel="linear", **kw)
+
+
 _SCORERS = {
     "rf": (fit_random_forest, ForestScorer),
     "svm": (fit_svm_rff, RFFSVMScorer),
+    "svm_linear": (fit_svm_linear, RFFSVMScorer),
     "nn": (fit_mlp, MLPScorer),
 }
 
@@ -738,13 +760,14 @@ def predict_links_model(vectors_ds, model: str, params: "dict | None" = None, **
 
 
 def _fast_kwargs(fast: bool) -> dict[str, dict]:
-    kw: dict[str, dict] = {"logistic": {}, "rf": {}, "svm": {}, "nn": {}}
+    kw: dict[str, dict] = {"logistic": {}, "rf": {}, "svm": {}, "svm_linear": {}, "nn": {}}
     if fast:
         kw["rf"] = {"ntree": 96, "mtry": 5}
         # sigma: the reference grid's low end — kernlab's sigest-style
         # scale for ~23 standardized dims (0.47/0.9 collapse the kernel
         # there; the full default grid CV-selects 0.03546 on its own)
         kw["svm"] = {"sigma_grid": (0.03546,), "c_grid": (1.0,), "cv_folds": 3}
+        kw["svm_linear"] = {"cv_folds": 3}
         kw["nn"] = {"epochs": 150}
     return kw
 
@@ -826,7 +849,7 @@ def model_zoo_report(vectors_ds, fast: bool = False) -> pd.DataFrame:
     vectors_ds = vectors_ds.materialize()
     kw = _fast_kwargs(fast)
     preds = {"logistic": predict_links_logistic(vectors_ds)}
-    for name in ("rf", "svm", "nn"):
+    for name in ("rf", "svm", "svm_linear", "nn"):
         preds[name] = predict_links_model(vectors_ds, name, **kw[name])
     rows = [{"model": name, **_score_metrics(ds)} for name, ds in preds.items()]
     return pd.DataFrame(rows).sort_values("model").reset_index(drop=True)

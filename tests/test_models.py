@@ -39,7 +39,7 @@ def test_model_zoo_accuracy_gates(vectors):
     """All four models (logistic baseline + rf/svm/nn) separate the
     labeled vectors — the reference's confusionMatrix gate."""
     rep = model_zoo_report(vectors, fast=True)
-    assert set(rep["model"]) == {"logistic", "rf", "svm", "nn"}
+    assert set(rep["model"]) == {"logistic", "rf", "svm", "svm_linear", "nn"}
     by = rep.set_index("model")
     assert (by["accuracy"] >= 0.97).all(), by.to_dict()
     assert (by["auc"] >= 0.99).all(), by.to_dict()
