@@ -43,6 +43,12 @@ def read_any(path: str, columns: "list[str] | None" = None, **kw):
         ds = ray.data.read_csv(path, **kw)
     elif low.endswith((".json", ".jsonl", ".json.gz", ".jsonl.gz")):
         ds = ray.data.read_json(path, **kw)
+    elif low.endswith((".txt", ".txt.gz")):
+        # raw corpus drop: one row per line under the documents-table
+        # "text" column name so downstream text stages apply unchanged
+        ds = ray.data.read_text(path, **kw)
     else:
-        raise ValueError(f"read_any: no reader for {path!r} (parquet/csv/tsv/json[l])")
+        raise ValueError(
+            f"read_any: no reader for {path!r} (parquet/csv/tsv/json[l]/txt)"
+        )
     return ds.select_columns(columns) if columns else ds

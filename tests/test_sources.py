@@ -53,6 +53,17 @@ def test_read_any_column_pruning(ray_session, drops):
         assert df["n"].sum() == 60
 
 
+def test_read_any_txt_lines_as_text_column(ray_session, drops):
+    p = os.path.join(drops, "corpus.txt")
+    with open(p, "w") as f:
+        f.write("alpha line\nbeta line\ngamma line\n")
+    from rayrl.sources import read_any
+
+    df = read_any(p).to_pandas()
+    assert list(df.columns) == ["text"]
+    assert sorted(df["text"]) == ["alpha line", "beta line", "gamma line"]
+
+
 def test_read_any_unknown_extension_raises(drops):
     with pytest.raises(ValueError, match="no reader"):
         read_any(os.path.join(drops, "t.xlsx"))
