@@ -527,7 +527,10 @@ def fit_svm_rff(
 
     cv: list[tuple[float, float, float]] = []
     best = (-1.0, sigma_grid[0], c_grid[0])
-    for sigma in sigma_grid:
+    # a single (sigma, C) candidate needs no CV to be "selected" —
+    # skipping it saves cv_folds redundant full hinge fits
+    run_cv = len(sigma_grid) * len(c_grid) > 1
+    for sigma in (sigma_grid if run_cv else ()):
         W, b_r, Z = feature_map(sigma)
         for C in c_grid:
             accs = []
@@ -748,7 +751,7 @@ _SCORERS = {
 
 def predict_links_model(vectors_ds, model: str, params: "dict | None" = None, **fit_kw):
     """Fit (if needed) + broadcast + distributed predict for one of
-    {'rf', 'svm', 'nn'} — the caret-model counterpart of
+    {'rf', 'svm', 'svm_linear', 'nn'} — the caret-model counterpart of
     ``predict.predict_links_logistic`` and the same scale shape
     (bounded driver fit, broadcast actor-pool scoring)."""
     fit, scorer_cls = _SCORERS[model]
@@ -811,7 +814,7 @@ def learning_curve(
     One row per (model, train_n): accuracy / auc / f1 on the shared
     held-out test set."""
     from .predict import LinearScorer, fit_logistic
-    from .sampling import train_test_split
+    from .sampling import _split_by_cutoff, _stratum_cutoffs
 
     vectors_ds = vectors_ds.materialize()
     kw = _fast_kwargs(fast)
@@ -819,11 +822,28 @@ def learning_curve(
         "logistic": (fit_logistic, LinearScorer),
         **_SCORERS,
     }
+    # the fixed test split is size-independent: compute it ONCE and
+    # reuse the materialized (test, rest) for every train size — same
+    # tags/seeds as sampling.train_test_split, so results (and the
+    # nested-prefix property) are unchanged, minus len(train_sizes)−1
+    # redundant full-dataset scans
+    const = "_all"
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[const] = const
+        return batch
+
+    tagged = vectors_ds.map_batches(tag, batch_format="pandas")
+    test_cut = _stratum_cutoffs(tagged, {const: test_n}, const, seed)
+    test_ds, rest = _split_by_cutoff(tagged, test_cut, const, seed)
+    test = test_ds.drop_columns([const]).materialize()
+    rest = rest.materialize()
     rows = []
     for train_n in train_sizes:
-        split = train_test_split(vectors_ds, test_n=test_n, train_n=train_n, seed=seed)
-        train = split["train"].materialize()
-        test = split["test"].materialize()
+        train_cut = _stratum_cutoffs(rest, {const: train_n}, const, seed + 1)
+        train, _ = _split_by_cutoff(rest, train_cut, const, seed + 1)
+        train = train.drop_columns([const]).materialize()
         n_train = train.count()
         for name in model_names:
             fit, scorer_cls = fits[name]
@@ -839,11 +859,11 @@ def learning_curve(
 
 
 def model_zoo_report(vectors_ds, fast: bool = False) -> pd.DataFrame:
-    """Train all three caret-parity models + the logistic baseline on
-    the labeled vectors and score them — one row per model with the
-    reference's headline metrics (confusionMatrix / AUC,
-    standard_n.R:155-159). ``fast`` shrinks the rf/svm grids for
-    benchmark loops."""
+    """Train the caret-parity models (rf, svmRadial, svmLinear, nn) +
+    the logistic baseline on the labeled vectors and score them — one
+    row per model with the reference's headline metrics
+    (confusionMatrix / AUC, standard_n.R:155-159). ``fast`` shrinks
+    the rf/svm grids for benchmark loops."""
     from .predict import predict_links_logistic
 
     vectors_ds = vectors_ds.materialize()

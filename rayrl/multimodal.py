@@ -87,7 +87,11 @@ def _downsample8(gray: np.ndarray) -> np.ndarray:
 
 def _decode_pnm(payload: bytes) -> "np.ndarray | None":
     """Binary PPM (P6) / PGM (P5), maxval ≤ 255 — parsed with plain
-    token scanning (whitespace + '#' comments per the netpbm spec)."""
+    token scanning (whitespace + '#' comments per the netpbm spec).
+    Samples at maxval < 255 are rescaled to the 0–255 range (the
+    netpbm contract — a maxval-15 PGM is NOT near-black). Any
+    malformed header or truncated raster returns None so the caller's
+    PIL / error fallback engages instead of the stage dying."""
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         return None
@@ -109,12 +113,19 @@ def _decode_pnm(payload: bytes) -> "np.ndarray | None":
             i = j
     if len(tokens) < 3:
         return None
-    w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255 or w <= 0 or h <= 0:
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None  # non-numeric header token: not a real PNM
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
         return None  # 16-bit samples: leave to PIL
     i += 1  # exactly one whitespace byte after maxval
     ch = 3 if magic == b"P6" else 1
+    if i + w * h * ch > len(payload):
+        return None  # truncated raster
     raster = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
+    if maxval != 255:
+        raster = (raster.astype(np.uint32) * 255 // maxval).clip(0, 255).astype(np.uint8)
     if ch == 3:
         return _downsample8(_luma(raster.reshape(h, w, 3)))
     return _downsample8(raster.reshape(h, w))
@@ -125,6 +136,9 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
     4-byte-padded rows, BGR(A) channel order."""
     if payload[:2] != b"BM" or len(payload) < 54:
         return None
+    dib = int(np.frombuffer(payload, np.uint32, 1, 14)[0])
+    if dib < 40:
+        return None  # BITMAPCOREHEADER (int16 dims): leave to PIL
     off = int(np.frombuffer(payload, np.uint32, 1, 10)[0])
     w = int(np.frombuffer(payload, np.int32, 1, 18)[0])
     h = int(np.frombuffer(payload, np.int32, 1, 22)[0])
@@ -136,6 +150,8 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
     h = abs(h)
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
+    if off + stride * h > len(payload):
+        return None  # truncated raster
     raster = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
     rows = raster.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
     if not top_down:

@@ -36,7 +36,9 @@ def read_any(path: str, columns: "list[str] | None" = None, **kw):
     if os.path.isdir(path) or low.endswith(".parquet"):
         return ray.data.read_parquet(path, columns=columns, **kw)
     if low.endswith((".csv", ".tsv", ".csv.gz", ".tsv.gz")):
-        if ".tsv" in low:
+        # suffix of the BASENAME — a '.tsv' in a directory component
+        # must not flip a .csv file to tab parsing
+        if os.path.basename(low).endswith((".tsv", ".tsv.gz")):
             from pyarrow import csv as pacsv
 
             kw.setdefault("parse_options", pacsv.ParseOptions(delimiter="\t"))

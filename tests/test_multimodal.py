@@ -199,6 +199,40 @@ def test_native_decode_phash_e2e(ray_session):
     assert (0, 2) in lookup  # same monotone gradient rows → tiny hamming
 
 
+def test_native_decode_rejects_malformed_payloads():
+    """Malformed near-miss payloads must fall through to the PIL/error
+    path (return-None contract), never crash the decode stage, and
+    low-maxval PNMs rescale to full range instead of decoding near-
+    black."""
+    from rayrl import multimodal as mm
+
+    # P6 magic but non-numeric header token → not ours
+    assert mm._decode_pnm(b"P6 panel report about pixels") is None
+    # truncated raster (header promises 16x16 RGB, body is 10 bytes)
+    assert mm._decode_pnm(b"P6\n16 16\n255\n" + b"\0" * 10) is None
+    # maxval 15 PGM: value 15 == white, not near-black
+    t = decode_image(_pgm_maxval(6, 6, 15, lambda x, y: 15))
+    assert (t == 255).all()
+    # BITMAPCOREHEADER (12-byte DIB) → leave to PIL
+    import struct
+
+    core = struct.pack("<2sIHHI", b"BM", 26 + 12, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 4, 4, 1, 24
+    )
+    assert mm._decode_bmp(core + b"\0" * 64) is None
+    # truncated BMP raster
+    good = _bmp24(8, 8, lambda x, y: (1, 2, 3))
+    assert mm._decode_bmp(good[: 54 + 10]) is None
+    # all of the above raise cleanly through decode_image (no PIL here)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P6 panel report about pixels")
+
+
+def _pgm_maxval(w, h, maxval, g_fn) -> bytes:
+    px = bytes(g_fn(x, y) for y in range(h) for x in range(w))
+    return b"P5 %d %d %d\n" % (w, h, maxval) + px
+
+
 def test_native_decode_matches_slow_mirror():
     """Property: for arbitrary sizes and pixel grids, the vectorized
     PPM decode equals a naive per-cell Python mirror (luma + box

@@ -64,6 +64,20 @@ def test_read_any_txt_lines_as_text_column(ray_session, drops):
     assert sorted(df["text"]) == ["alpha line", "beta line", "gamma line"]
 
 
+def test_read_any_csv_in_tsv_named_directory(ray_session, drops):
+    """A '.tsv' directory component must not flip a .csv file to tab
+    parsing (basename-suffix detection)."""
+    d = os.path.join(drops, "legacy.tsv")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "u.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,2\n")
+    from rayrl.sources import read_any
+
+    df = read_any(p).to_pandas()
+    assert sorted(df.columns) == ["a", "b"] and df["b"].iloc[0] == 2
+
+
 def test_read_any_unknown_extension_raises(drops):
     with pytest.raises(ValueError, match="no reader"):
         read_any(os.path.join(drops, "t.xlsx"))
