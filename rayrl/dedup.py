@@ -28,18 +28,22 @@ from .linkage.stringsim import jaccard, minhash_tags
 _BUCKET_CAP = 1000
 
 
-def _warn_oversized(op: str, n_skipped: int, largest: int, cap: int) -> None:
+def _warn_oversized(
+    op: str, n_skipped: int, largest: int, cap: int, unit: str = "members"
+) -> None:
     """Log a recall-cap event: ``n_skipped`` buckets exceeded ``cap``
-    members and were dropped from the pair scan. Observable by design —
-    a hot segment value (e.g. flat thumbnails dHashing to 0) must not
-    lose its pairs without a trace."""
+    (measured in ``unit`` — callers must pass largest and cap in the
+    SAME unit, members or pairs) and were dropped from the pair scan.
+    Observable by design — a hot segment value (e.g. flat thumbnails
+    dHashing to 0) must not lose its pairs without a trace."""
     if n_skipped:
         logging.getLogger(__name__).warning(
-            "%s: skipped %d oversize bucket(s) (largest %d members > cap %d)"
+            "%s: skipped %d oversize bucket(s) (largest %d %s > cap %d)"
             " — recall cap on degenerate buckets, their pairs are dropped",
             op,
             n_skipped,
             largest,
+            unit,
             cap,
         )
 

@@ -121,21 +121,11 @@ def er_invariant_check(sf_dir: str):
     n_dirty = dirty.count()
     n_ledger = ledger.count()
 
-    # --- text chain per record (excluding 'twin': it annotates the
-    # SOURCE record but rewrites a NEW row, checked separately below)
-    text_led = ledger.filter(expr="field == 'text' and error != 'twin'")
-    chain = bucketed_group_apply(
-        text_led.select_columns(["record_id", "seq", "before", "after"]),
-        ["record_id"],
-        _chain_per_record,
-        num_buckets=16,
-    ).materialize()
-    n_text_touched = chain.count()
-    n_chain_breaks = int(chain.sum("n_breaks") or 0)
-
-    # --- lang chain per record (null-safe: make_missing's after is
-    # NULL — sentinel-encode before the chain aggregation, mirroring
-    # the oracle's coalesce(x, chr(1)))
+    # --- null sentinel shared by every chain (DuckDB's arg_min/arg_max
+    # SKIP NULL args, and pandas counts NaN != str — a NULL before or
+    # after anywhere in a chain would silently corrupt the verdict on
+    # exactly one engine; see the duckdb-oracle gotcha in the module
+    # docstring)
     NULL_S = "\x01"
 
     def _sentinel(df: pd.DataFrame) -> pd.DataFrame:
@@ -148,6 +138,24 @@ def er_invariant_check(sf_dir: str):
             }
         )
 
+    # --- text chain per record (excluding 'twin': it annotates the
+    # SOURCE record but rewrites a NEW row, checked separately below);
+    # sentinel-encoded like lang/ts so a future text op with a NULL
+    # before/after cannot diverge engine vs oracle
+    text_led = ledger.filter(expr="field == 'text' and error != 'twin'").map_batches(
+        _sentinel, batch_format="pandas"
+    )
+    chain = bucketed_group_apply(
+        text_led.select_columns(["record_id", "seq", "before", "after"]),
+        ["record_id"],
+        _chain_per_record,
+        num_buckets=16,
+    ).materialize()
+    n_text_touched = chain.count()
+    n_chain_breaks = int(chain.sum("n_breaks") or 0)
+
+    # --- lang chain per record (null-safe: make_missing's after is
+    # NULL)
     lang_led = ledger.filter(expr="field == 'lang' and error != 'twin'").map_batches(
         _sentinel, batch_format="pandas"
     )
@@ -283,10 +291,10 @@ def er_invariant_check(sf_dir: str):
             {
                 "n_bad_untouched": [int((~touched_text & text_diff).sum())],
                 "n_bad_before": [
-                    int((touched_text & (df["first_before"] != df["c_text"])).sum())
+                    int((touched_text & (df["first_before"] != df["c_text"].fillna(NULL_S))).sum())
                 ],
                 "n_bad_after": [
-                    int((touched_text & (df["last_after"] != df["d_text"])).sum())
+                    int((touched_text & (df["last_after"] != df["d_text"].fillna(NULL_S))).sum())
                 ],
                 "n_bad_url": [int((df["d_url"] != df["c_url"]).sum())],
                 "n_bad_pristine": [
@@ -398,8 +406,10 @@ ER_INVARIANT_ORACLE = f"""
 WITH clean AS (SELECT * FROM read_parquet('{EXPORT_DIR}/clean/*.parquet')),
      dirty AS (SELECT * FROM read_parquet('{EXPORT_DIR}/dirty/*.parquet')),
      ledger AS (SELECT * FROM read_parquet('{EXPORT_DIR}/ledger/*.parquet')),
-     tl AS (SELECT record_id, seq, before, after FROM ledger
-            WHERE field = 'text' AND error <> 'twin'),
+     tl AS (SELECT record_id, seq,
+                   coalesce(before, chr(1)) AS before,
+                   coalesce(after, chr(1)) AS after
+            FROM ledger WHERE field = 'text' AND error <> 'twin'),
      chain AS (
        SELECT record_id,
               arg_min(before, seq) AS first_before,
@@ -500,10 +510,12 @@ SELECT CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_clean,
              WHERE first_before IS NULL AND d_text IS DISTINCT FROM c_text)
             AS BIGINT) AS n_bad_untouched,
        CAST((SELECT count(*) FROM orig
-             WHERE first_before IS NOT NULL AND first_before <> c_text)
+             WHERE first_before IS NOT NULL
+               AND first_before <> coalesce(c_text, chr(1)))
             AS BIGINT) AS n_bad_before,
        CAST((SELECT count(*) FROM orig
-             WHERE last_after IS NOT NULL AND last_after <> d_text)
+             WHERE last_after IS NOT NULL
+               AND last_after <> coalesce(d_text, chr(1)))
             AS BIGINT) AS n_bad_after,
        CAST((SELECT count(*) FROM orig WHERE d_url <> c_url) AS BIGINT)
          AS n_bad_url,

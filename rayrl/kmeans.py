@@ -289,7 +289,14 @@ def semantic_dedup_ds(
             out.append(
                 pd.DataFrame({"vec_id": ids, "cluster": int(cl), "rep": rep})
             )
-        _warn_oversized("semantic_dedup", n_skipped, largest, max_cluster_pairs or 0)
+        # cap is a PAIR budget — report the largest cluster in pairs too
+        _warn_oversized(
+            "semantic_dedup",
+            n_skipped,
+            largest * max(largest - 1, 0) // 2,
+            max_cluster_pairs or 0,
+            unit="pairs",
+        )
         return (
             pd.concat(out)
             if out

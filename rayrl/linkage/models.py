@@ -89,12 +89,12 @@ def _labels01(df: pd.DataFrame, label: str) -> np.ndarray:
 
 
 def _pair_key(df: pd.DataFrame) -> np.ndarray:
-    """Canonical int64 pair key for fold/split hashing (order-
-    independent: a pure function of the pair ids)."""
-    return (
-        df["node_a"].to_numpy().astype(np.int64) * 2654435761
-        + df["node_b"].to_numpy().astype(np.int64)
-    )
+    """Canonical int64 pair key for fold/split hashing — the single
+    shared definition in ``sampling.pair_key`` (order-independent: a
+    pure function of the pair ids)."""
+    from .sampling import pair_key
+
+    return pair_key(df)
 
 
 # --------------------------------------------------------------- forest
@@ -373,7 +373,9 @@ def fit_random_forest(
 
     tune: list[tuple[int, float]] = []
     if mtry is None:
-        grid = [m for m in (mtry_grid or (max(1, int(np.sqrt(p))),)) if m <= p]
+        grid = [m for m in (mtry_grid or ()) if m <= p]
+        if not grid:  # grid empty or entirely above p: sqrt(p) fallback
+            grid = [max(1, int(np.sqrt(p)))]
         best_acc = -1.0
         mtry = grid[0]
         for m in grid:
@@ -814,7 +816,7 @@ def learning_curve(
     One row per (model, train_n): accuracy / auc / f1 on the shared
     held-out test set."""
     from .predict import LinearScorer, fit_logistic
-    from .sampling import _split_by_cutoff, _stratum_cutoffs
+    from .sampling import fixed_test_splits
 
     vectors_ds = vectors_ds.materialize()
     kw = _fast_kwargs(fast)
@@ -822,28 +824,10 @@ def learning_curve(
         "logistic": (fit_logistic, LinearScorer),
         **_SCORERS,
     }
-    # the fixed test split is size-independent: compute it ONCE and
-    # reuse the materialized (test, rest) for every train size — same
-    # tags/seeds as sampling.train_test_split, so results (and the
-    # nested-prefix property) are unchanged, minus len(train_sizes)−1
-    # redundant full-dataset scans
-    const = "_all"
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch[const] = const
-        return batch
-
-    tagged = vectors_ds.map_batches(tag, batch_format="pandas")
-    test_cut = _stratum_cutoffs(tagged, {const: test_n}, const, seed)
-    test_ds, rest = _split_by_cutoff(tagged, test_cut, const, seed)
-    test = test_ds.drop_columns([const]).materialize()
-    rest = rest.materialize()
+    split = fixed_test_splits(vectors_ds, test_n, train_sizes, seed)
+    test = split["test"]
     rows = []
-    for train_n in train_sizes:
-        train_cut = _stratum_cutoffs(rest, {const: train_n}, const, seed + 1)
-        train, _ = _split_by_cutoff(rest, train_cut, const, seed + 1)
-        train = train.drop_columns([const]).materialize()
+    for train in split["trains"]:
         n_train = train.count()
         for name in model_names:
             fit, scorer_cls = fits[name]

@@ -31,12 +31,19 @@ from .. import rng
 _TAG = rng.tag_for("sampling.strat")
 
 
-def _row_hash(batch: pd.DataFrame, seed: int) -> np.ndarray:
-    return rng.hash_u64(
-        batch["node_a"].to_numpy() * 2654435761 + batch["node_b"].to_numpy(),
-        seed,
-        _TAG,
+def pair_key(batch: pd.DataFrame) -> np.ndarray:
+    """Canonical int64 key of a labeled pair row — THE formula every
+    order-independent pair mechanism keys on (sampling membership
+    here; fold/validation splits in ``models.py``). One definition so
+    the mechanisms cannot drift apart."""
+    return (
+        batch["node_a"].to_numpy().astype(np.int64) * 2654435761
+        + batch["node_b"].to_numpy().astype(np.int64)
     )
+
+
+def _row_hash(batch: pd.DataFrame, seed: int) -> np.ndarray:
+    return rng.hash_u64(pair_key(batch), seed, _TAG)
 
 
 def _stratum_cutoffs(ds, targets: dict[str, int], label: str, seed: int) -> dict[str, int]:
@@ -151,3 +158,39 @@ def train_test_split(
     train_cut = _stratum_cutoffs(rest, {const: train_n}, const, seed + 1)
     train, _ = _split_by_cutoff(rest, train_cut, const, seed + 1)
     return {"test": drop(test), "train": drop(train)}
+
+
+def fixed_test_splits(
+    vectors_ds,
+    test_n: int,
+    train_sizes: tuple,
+    seed: int = 133,
+):
+    """:func:`train_test_split` semantics for a SWEEP of train sizes:
+    the size-independent test split is computed and materialized once,
+    then one train set per size comes off the same materialized
+    remainder — same tags/seeds as per-size ``train_test_split`` calls
+    (so each train set is a hash prefix of the next; the equivalence
+    is asserted in test_learning_curve_fixed_test_and_nested_prefix),
+    minus ``len(train_sizes) − 1`` redundant full-dataset scans.
+
+    Returns ``{"test": materialized Dataset, "trains": [materialized
+    Dataset per size]}``."""
+    const = "_all"
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[const] = const
+        return batch
+
+    tagged = vectors_ds.map_batches(tag, batch_format="pandas")
+    test_cut = _stratum_cutoffs(tagged, {const: test_n}, const, seed)
+    test, rest = _split_by_cutoff(tagged, test_cut, const, seed)
+    test = test.drop_columns([const]).materialize()
+    rest = rest.materialize()
+    trains = []
+    for train_n in train_sizes:
+        cut = _stratum_cutoffs(rest, {const: train_n}, const, seed + 1)
+        train, _ = _split_by_cutoff(rest, cut, const, seed + 1)
+        trains.append(train.drop_columns([const]).materialize())
+    return {"test": test, "trains": trains}

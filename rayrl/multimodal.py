@@ -20,10 +20,14 @@ tested against all three paths."""
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 try:  # real decoder when the environment has it (VERDICT r4 #8)
     from PIL import Image as _PILImage
@@ -55,12 +59,15 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _luma(rgb: np.ndarray) -> np.ndarray:
-    """(h, w, 3) uint8 → (h, w) uint8 grayscale, ITU-R 601 weights
-    (PIL convert('L') uses the same integer formula)."""
+    """(h, w, 3) uint8 → (h, w) uint8 grayscale, ITU-R 601 weights in
+    PIL's exact fixed-point form ((19595R + 38470G + 7471B + 2¹⁵) ≫ 16)
+    so the native and PIL decode paths produce identical thumbnails —
+    a cross-format duplicate (same pixels as BMP and as PNG) must not
+    flip dHash bits on rounding."""
     r = rgb[..., 0].astype(np.uint32)
     g = rgb[..., 1].astype(np.uint32)
     b = rgb[..., 2].astype(np.uint32)
-    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
 
 
 def _downsample8(gray: np.ndarray) -> np.ndarray:
@@ -183,6 +190,20 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+def _decode_or_tile(payload: bytes, fake: bool) -> "tuple[np.ndarray, bool]":
+    """Per-row decode with fallback: one corrupt payload in a 100 TB
+    corpus must NOT kill the whole map_batches task. Undecodable
+    payloads (truncated image, unknown format without PIL, PIL decode
+    error) fall back to the deterministic byte-tile fingerprint;
+    callers count the fallbacks and log. Returns (thumb, fell_back)."""
+    if fake:
+        return decode_image(payload, fake=True), False
+    try:
+        return decode_image(payload), False
+    except Exception:  # noqa: BLE001 — any decoder failure, by design
+        return decode_image(payload, fake=True), True
+
+
 class MediaFeatures:
     """Actor-pool stage over a binary column: per-payload features
     (size, byte entropy, byte histogram moments + fake-decoded
@@ -199,6 +220,7 @@ class MediaFeatures:
         payloads = batch.column("payload").to_pylist() if "payload" in batch.column_names else batch.column("html").to_pylist()
         ids = batch.column("media_id") if "media_id" in batch.column_names else batch.column("record_id")
         sizes, entropies, means, thumb_means = [], [], [], []
+        n_fallback = 0
         for p in payloads:
             p = p or b""
             arr = np.frombuffer(p, dtype=np.uint8)
@@ -212,8 +234,14 @@ class MediaFeatures:
             else:
                 entropies.append(0.0)
                 means.append(0.0)
-            thumb = decode_image(p, fake=self.fake)
+            thumb, fell_back = _decode_or_tile(p, self.fake)
+            n_fallback += fell_back
             thumb_means.append(round(float(thumb.mean()), 4))
+        if n_fallback:
+            logger.warning(
+                "MediaFeatures: %d undecodable payload(s) fell back to byte-tile thumbnails",
+                n_fallback,
+            )
         return pa.table(
             {
                 "media_id": ids,
@@ -263,9 +291,14 @@ class ImagePhash:
         col = "payload" if "payload" in batch.column_names else "html"
         idc = "media_id" if "media_id" in batch.column_names else "record_id"
         payloads = batch.column(col).to_pylist()
-        thumbs = np.stack(
-            [decode_image(p or b"", fake=self.fake) for p in payloads]
-        ) if payloads else np.zeros((0, 8, 8), np.uint8)
+        decoded = [_decode_or_tile(p or b"", self.fake) for p in payloads]
+        n_fallback = sum(f for _, f in decoded)
+        if n_fallback:
+            logger.warning(
+                "ImagePhash: %d undecodable payload(s) fell back to byte-tile fingerprints",
+                n_fallback,
+            )
+        thumbs = np.stack([t for t, _ in decoded]) if decoded else np.zeros((0, 8, 8), np.uint8)
         return pa.table(
             {
                 "media_id": batch.column(idc).cast(pa.int64()),

@@ -25,9 +25,12 @@ def _media_ds(n=200):
     return ray.data.from_arrow(tbl)
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_stub_raises_without_fake(monkeypatch):
+    from rayrl import multimodal as mm
+
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)  # force the no-PIL path
     with pytest.raises(NotImplementedError):
-        decode_image(b"abc", fake=False)
+        mm.decode_image(b"abc", fake=False)
     thumb = decode_image(b"abcdefgh" * 8, fake=True)
     assert thumb.shape == (8, 8) and thumb.dtype == np.uint8
 
@@ -139,12 +142,14 @@ def _bmp24(w, h, rgb_fn, top_down=False) -> bytes:
 def test_native_decode_solid_and_luma():
     """PPM/PGM/BMP payloads decode to real pixels in-sandbox: solid
     colors land on their ITU-R 601 luma everywhere."""
+    # luma constants are PIL's fixed-point formula ((19595R+38470G+
+    # 7471B+0x8000)>>16) — the native path must match PIL bit-for-bit
     red = decode_image(_ppm(16, 12, lambda x, y: (255, 0, 0)))
-    assert red.shape == (8, 8) and (red == 76).all()  # 255*299//1000
+    assert red.shape == (8, 8) and (red == 76).all()
     gray = decode_image(_pgm(5, 9, lambda x, y: 133))
     assert (gray == 133).all()
     green = decode_image(_bmp24(10, 10, lambda x, y: (0, 255, 0)))
-    assert (green == 149).all()  # 255*587//1000
+    assert (green == 150).all()
 
 
 def test_native_decode_orientation_and_downsample():
@@ -199,6 +204,31 @@ def test_native_decode_phash_e2e(ray_session):
     assert (0, 2) in lookup  # same monotone gradient rows → tiny hamming
 
 
+def test_real_decode_stage_survives_corrupt_payload(ray_session):
+    """One corrupt payload in a real-decode pipeline must NOT kill the
+    map_batches task: the row falls back to the byte-tile fingerprint
+    and every row still comes out (per-row fallback contract)."""
+    from rayrl.multimodal import media_features, media_phash_near_dups
+
+    payloads = [_ppm(8, 8, lambda x, y: (x * 30, y * 30, 0)) for _ in range(6)]
+    payloads[3] = b"P6\n16 16\n255\n\x00\x01"  # truncated raster
+    payloads[4] = b"not an image at all"
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    feats = media_features(ds, fake_decode=False).to_pandas()
+    assert len(feats) == 6 and np.isfinite(feats["thumb_mean"]).all()
+    pairs = media_phash_near_dups(ds, max_hamming=0, fake_decode=False).to_pandas()
+    # the five identical clean PPMs still pair among themselves
+    clean = {0, 1, 2, 5}
+    got = {(a, b) for a, b, _ in pairs.itertuples(index=False)}
+    assert {(a, b) for a in clean for b in clean if a < b} <= got
+
+
 def test_native_decode_rejects_malformed_payloads():
     """Malformed near-miss payloads must fall through to the PIL/error
     path (return-None contract), never crash the decode stage, and
@@ -223,9 +253,11 @@ def test_native_decode_rejects_malformed_payloads():
     # truncated BMP raster
     good = _bmp24(8, 8, lambda x, y: (1, 2, 3))
     assert mm._decode_bmp(good[: 54 + 10]) is None
-    # all of the above raise cleanly through decode_image (no PIL here)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"P6 panel report about pixels")
+    # all of the above raise cleanly through decode_image when no PIL
+    # decoder exists (with PIL installed they route there instead)
+    if not mm._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"P6 panel report about pixels")
 
 
 def _pgm_maxval(w, h, maxval, g_fn) -> bytes:
@@ -250,13 +282,14 @@ def test_native_decode_matches_slow_mirror():
         px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
         got = decode_image(payload)
-        # slow mirror: integer luma then mean over each cell's bucket,
-        # including the <8 integer upsampling the fast path applies
+        # slow mirror: PIL's fixed-point luma then mean over each
+        # cell's bucket, including the <8 integer upsampling
         lum = (
-            px[..., 0].astype(np.uint32) * 299
-            + px[..., 1].astype(np.uint32) * 587
-            + px[..., 2].astype(np.uint32) * 114
-        ) // 1000
+            px[..., 0].astype(np.uint32) * 19595
+            + px[..., 1].astype(np.uint32) * 38470
+            + px[..., 2].astype(np.uint32) * 7471
+            + 0x8000
+        ) >> 16
         if h < 8:
             lum = np.repeat(lum, -(-8 // h), axis=0)
         if w < 8:
@@ -283,6 +316,7 @@ def test_decode_image_pil_dispatch(monkeypatch):
 
     from rayrl import multimodal as mm
 
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)  # force the no-PIL path
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...", fake=False)
     # fake path unaffected by PIL availability
