@@ -146,10 +146,7 @@ def er_invariant_check(sf_dir: str):
         _sentinel, batch_format="pandas"
     )
     chain = bucketed_group_apply(
-        text_led.select_columns(["record_id", "seq", "before", "after"]),
-        ["record_id"],
-        _chain_per_record,
-        num_buckets=16,
+        text_led, ["record_id"], _chain_per_record, num_buckets=16
     ).materialize()
     n_text_touched = chain.count()
     n_chain_breaks = int(chain.sum("n_breaks") or 0)

@@ -364,12 +364,10 @@ def labeled_pairs(clean, dirty, cfg: LinkageConfig | None = None, neg_ratio: int
     scored = nonmatch.map_batches(_cheap_features, batch_format="pandas")
 
     def shuffle_key(batch: pd.DataFrame) -> pd.DataFrame:
+        from .sampling import pair_key  # THE shared pair-key definition
+
         batch = batch.copy()
-        h = rng.hash_u64(
-            batch["node_a"].to_numpy() * 2654435761 + batch["node_b"].to_numpy(),
-            seed,
-            rng.tag_for("pairs.shuffle"),
-        )
+        h = rng.hash_u64(pair_key(batch), seed, rng.tag_for("pairs.shuffle"))
         batch["_shuf"] = (h >> np.uint64(1)).astype(np.int64)
         return batch
 

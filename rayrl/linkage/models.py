@@ -828,6 +828,7 @@ def learning_curve(
     test = split["test"]
     rows = []
     for train in split["trains"]:
+        train = train.materialize()  # one size held at a time
         n_train = train.count()
         for name in model_names:
             fit, scorer_cls = fits[name]

@@ -131,6 +131,33 @@ def sample_strat(
     return {"train": train, "test": test, "targets": targets}
 
 
+# the constant-label stratum both fixed-test splitters ride on
+_CONST = "_all"
+
+
+def _test_rest_split(vectors_ds, test_n: int, seed: int):
+    """Shared core of the fixed-test splitters: tag a constant stratum,
+    cut the ``test_n`` smallest hashes, return (test, rest) still
+    carrying the tag column (callers drop it)."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[_CONST] = _CONST
+        return batch
+
+    tagged = vectors_ds.map_batches(tag, batch_format="pandas")
+    test_cut = _stratum_cutoffs(tagged, {_CONST: test_n}, _CONST, seed)
+    return _split_by_cutoff(tagged, test_cut, _CONST, seed)
+
+
+def _train_subset(rest, train_n: int, seed: int):
+    """The ``train_n`` smallest remaining hashes (seed+1 stream) — the
+    nested-prefix truncation both splitters share."""
+    cut = _stratum_cutoffs(rest, {_CONST: train_n}, _CONST, seed + 1)
+    train, _ = _split_by_cutoff(rest, cut, _CONST, seed + 1)
+    return train
+
+
 def train_test_split(
     vectors_ds,
     test_n: int = 2000,
@@ -141,23 +168,11 @@ def train_test_split(
     """Fixed-size test sample; remainder as train, optionally truncated
     to the ``train_n`` next-smallest hashes (standard_n.R:58-99's
     test_indices / train_indices[1:train_n])."""
-    # single stratum: reuse the machinery with a constant label
-    const = "_all"
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch[const] = const
-        return batch
-
-    tagged = vectors_ds.map_batches(tag, batch_format="pandas")
-    test_cut = _stratum_cutoffs(tagged, {const: test_n}, const, seed)
-    test, rest = _split_by_cutoff(tagged, test_cut, const, seed)
-    drop = lambda ds: ds.drop_columns([const])  # noqa: E731
+    test, rest = _test_rest_split(vectors_ds, test_n, seed)
+    drop = lambda ds: ds.drop_columns([_CONST])  # noqa: E731
     if train_n is None:
         return {"test": drop(test), "train": drop(rest)}
-    train_cut = _stratum_cutoffs(rest, {const: train_n}, const, seed + 1)
-    train, _ = _split_by_cutoff(rest, train_cut, const, seed + 1)
-    return {"test": drop(test), "train": drop(train)}
+    return {"test": drop(test), "train": drop(_train_subset(rest, train_n, seed))}
 
 
 def fixed_test_splits(
@@ -166,31 +181,22 @@ def fixed_test_splits(
     train_sizes: tuple,
     seed: int = 133,
 ):
-    """:func:`train_test_split` semantics for a SWEEP of train sizes:
-    the size-independent test split is computed and materialized once,
-    then one train set per size comes off the same materialized
-    remainder — same tags/seeds as per-size ``train_test_split`` calls
-    (so each train set is a hash prefix of the next; the equivalence
-    is asserted in test_learning_curve_fixed_test_and_nested_prefix),
-    minus ``len(train_sizes) − 1`` redundant full-dataset scans.
+    """:func:`train_test_split` semantics for a SWEEP of train sizes —
+    the SAME core helpers, so per-size results equal per-size
+    ``train_test_split`` calls by construction (each train set a hash
+    prefix of the next; asserted in
+    test_learning_curve_fixed_test_and_nested_prefix) — minus
+    ``len(train_sizes) − 1`` redundant full-dataset scans: the test
+    split is computed once and the remainder materialized once.
 
-    Returns ``{"test": materialized Dataset, "trains": [materialized
-    Dataset per size]}``."""
-    const = "_all"
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch[const] = const
-        return batch
-
-    tagged = vectors_ds.map_batches(tag, batch_format="pandas")
-    test_cut = _stratum_cutoffs(tagged, {const: test_n}, const, seed)
-    test, rest = _split_by_cutoff(tagged, test_cut, const, seed)
-    test = test.drop_columns([const]).materialize()
+    Returns ``{"test": materialized Dataset, "trains": [LAZY Dataset
+    per size]}`` — trains are cheap filters over the materialized
+    remainder, left lazy so a long sweep holds one train's rows at a
+    time, not the whole grid's."""
+    test, rest = _test_rest_split(vectors_ds, test_n, seed)
+    test = test.drop_columns([_CONST]).materialize()
     rest = rest.materialize()
-    trains = []
-    for train_n in train_sizes:
-        cut = _stratum_cutoffs(rest, {const: train_n}, const, seed + 1)
-        train, _ = _split_by_cutoff(rest, cut, const, seed + 1)
-        trains.append(train.drop_columns([const]).materialize())
+    trains = [
+        _train_subset(rest, n, seed).drop_columns([_CONST]) for n in train_sizes
+    ]
     return {"test": test, "trains": trains}

@@ -39,11 +39,16 @@ except ImportError:
 
 
 def _pil_decode(payload: bytes) -> np.ndarray:
-    """bytes → grayscale 8×8 uint8 thumbnail via PIL (the dHash
-    input shape). Only reachable when PIL imported."""
+    """bytes → grayscale 8×8 uint8 thumbnail via PIL (the dHash input
+    shape). BOX resampling matches the native path's box-filter
+    pooling (bicubic — PIL's resize default — would ring on edges and
+    flip dHash bits vs the native decode of the same pixels; with BOX
+    the two paths agree up to sub-LSB rounding: PIL rounds to nearest,
+    the native path truncates). Only reachable when PIL imported."""
     import io
 
-    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    img = img.resize((8, 8), _PILImage.Resampling.BOX)
     return np.asarray(img, dtype=np.uint8)
 
 
@@ -61,9 +66,12 @@ MEDIA_SCHEMA = pa.schema(
 def _luma(rgb: np.ndarray) -> np.ndarray:
     """(h, w, 3) uint8 → (h, w) uint8 grayscale, ITU-R 601 weights in
     PIL's exact fixed-point form ((19595R + 38470G + 7471B + 2¹⁵) ≫ 16)
-    so the native and PIL decode paths produce identical thumbnails —
-    a cross-format duplicate (same pixels as BMP and as PNG) must not
-    flip dHash bits on rounding."""
+    so the native and PIL decode paths agree — a cross-format
+    duplicate (same pixels as BMP and as PNG) must not flip dHash bits
+    on luma rounding."""
+    #   (full bit-parity with PIL additionally needs the BOX resample
+    #   in _pil_decode; residual difference is sub-LSB rounding only —
+    #   PIL's resize rounds to nearest where _downsample8 truncates)
     r = rgb[..., 0].astype(np.uint32)
     g = rgb[..., 1].astype(np.uint32)
     b = rgb[..., 2].astype(np.uint32)
@@ -237,6 +245,15 @@ class MediaFeatures:
             thumb, fell_back = _decode_or_tile(p, self.fake)
             n_fallback += fell_back
             thumb_means.append(round(float(thumb.mean()), 4))
+        if n_fallback and n_fallback == len(payloads) and n_fallback >= 8:
+            # EVERY payload of a non-trivial batch undecodable = a
+            # systematic misconfiguration (e.g. JPEG corpus, no PIL in
+            # the prod image) — fail loudly rather than emit a whole
+            # corpus of byte-tile stand-ins
+            raise RuntimeError(
+                f"MediaFeatures: all {n_fallback} payloads in a batch failed to"
+                " decode — wrong format for this environment? (PIL missing?)"
+            )
         if n_fallback:
             logger.warning(
                 "MediaFeatures: %d undecodable payload(s) fell back to byte-tile thumbnails",
@@ -293,6 +310,15 @@ class ImagePhash:
         payloads = batch.column(col).to_pylist()
         decoded = [_decode_or_tile(p or b"", self.fake) for p in payloads]
         n_fallback = sum(f for _, f in decoded)
+        if n_fallback and n_fallback == len(decoded) and n_fallback >= 8:
+            # see MediaFeatures: an all-fallback batch means the corpus
+            # format and the environment's decoders don't overlap —
+            # identical byte-tiles on same-encoder headers would emit
+            # massive false duplicate sets; fail loudly instead
+            raise RuntimeError(
+                f"ImagePhash: all {n_fallback} payloads in a batch failed to"
+                " decode — wrong format for this environment? (PIL missing?)"
+            )
         if n_fallback:
             logger.warning(
                 "ImagePhash: %d undecodable payload(s) fell back to byte-tile fingerprints",

@@ -143,7 +143,7 @@ def test_native_decode_solid_and_luma():
     """PPM/PGM/BMP payloads decode to real pixels in-sandbox: solid
     colors land on their ITU-R 601 luma everywhere."""
     # luma constants are PIL's fixed-point formula ((19595R+38470G+
-    # 7471B+0x8000)>>16) — the native path must match PIL bit-for-bit
+    # 7471B+0x8000)>>16) — the native luma stage matches PIL bit-for-bit
     red = decode_image(_ppm(16, 12, lambda x, y: (255, 0, 0)))
     assert red.shape == (8, 8) and (red == 76).all()
     gray = decode_image(_pgm(5, 9, lambda x, y: 133))
@@ -223,7 +223,7 @@ def test_real_decode_stage_survives_corrupt_payload(ray_session):
     feats = media_features(ds, fake_decode=False).to_pandas()
     assert len(feats) == 6 and np.isfinite(feats["thumb_mean"]).all()
     pairs = media_phash_near_dups(ds, max_hamming=0, fake_decode=False).to_pandas()
-    # the five identical clean PPMs still pair among themselves
+    # the four identical clean PPMs still pair among themselves
     clean = {0, 1, 2, 5}
     got = {(a, b) for a, b, _ in pairs.itertuples(index=False)}
     assert {(a, b) for a in clean for b in clean if a < b} <= got
