@@ -14,11 +14,31 @@ only add to the denominator via FN, as they should)."""
 
 from __future__ import annotations
 
+import ray
+
 from ..shuffle import group_sizes_pair_sum
 
 # below this row count a driver-side pandas groupby is both faster and
 # exactly equivalent; above it the bucketed distributed path kicks in
 DRIVER_METRICS_MAX_ROWS = 5_000_000
+
+
+@ray.remote
+def _truth_pairs_task(shard_refs: list) -> float:
+    import numpy as np
+
+    truth = np.concatenate([ray.get(r)["truth"] for r in shard_refs])
+    return _pairs_local({"truth": truth}, ["truth"])
+
+
+def truth_pairs_from_shards(shard_refs: list):
+    """Σ C(n_truth, 2) over the payload shards, as a Ray task
+    (returns the ObjectRef). The truth-pair denominator depends only
+    on the node payload — not on candidates, scores, or clusters — so
+    the pipeline launches this the moment the payload shards exist and
+    the (formerly serial) collect + unique runs concurrently with the
+    whole score phase."""
+    return _truth_pairs_task.remote(shard_refs)
 
 
 def _pairs_local(df, keys) -> float:

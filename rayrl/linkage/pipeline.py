@@ -57,12 +57,18 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
     t = _t("candidates", t)
 
     shard_refs = None
+    truth_pairs_ref = None
     if n_payload <= cfg.broadcast_payload_max_rows:
+        from .metrics import truth_pairs_from_shards
         from .scoring import payload_shard_refs
 
         # numpy payload built OFF-driver as parallel shard tasks — the
         # driver's only serial work here is submitting them
         shard_refs = payload_shard_refs(payload)
+        # the truth-pair denominator depends only on the payload, so it
+        # runs as a Ray task concurrent with the entire score phase
+        # instead of a serial collect+unique after clustering
+        truth_pairs_ref = truth_pairs_from_shards(shard_refs)
         edges = score_pairs_broadcast(pairs, shard_refs, cfg)
     else:
         edges = score_pairs_join(pairs, payload, cfg)
@@ -78,25 +84,30 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
         # scaling). The distributed path below handles cluster scale.
         import pandas as _pd
 
-        from .clustering import _driver_union_find
+        from .clustering import _components_arrays
         from .metrics import _pairs_local
 
         edges_df = edges.select_columns(["node_a", "node_b", "truth_a", "truth_b"]).to_pandas()
-        labels_df = _driver_union_find(edges_df)
-        node_truth_df = _pd.DataFrame(
-            {
-                "node": np.concatenate([edges_df["node_a"], edges_df["node_b"]]),
-                "truth": np.concatenate([edges_df["truth_a"], edges_df["truth_b"]]),
-            }
-        ).drop_duplicates("node")
-        lwt_df = labels_df.merge(node_truth_df, on="node", how="inner")
+        ea = edges_df["node_a"].to_numpy(dtype=np.int64)
+        eb = edges_df["node_b"].to_numpy(dtype=np.int64)
+        nodes, labels_arr, inv = _components_arrays(ea, eb)
+        # align truth to the unique-node order through the same inverse
+        # the component kernel used — no pandas merge (last write wins;
+        # every occurrence of a node carries the same truth)
+        truth_arr = np.empty(len(nodes), dtype=np.int64)
+        truth_arr[inv] = np.concatenate(
+            [
+                edges_df["truth_a"].to_numpy(dtype=np.int64),
+                edges_df["truth_b"].to_numpy(dtype=np.int64),
+            ]
+        )
+        lwt_df = _pd.DataFrame({"node": nodes, "label": labels_arr, "truth": truth_arr})
         t = _t("cluster", t)
 
-        if shard_refs is not None:  # zero-copy reads of the scorer's payload
+        if truth_pairs_ref is not None:  # overlapped with the score phase
             import ray as _ray
 
-            truth_all = np.concatenate([_ray.get(r)["truth"] for r in shard_refs])
-            truth_pairs = _pairs_local({"truth": truth_all}, ["truth"])
+            truth_pairs = float(_ray.get(truth_pairs_ref))
         else:
             truth_pairs = _pairs_local(
                 payload.select_columns(["node", "truth"]).to_pandas(), ["truth"]

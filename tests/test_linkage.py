@@ -67,3 +67,41 @@ def test_e2e_f1_gate(ray_session, rate):
     dirty = pipeline.mess_dataset(clean, pipeline.benchmark_specs(rate), seed=7).dirty.materialize()
     m = link_datasets(clean, dirty, LinkageConfig(num_buckets=16))["metrics"]
     assert m["f1"] >= 0.99, (rate, m)
+
+
+def test_driver_union_find_random_graphs_match_slow_mirror():
+    """The contracting min-label kernel must produce exactly the
+    classic union-find's components with min-node labels, on arbitrary
+    graph shapes (stars, chains, cycles, dense blobs, singleton edges),
+    not just the star-shaped linkage distribution it is tuned for."""
+    import numpy as np
+
+    from rayrl.linkage.clustering import _driver_union_find
+
+    def slow_components(a, b):
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a, b):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        return {int(n): find(int(n)) for n in set(a) | set(b)}
+
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        n_nodes = int(rng.integers(2, 400))
+        n_edges = int(rng.integers(1, 1200))
+        a = rng.integers(0, n_nodes, n_edges) * int(rng.integers(1, 1000))
+        b = rng.integers(0, n_nodes, n_edges) * int(rng.integers(1, 1000))
+        got = _driver_union_find(pd.DataFrame({"node_a": a, "node_b": b}))
+        want = slow_components(a, b)
+        got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+        assert got_map == want, trial
