@@ -36,7 +36,7 @@ def _driver_union_find(edges_df: pd.DataFrame) -> pd.DataFrame:
     (Amdahl eats the cluster-size scaling otherwise). Labels
     canonicalize to the component's minimum node id, matching the
     distributed min-label propagation exactly (regression-tested in
-    test_round4 and test_clustering)."""
+    test_round4 and test_linkage's random-graph mirror)."""
     a = edges_df["node_a"].to_numpy(dtype=np.int64)
     b = edges_df["node_b"].to_numpy(dtype=np.int64)
     nodes, label, _ = _components_arrays(a, b)
@@ -72,7 +72,11 @@ def _components_arrays(
         keep = ea != eb
         ea, eb = ea[keep], eb[keep]
         if len(ea):
-            packed = np.unique(ea * n + eb)
+            # canonicalize direction before uniquing so (u,v) and (v,u)
+            # collapse to one surviving edge
+            lo = np.minimum(ea, eb)
+            hi = np.maximum(ea, eb)
+            packed = np.unique(hi * n + lo)
             ea, eb = packed // n, packed % n
     # final full compression: contraction can terminate with label
     # chains still one jump from the root on the last-merged nodes

@@ -27,7 +27,7 @@ DRIVER_METRICS_MAX_ROWS = 5_000_000
 def _truth_pairs_task(shard_refs: list) -> float:
     import numpy as np
 
-    truth = np.concatenate([ray.get(r)["truth"] for r in shard_refs])
+    truth = np.concatenate([s["truth"] for s in ray.get(list(shard_refs))])
     return _pairs_local({"truth": truth}, ["truth"])
 
 
@@ -59,18 +59,24 @@ def _pairs_local(df, keys) -> float:
     return float((c * (c - 1) / 2.0).sum())
 
 
-def pairwise_f1(labels_with_truth, all_nodes) -> dict:
+def pairwise_f1(labels_with_truth, all_nodes, truth_pairs_ref=None) -> dict:
     """``labels_with_truth``: Dataset (node, label, truth) for clustered
     nodes. ``all_nodes``: Dataset (node, truth) for EVERY physical row
-    of both sides."""
+    of both sides. ``truth_pairs_ref``: optional ObjectRef from
+    ``truth_pairs_from_shards`` — when the pipeline already overlapped
+    the truth-pair denominator with scoring, reuse it instead of
+    recomputing over ``all_nodes``."""
+    if truth_pairs_ref is not None:
+        truth_pairs = float(ray.get(truth_pairs_ref))
     if all_nodes.count() <= DRIVER_METRICS_MAX_ROWS:
-        nodes_df = all_nodes.to_pandas()
         labels_df = labels_with_truth.to_pandas()
-        truth_pairs = _pairs_local(nodes_df, ["truth"])
+        if truth_pairs_ref is None:
+            truth_pairs = _pairs_local(all_nodes.to_pandas(), ["truth"])
         cluster_pairs = _pairs_local(labels_df, ["label"])
         tp = _pairs_local(labels_df, ["label", "truth"])
     else:
-        truth_pairs = group_sizes_pair_sum(all_nodes, ["truth"])
+        if truth_pairs_ref is None:
+            truth_pairs = group_sizes_pair_sum(all_nodes, ["truth"])
         cluster_pairs = group_sizes_pair_sum(labels_with_truth, ["label"])
         tp = group_sizes_pair_sum(labels_with_truth, ["label", "truth"])
     precision = tp / cluster_pairs if cluster_pairs else 1.0

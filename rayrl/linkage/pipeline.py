@@ -161,7 +161,7 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
         )
         t = _t("label_join", t)
         all_nodes = payload.select_columns(["node", "truth"])
-        metrics = pairwise_f1(labels_with_truth, all_nodes)
+        metrics = pairwise_f1(labels_with_truth, all_nodes, truth_pairs_ref=truth_pairs_ref)
         _t("metrics", t)
 
     return {

@@ -95,13 +95,33 @@ def test_driver_union_find_random_graphs_match_slow_mirror():
                 parent[max(rx, ry)] = min(rx, ry)
         return {int(n): find(int(n)) for n in set(a) | set(b)}
 
+    def check(a, b, tag):
+        got = _driver_union_find(pd.DataFrame({"node_a": a, "node_b": b}))
+        want = slow_components(a, b)
+        got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+        assert got_map == want, tag
+
     rng = np.random.default_rng(42)
     for trial in range(8):
         n_nodes = int(rng.integers(2, 400))
         n_edges = int(rng.integers(1, 1200))
         a = rng.integers(0, n_nodes, n_edges) * int(rng.integers(1, 1000))
         b = rng.integers(0, n_nodes, n_edges) * int(rng.integers(1, 1000))
-        got = _driver_union_find(pd.DataFrame({"node_a": a, "node_b": b}))
-        want = slow_components(a, b)
-        got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
-        assert got_map == want, trial
+        check(a, b, trial)
+
+    # high-diameter regime: a 1000-node chain exercises the bounded
+    # 3-jump compression + trailing full-compression loop, which the
+    # small-diameter random blobs above essentially never reach. Run it
+    # forward, reversed (worst case for min-label flow), and shuffled,
+    # plus a both-orientations copy (the direction-canonicalizing dedup).
+    chain_a = np.arange(0, 999, dtype=np.int64) * 7 + 3
+    chain_b = np.arange(1, 1000, dtype=np.int64) * 7 + 3
+    check(chain_a, chain_b, "chain-forward")
+    check(chain_b[::-1].copy(), chain_a[::-1].copy(), "chain-reversed")
+    perm = rng.permutation(len(chain_a))
+    check(chain_a[perm], chain_b[perm], "chain-shuffled")
+    check(
+        np.concatenate([chain_a, chain_b]),
+        np.concatenate([chain_b, chain_a]),
+        "chain-both-orientations",
+    )
