@@ -68,8 +68,13 @@ def _prune_to_ids(ds, pairs_ds, pair_col: "str | list[str]", id_col: str):
     before it ever reaches the shuffle. Above the broadcast gate the
     join runs unpruned (``pairs_ds`` must be materialized — callers
     already are, so ``count()`` is free)."""
-    if pairs_ds.count() > _SEMIJOIN_BROADCAST_MAX:
+    n_pairs = pairs_ds.count()
+    if n_pairs > _SEMIJOIN_BROADCAST_MAX:
         return ds
+    if n_pairs == 0:
+        # empty pair sets come back schemaless; nothing survives the
+        # prune — keep ds's schema, drop every row
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
     cols = [pair_col] if isinstance(pair_col, str) else list(pair_col)
     key_df = pairs_ds.select_columns(cols).to_pandas()
     ids = np.unique(np.concatenate([key_df[c].to_numpy() for c in cols]))
@@ -376,6 +381,14 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, k: int = 64, bands: int =
     from .shuffle import bucketed_join
 
     cands = minhash_candidate_pairs(sf_dir, k=k, bands=bands).materialize()
+    if cands.count() == 0:
+        # no banding collisions (tiny/blank/single-doc corpus, or an
+        # all-distinct shard): the cluster set is exactly empty — and
+        # the empty cands Dataset is SCHEMALESS, so short-circuit
+        # before the join chain rather than threading it through
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+        )
     # semi-join prune: only candidate docs are signed / join-shuffled
     cand_docs = _prune_to_ids(
         _read_docs(sf_dir, ["doc_id", "text"]), cands, ["doc_a", "doc_b"], "doc_id"

@@ -571,9 +571,12 @@ def pairs_to_vectors(long_ds, num_buckets: int = 64):
     caller-provided ``pair_id`` alone is trusted as unique."""
     from ..shuffle import bucketed_group_apply
 
+    schema = long_ds.schema()
+    if schema is None:  # zero pairs upstream: schemaless empty in, empty out
+        return long_ds
     keys = (
         ["pair_na", "pair_nb"]
-        if {"pair_na", "pair_nb"} <= set(long_ds.schema().names)
+        if {"pair_na", "pair_nb"} <= set(schema.names)
         else ["pair_id"]
     )
 

@@ -87,7 +87,17 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
         from .clustering import _components_arrays
         from .metrics import _pairs_local
 
-        edges_df = edges.select_columns(["node_a", "node_b", "truth_a", "truth_b"]).to_pandas()
+        if n_edges:
+            edges_df = edges.select_columns(
+                ["node_a", "node_b", "truth_a", "truth_b"]
+            ).to_pandas()
+        else:
+            # a zero-edge run (all-clean input, or filters that drop
+            # every candidate) yields a SCHEMALESS empty Dataset —
+            # rebuild the frame so the numpy tail sees typed empties
+            edges_df = _pd.DataFrame(
+                {c: _pd.Series([], dtype="int64") for c in ("node_a", "node_b", "truth_a", "truth_b")}
+            )
         ea = edges_df["node_a"].to_numpy(dtype=np.int64)
         eb = edges_df["node_b"].to_numpy(dtype=np.int64)
         nodes, labels_arr, inv = _components_arrays(ea, eb)

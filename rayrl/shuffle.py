@@ -136,6 +136,28 @@ def bucketed_join(
 
     lschema = left.schema()
     rschema = right.schema()
+    if lschema is None or rschema is None:
+        # a schemaless side is an EMPTY relation (Ray Data drops the
+        # schema when every block vanished). The inner join is exactly
+        # empty; emit a TYPED empty table carrying every column we can
+        # still name so downstream count()/to_pandas paths keep working.
+        if lschema is None and rschema is None:
+            return left
+        known, missing_side = (
+            (rschema, "left") if lschema is None else (lschema, "right")
+        )
+        if missing_side == "right" and how != "inner":
+            raise ValueError(
+                "bucketed_join: right side is schemaless-empty; a "
+                f"{how} join cannot synthesize its columns — pass a "
+                "typed empty table instead (pa.table with the schema)"
+            )
+        known_types = {}
+        for name, typ in zip(known.names, known.types):
+            known_types[name] = typ if isinstance(typ, pa.DataType) else pa.null()
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], type=t) for c, t in known_types.items()})
+        )
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     l_only = [c for c in lcols if c not in keys]
