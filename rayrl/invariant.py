@@ -93,20 +93,28 @@ def _chain_per_record(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def er_invariant_check(sf_dir: str):
+def er_invariant_check(sf_dir: str, specs=None, n_rows: int | None = None):
     """Inject at 10% on the pages fixture, export (clean, dirty,
     ledger) to EXPORT_DIR (overwritten per call — the DuckDB twin reads
     the same triple), and verify the ledger⇔data invariant with
-    distributed joins. One all-int64 row; every n_bad_* must be 0."""
+    distributed joins. One all-int64 row; every n_bad_* must be 0.
+
+    ``specs``/``n_rows`` exist for tests that force zero-draw chains
+    (a spec list with no text ops, or none that mutate at all) — the
+    driver and oracle always run the defaults."""
     from . import pipeline, synth
     from .schema import DUP_UID_OFFSET, TWIN_UID_OFFSET
     from .shuffle import bucketed_group_apply, bucketed_join
 
     import pyarrow.parquet as pq
 
-    n = max(2000, pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows // 12)
+    n = n_rows or max(
+        2000, pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows // 12
+    )
     clean = synth.pages_dataset(n).materialize()
-    out = pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7)
+    out = pipeline.mess_dataset(
+        clean, pipeline.benchmark_specs(0.10) if specs is None else specs, seed=7
+    )
     combined = out.combined.materialize()
     dirty = pipeline.strip_ledger(combined).materialize()
     ledger = pipeline.extract_ledger(combined).materialize()
@@ -115,11 +123,23 @@ def er_invariant_check(sf_dir: str):
     shutil.rmtree(EXPORT_DIR, ignore_errors=True)
     clean.select_columns(cols).write_parquet(f"{EXPORT_DIR}/clean")
     dirty.select_columns(cols).write_parquet(f"{EXPORT_DIR}/dirty")
-    ledger.write_parquet(f"{EXPORT_DIR}/ledger")
 
     n_clean = clean.count()
     n_dirty = dirty.count()
     n_ledger = ledger.count()
+    if n_ledger:
+        ledger.write_parquet(f"{EXPORT_DIR}/ledger")
+    else:
+        # zero draws: Ray writes NO files for an empty Dataset and the
+        # oracle's read_parquet would fail — emit one typed empty file
+        from .schema import LEDGER
+
+        import os
+
+        os.makedirs(f"{EXPORT_DIR}/ledger", exist_ok=True)
+        pq.write_table(
+            LEDGER.empty_table(), f"{EXPORT_DIR}/ledger/empty.parquet"
+        )
 
     # --- null sentinel shared by every chain (DuckDB's arg_min/arg_max
     # SKIP NULL args, and pandas counts NaN != str — a NULL before or
@@ -149,7 +169,10 @@ def er_invariant_check(sf_dir: str):
         text_led, ["record_id"], _chain_per_record, num_buckets=16
     ).materialize()
     n_text_touched = chain.count()
-    n_chain_breaks = int(chain.sum("n_breaks") or 0)
+    # zero-draw guard (CLAUDE.md rule 21): a no-text-error spec chain
+    # leaves ``chain`` schemaless — drop_columns/joins on it would
+    # raise, exactly like the guarded lang/ts siblings below
+    n_chain_breaks = int(chain.sum("n_breaks") or 0) if n_text_touched else 0
 
     # --- lang chain per record (null-safe: make_missing's after is
     # NULL)
@@ -223,7 +246,8 @@ def er_invariant_check(sf_dir: str):
         ["record_id"],
         _any_mark,
         num_buckets=16,
-    )
+    ).materialize()
+    n_any_touched = any_tbl.count()  # zero-draw guard (rule 21)
 
     # --- original rows: dirty ⋈ clean on record_id, then LEFT joins
     # with the chain and any-touched marks (string columns only on the
@@ -251,21 +275,29 @@ def er_invariant_check(sf_dir: str):
     )
     clean_slim = clean.map_batches(_slim("c"), batch_format="pandas")
     j = bucketed_join(dirty_orig, clean_slim, ["record_id"], num_buckets=16)
-    j = bucketed_join(
-        j, chain.drop_columns(["n_breaks"]), ["record_id"], num_buckets=16, how="left"
-    )
+    if n_text_touched:
+        j = bucketed_join(
+            j, chain.drop_columns(["n_breaks"]), ["record_id"], num_buckets=16, how="left"
+        )
     if lchain is not None:
         j = bucketed_join(j, lchain, ["record_id"], num_buckets=16, how="left")
     if tchain is not None:
         j = bucketed_join(j, tchain, ["record_id"], num_buckets=16, how="left")
-    j = bucketed_join(j, any_tbl, ["record_id"], num_buckets=16, how="left")
+    if n_any_touched:
+        j = bucketed_join(j, any_tbl, ["record_id"], num_buckets=16, how="left")
 
     def _flags(df: pd.DataFrame) -> pd.DataFrame:
-        touched_text = df["first_before"].notna()
         text_diff = df["d_text"].fillna("\0") != df["c_text"].fillna("\0")
         lang_diff = df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0")
         ts_diff = df["d_ts"] != df["c_ts"]
-        pristine = df["any_mark"].isna()
+        if "first_before" in df.columns:
+            touched_text = df["first_before"].notna()
+        else:  # no text errors drawn: every text diff is a violation
+            touched_text = pd.Series(False, index=df.index)
+        if "any_mark" in df.columns:
+            pristine = df["any_mark"].isna()
+        else:  # no mutating errors drawn at all: every row is pristine
+            pristine = pd.Series(True, index=df.index)
         if "l_first" in df.columns:
             touched_lang = df["l_first"].notna()
             bad_l_unt = int((~touched_lang & lang_diff).sum())
@@ -284,15 +316,20 @@ def er_invariant_check(sf_dir: str):
             bad_t_aft = int((touched_ts & (df["t_last"] != df["d_ts"])).sum())
         else:  # no date errors drawn at this scale
             bad_t_unt, bad_t_bef, bad_t_aft = int(ts_diff.sum()), 0, 0
+        if "first_before" in df.columns:
+            bad_before = int(
+                (touched_text & (df["first_before"] != df["c_text"].fillna(NULL_S))).sum()
+            )
+            bad_after = int(
+                (touched_text & (df["last_after"] != df["d_text"].fillna(NULL_S))).sum()
+            )
+        else:
+            bad_before = bad_after = 0
         return pd.DataFrame(
             {
                 "n_bad_untouched": [int((~touched_text & text_diff).sum())],
-                "n_bad_before": [
-                    int((touched_text & (df["first_before"] != df["c_text"].fillna(NULL_S))).sum())
-                ],
-                "n_bad_after": [
-                    int((touched_text & (df["last_after"] != df["d_text"].fillna(NULL_S))).sum())
-                ],
+                "n_bad_before": [bad_before],
+                "n_bad_after": [bad_after],
                 "n_bad_url": [int((df["d_url"] != df["c_url"]).sum())],
                 "n_bad_pristine": [
                     int((pristine & (text_diff | lang_diff | ts_diff)).sum())
@@ -311,19 +348,24 @@ def er_invariant_check(sf_dir: str):
     # --- duplicate rows byte-identical to clean (pristine re-append)
     dup_rows = dirty.filter(
         expr=f"row_uid >= {DUP_UID_OFFSET} and row_uid < {TWIN_UID_OFFSET}"
-    ).map_batches(_slim("d"), batch_format="pandas")
-    jd = bucketed_join(dup_rows, clean_slim, ["record_id"], num_buckets=16)
+    ).map_batches(_slim("d"), batch_format="pandas").materialize()
+    if dup_rows.count() == 0:  # zero duplicates drawn (rule 21)
+        n_bad_dup = 0
+    else:
+        jd = bucketed_join(dup_rows, clean_slim, ["record_id"], num_buckets=16)
 
-    def _dup_flags(df: pd.DataFrame) -> pd.DataFrame:
-        bad = (
-            (df["d_text"].fillna("\0") != df["c_text"].fillna("\0"))
-            | (df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0"))
-            | (df["d_ts"] != df["c_ts"])
-            | (df["d_url"] != df["c_url"])
+        def _dup_flags(df: pd.DataFrame) -> pd.DataFrame:
+            bad = (
+                (df["d_text"].fillna("\0") != df["c_text"].fillna("\0"))
+                | (df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0"))
+                | (df["d_ts"] != df["c_ts"])
+                | (df["d_url"] != df["c_url"])
+            )
+            return pd.DataFrame({"n_bad_dup": [int(bad.sum())]})
+
+        n_bad_dup = int(
+            jd.map_batches(_dup_flags, batch_format="pandas").to_pandas().sum().iloc[0]
         )
-        return pd.DataFrame({"n_bad_dup": [int(bad.sum())]})
-
-    n_bad_dup = int(jd.map_batches(_dup_flags, batch_format="pandas").to_pandas().sum().iloc[0])
 
     # --- twin rows: ledger 'twin' entries point (via the mangled id)
     # at a dirty row whose text is the entry's ``after``

@@ -82,8 +82,10 @@ def _packed_binary(mat: np.ndarray) -> pa.Array:
     # int32 Arrow offsets wrap silently at 2^31 bytes — signatures
     # would then mis-compare rather than error (ADVICE r4). Batches
     # this large must be split upstream (or this switches to
-    # pa.large_binary).
-    assert (n + 1) * w < 2**31, f"_packed_binary overflow: {n} rows × {w} B"
+    # pa.large_binary). A real raise, not assert: python -O strips
+    # asserts and would restore the silent mis-compare.
+    if (n + 1) * w >= 2**31:
+        raise ValueError(f"_packed_binary overflow: {n} rows × {w} B")
     offs = np.arange(n + 1, dtype=np.int32) * np.int32(w)
     return pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(mat)]

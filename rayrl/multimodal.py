@@ -134,11 +134,21 @@ def _decode_pnm(payload: bytes) -> "np.ndarray | None":
         return None  # non-numeric header token: not a real PNM
     if not (0 < maxval <= 255) or w <= 0 or h <= 0:
         return None  # 16-bit samples: leave to PIL
-    i += 1  # exactly one whitespace byte after maxval
     ch = 3 if magic == b"P6" else 1
-    if i + w * h * ch > len(payload):
-        return None  # truncated raster
-    raster = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
+    need = w * h * ch
+    # The spec says EXACTLY one whitespace byte separates maxval from
+    # the raster, but CRLF-writing encoders emit two — with the spec
+    # offset the pixel stream shifts by one byte and every luma is
+    # silently wrong (wrong dHash → false near-dup pairs). If the tail
+    # is exactly raster-sized after some all-whitespace separator, read
+    # it from the end; otherwise (trailing bytes after the raster) fall
+    # back to the spec's one-byte separator.
+    start = len(payload) - need
+    if start < i + 1 or not payload[i:start].isspace():
+        start = i + 1
+        if start + need > len(payload):
+            return None  # truncated raster
+    raster = np.frombuffer(payload, np.uint8, count=need, offset=start)
     if maxval != 255:
         raster = (raster.astype(np.uint32) * 255 // maxval).clip(0, 255).astype(np.uint8)
     if ch == 3:

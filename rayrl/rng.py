@@ -66,6 +66,16 @@ def randint(record_ids: np.ndarray, n: np.ndarray | int, seed: int, tag: np.uint
     return (hash_u64(record_ids, seed, tag) % n_arr).astype(np.int64)
 
 
+def _normal_from_u(u1: np.ndarray, u2: np.ndarray) -> np.ndarray:
+    """Box–Muller kernel. u1 is clamped below 1.0: hash values within
+    1024 of 2^64 round UP to exactly 1.0 in float64, and log1p(-1.0) is
+    -inf — one such draw (~6e-17/draw, but 2^64-scale corpora roll those
+    dice) would turn a whole RFF matrix / weight init into NaNs with no
+    exception. The clamp moves only those pathological draws."""
+    u1 = np.minimum(u1, 1.0 - 2.0**-53)
+    return np.sqrt(-2.0 * np.log1p(-u1)) * np.cos(2.0 * np.pi * u2)
+
+
 def normal(record_ids: np.ndarray, seed: int, tag: np.uint64 | int = 0) -> np.ndarray:
     """Deterministic standard-normal draw per record id (Box–Muller
     over two derived uniform streams). Used for model-weight init and
@@ -73,4 +83,4 @@ def normal(record_ids: np.ndarray, seed: int, tag: np.uint64 | int = 0) -> np.nd
     byte-identical at any parallelism."""
     u1 = uniform(record_ids, seed, tag)
     u2 = uniform(record_ids, seed, int(tag) + 1)
-    return np.sqrt(-2.0 * np.log1p(-u1)) * np.cos(2.0 * np.pi * u2)
+    return _normal_from_u(u1, u2)

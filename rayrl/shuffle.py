@@ -146,10 +146,14 @@ def bucketed_join(
         known, missing_side = (
             (rschema, "left") if lschema is None else (lschema, "right")
         )
-        if missing_side == "right" and how != "inner":
+        if how != "inner":
+            # non-inner output schema is left ∪ right; a schemaless side
+            # makes it unknowable — a right-only (or left-only) result
+            # would KeyError downstream at the first select. Raise on
+            # BOTH sides, not just the row-producing one.
             raise ValueError(
-                "bucketed_join: right side is schemaless-empty; a "
-                f"{how} join cannot synthesize its columns — pass a "
+                f"bucketed_join: {missing_side} side is schemaless-empty; "
+                f"a {how} join cannot synthesize its columns — pass a "
                 "typed empty table instead (pa.table with the schema)"
             )
         known_types = {}

@@ -49,3 +49,46 @@ def test_invariant_holds_and_oracle_detects_tampering(ray_session):
     )
     tampered = duckdb.sql(ER_INVARIANT_ORACLE).df()
     assert int(tampered[BAD_COLS].sum().sum()) >= 1
+
+
+def test_invariant_zero_draw_chains(ray_session):
+    """Spec chains that draw ZERO entries for a whole field family (no
+    text ops; or nothing mutating at all) leave that chain's Dataset
+    schemaless — the guards must skip those joins and the DuckDB twin
+    must still reproduce the summary (r5 review: the text chain and
+    any-touched joins were unguarded, unlike their lang/ts siblings)."""
+    from rayrl.pipeline import ErrorSpec
+
+    # date-only chain: text/lang chains empty, warc_ts chain live
+    res = er_invariant_check(
+        "/root/testdata/sf0.001",
+        specs=[ErrorSpec("date_swap", 0.2, ("warc_ts",))],
+        n_rows=400,
+    )
+    row = res.iloc[0]
+    assert (res[BAD_COLS].iloc[0] == 0).all(), res.T
+    assert row["n_text_touched"] == 0 and row["n_lang_touched"] == 0
+    assert row["n_ts_touched"] > 0
+    odf = duckdb.sql(ER_INVARIANT_ORACLE).df()
+    pd.testing.assert_frame_equal(
+        res[sorted(res.columns)].reset_index(drop=True),
+        odf[sorted(odf.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # duplicates-only chain: nothing mutates, and add_duplicates copies
+    # only ERRED ids — so zero dups too; every guard fires at once
+    res = er_invariant_check(
+        "/root/testdata/sf0.001",
+        specs=[ErrorSpec("add_duplicates", 0.10, ("__dup__",))],
+        n_rows=400,
+    )
+    row = res.iloc[0]
+    assert (res[BAD_COLS].iloc[0] == 0).all(), res.T
+    assert row["n_ledger"] == 0 and row["n_dirty"] == row["n_clean"]
+    odf = duckdb.sql(ER_INVARIANT_ORACLE).df()
+    pd.testing.assert_frame_equal(
+        res[sorted(res.columns)].reset_index(drop=True),
+        odf[sorted(odf.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -229,6 +229,33 @@ def test_real_decode_stage_survives_corrupt_payload(ray_session):
     assert {(a, b) for a in clean for b in clean if a < b} <= got
 
 
+def test_native_decode_crlf_and_padded_separators():
+    """CRLF-writing encoders put TWO whitespace bytes between maxval
+    and the raster; the spec says one. The decoder must anchor the
+    raster correctly in both cases — a one-byte shift silently corrupts
+    every luma (wrong dHash → false near-dup pairs), the exact failure
+    the r5 review reproduced."""
+    from rayrl import multimodal as mm
+
+    px = bytes((x * 16 + y) % 256 for y in range(8) for x in range(8))
+    lf = b"P5 8 8 255\n" + px
+    crlf = b"P5 8 8 255\r\n" + px
+    blank = b"P5 8 8 255\n\n  \n" + px  # extra blank lines
+    want = mm._decode_pnm(lf)
+    assert want is not None and want[0, 0] == px[0]
+    np.testing.assert_array_equal(mm._decode_pnm(crlf), want)
+    np.testing.assert_array_equal(mm._decode_pnm(blank), want)
+    # P6 CRLF too (3 channels exercise the offset at a different width)
+    rgb = bytes((x * 7 + y * 3 + c) % 256 for y in range(6) for x in range(6) for c in range(3))
+    np.testing.assert_array_equal(
+        mm._decode_pnm(b"P6 6 6 255\r\n" + rgb), mm._decode_pnm(b"P6 6 6 255\n" + rgb)
+    )
+    # trailing bytes after the raster: the end-anchored read must NOT
+    # engage (separator check fails) — spec one-byte offset still wins
+    trailing = b"P5 8 8 255\n" + px + b"JUNK"
+    np.testing.assert_array_equal(mm._decode_pnm(trailing), want)
+
+
 def test_native_decode_rejects_malformed_payloads():
     """Malformed near-miss payloads must fall through to the PIL/error
     path (return-None contract), never crash the decode stage, and

@@ -37,3 +37,22 @@ def test_randint_bounds():
     lens = np.full(10_000, 3)
     r2 = rng.randint(ids, lens, 3, rng.tag_for("ri2"))
     assert r2.max() < 3
+
+
+def test_normal_finite_at_uniform_one():
+    """Box–Muller precondition: hash values within 1024 of 2^64 round
+    to u1 == 1.0 in float64 and log1p(-1.0) is -inf — the kernel must
+    clamp so one pathological draw cannot NaN a whole weight matrix
+    (r5 review; ~6e-17/draw but 2^64-scale corpora roll those dice)."""
+    u_bad = np.array([1.0, 1.0 - 2.0**-53, 0.0, 0.5])
+    u2 = np.array([0.1, 0.9, 0.25, 0.75])
+    out = rng._normal_from_u(u_bad, u2)
+    assert np.isfinite(out).all()
+    # the clamp only touches the pathological draw: u1 just below the
+    # clamp point is untouched
+    assert out[1] == rng._normal_from_u(np.array([1.0 - 2.0**-53]), u2[1:2])[0]
+    # sanity on the real path: a large stream stays finite + standard
+    ids = np.arange(200_000, dtype=np.int64)
+    z = rng.normal(ids, 13, rng.tag_for("nrm"))
+    assert np.isfinite(z).all()
+    assert abs(z.mean()) < 0.01 and abs(z.std() - 1.0) < 0.01

@@ -150,3 +150,34 @@ def test_group_agg_matches_pandas_groupby(ray_session, keys):
     pd.testing.assert_frame_equal(
         got[["k", "s", "n"]], expect[["k", "s", "n"]], check_dtype=False
     )
+
+
+def test_bucketed_join_schemaless_sides(ray_session):
+    """Rule-21 short-circuits: an all-filtered (schemaless) side must
+    yield a typed empty for inner joins, and RAISE for non-inner joins
+    on EITHER side — a left join can't synthesize left∪right columns
+    from a side with no schema (r5 review: the schemaless-left case
+    used to silently return right-only columns)."""
+    import pytest
+
+    from rayrl.shuffle import bucketed_join
+
+    full = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series([1, 2], dtype="int64"), "v": [10, 20]})
+    )
+    empty = (
+        ray.data.from_pandas(pd.DataFrame({"k": pd.Series([1], dtype="int64"), "w": [5]}))
+        .filter(lambda r: False)
+        .materialize()
+    )
+    assert empty.schema() is None  # precondition: Ray dropped the schema
+
+    got = bucketed_join(empty, full, ["k"])  # inner: typed empty
+    assert got.count() == 0 and "v" in got.schema().names
+    got = bucketed_join(full, empty, ["k"])
+    assert got.count() == 0 and "v" in got.schema().names
+
+    with pytest.raises(ValueError, match="schemaless-empty"):
+        bucketed_join(empty, full, ["k"], how="left")
+    with pytest.raises(ValueError, match="schemaless-empty"):
+        bucketed_join(full, empty, ["k"], how="left")
