@@ -357,6 +357,7 @@ _WINDOW_FIRST = [
     "revenue_cube",
     "stream_dedup_summary",
     "surprisal_weighted_sample",
+    "url_canonical_dedup",
     "user_event_type_pivot",
     # --- ★r3 rows, oldest verification — re-confirm with spare slots ---
     "segment_revenue_3way",
@@ -456,8 +457,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
     out.update(MLFILTER_QUERIES)
     out.update(STREAM_DEDUP_QUERIES)
     from rayrl.invariant import INVARIANT_QUERIES
+    from rayrl.urlops import URL_QUERIES
 
     out.update(INVARIANT_QUERIES)
+    out.update(URL_QUERIES)
     from rayrl.linkage.features import major_tokens
 
     out.update(
@@ -599,4 +602,10 @@ def oracle_sql() -> dict[str, str]:
     from rayrl.invariant import INVARIANT_ORACLES
 
     out.update(INVARIANT_ORACLES)
+    # round-5: canonical-url dedup — same export-twin pattern as the
+    # invariant (the query writes its alias fixture to /tmp; the SQL
+    # recomputes the keep-latest winner from the files)
+    from rayrl.urlops import URL_ORACLES
+
+    out.update(URL_ORACLES)
     return out
