@@ -4,12 +4,14 @@ stages.
 
 Decode dispatch, most-capable-available first:
 
-1. **native NumPy decoders** for the headerless-simple formats —
-   binary PPM (P6), PGM (P5) and uncompressed 24/32-bit BMP — parsed
-   straight from the payload bytes (magic-sniffed), luma-converted
-   (ITU-R 601) and box-filter downsampled to the 8×8 dHash thumbnail.
-   These run in THIS sandbox: real pixels in, real thumbnails out.
-2. **PIL** when installed (everything else: JPEG/PNG/...).
+1. **native NumPy decoders** — binary PPM (P6) / PGM (P5),
+   uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG (stdlib
+   zlib inflate + NumPy scanline unfiltering) — parsed straight from
+   the payload bytes (magic-sniffed), luma-converted (ITU-R 601) and
+   box-filter downsampled to the 8×8 dHash thumbnail. These run in
+   THIS sandbox: real pixels in, real thumbnails out.
+2. **PIL** when installed (everything else: JPEG, palette/16-bit/
+   interlaced PNG, ...).
 3. otherwise ``NotImplementedError`` — unless ``fake=True``, where a
    deterministic byte-tile stand-in runs (the right choice for
    non-image payloads like the pages html column).
@@ -185,13 +187,94 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
     return _downsample8(_luma(bgr[..., ::-1]))
 
 
+def _decode_png(payload: bytes) -> "np.ndarray | None":
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) with
+    stdlib zlib + NumPy unfiltering — no image library needed. Palette,
+    16-bit and interlaced files return None (PIL path / fallback).
+
+    Unfilter shape: None/Up are whole-row vector adds and Sub is one
+    ``np.add.accumulate`` over the (w, nch) lane view (uint8 wraparound
+    is the mod-256 the spec wants). Average/Paeth carry a true
+    byte-serial dependency (recon[x] needs recon[x-bpp]) — those rows
+    fall back to a per-byte loop, which only runs when the encoder
+    chose those filters for that row."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None  # truncated chunk
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc (crc not verified)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp or filt or interlace or ctype not in (0, 2, 4, 6):
+        return None  # palette / 16-bit / Adam7: leave to PIL
+    if w <= 0 or h <= 0:
+        return None
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    import zlib
+
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None  # truncated scanlines
+    raw = np.frombuffer(raw, np.uint8)[: h * (stride + 1)].reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].copy()
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, r = int(ftypes[y]), rows[y]
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: prefix sum along each byte lane, mod 256
+            lanes = r.reshape(w, nch)
+            np.add.accumulate(lanes, axis=0, out=lanes)
+        elif f == 2:  # Up
+            r += prev
+        elif f == 3:  # Average (byte-serial: a is the reconstructed left)
+            for x in range(stride):
+                a = int(r[x - nch]) if x >= nch else 0
+                r[x] = (int(r[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (byte-serial, same reason)
+            for x in range(stride):
+                a = int(r[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                r[x] = (int(r[x]) + pred) & 0xFF
+        else:
+            return None  # invalid filter byte: corrupt stream
+        prev = r
+    img = rows.reshape(h, w, nch)
+    if ctype in (0, 4):  # gray (+alpha ignored, like PIL convert("L"))
+        return _downsample8(img[..., 0])
+    return _downsample8(_luma(img[..., :3]))  # RGB(A), alpha ignored
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an (8, 8) uint8 thumbnail. With
     ``fake=True`` a deterministic byte-tile stand-in runs (the right
     choice for non-image payloads like the pages html column).
-    Otherwise: native NumPy decode for PPM/PGM/BMP (works in this
-    sandbox — no image library needed), PIL for every other format
-    when installed, else NotImplementedError."""
+    Otherwise: native NumPy decode for PPM/PGM/BMP/PNG-8 (works in
+    this sandbox — no image library needed), PIL for every other
+    format when installed, else NotImplementedError."""
     if fake:
         # deterministic fake: tile the byte stream into an 8×8 "thumbnail"
         b = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
@@ -199,12 +282,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     native = _decode_pnm(payload)
     if native is None:
         native = _decode_bmp(payload)
+    if native is None:
+        native = _decode_png(payload)
     if native is not None:
         return native
     if _HAVE_PIL:
         return _pil_decode(payload)
     raise NotImplementedError(
-        "payload is not PPM/PGM/BMP and PIL is not installed; use fake=True for non-image payloads"
+        "payload is not PPM/PGM/BMP/PNG-8 and PIL is not installed; use fake=True for non-image payloads"
     )
 
 

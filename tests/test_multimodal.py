@@ -360,3 +360,141 @@ def test_decode_image_pil_dispatch(monkeypatch):
     out = mm.decode_image(b"\x89PNGpayload", fake=False)
     assert calls == [b"\x89PNGpayload"]
     assert out.shape == (8, 8) and out.dtype == np.uint8
+
+
+# --- native PNG decode (stdlib zlib + NumPy unfilter) ---
+
+
+def _png_bytes(arr, ctype, filters, split_idat=False, depth=8, interlace=0):
+    """Minimal PNG encoder for tests: per-row filter choice is explicit
+    so every unfilter branch (None/Sub/Up/Average/Paeth) is exercised
+    against the decoder."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    assert nch == {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    lines = []
+    prev = np.zeros(w * nch, np.int16)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = arr[y].reshape(-1).astype(np.int16)
+        a = np.zeros_like(cur)
+        a[nch:] = cur[:-nch]
+        c = np.zeros_like(prev)
+        c[nch:] = prev[:-nch]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - a
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((a + prev) >> 1)
+        else:  # Paeth predicts from the RECONSTRUCTED neighbors
+            p = a + prev - c
+            pa_, pb_, pc_ = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, prev, c))
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    body = zlib.compress(b"".join(lines))
+    if split_idat:  # decoder must concatenate multiple IDAT chunks
+        idat = chunk(b"IDAT", body[: len(body) // 2]) + chunk(b"IDAT", body[len(body) // 2 :])
+    else:
+        idat = chunk(b"IDAT", body)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+
+
+def test_native_png_all_filters_and_color_types():
+    from rayrl import multimodal as mm
+
+    h, w = 13, 11
+    grid = np.fromfunction(lambda y, x: (x * 37 + y * 91) % 256, (h, w)).astype(np.uint8)
+    rgb = np.stack([grid, (grid * 3 + 17) % 256, grid[::-1]], axis=-1).astype(np.uint8)
+
+    # grayscale, every filter type across rows (incl. Average/Paeth)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = mm._decode_png(_png_bytes(grid, 0, filters))
+        np.testing.assert_array_equal(got, mm._downsample8(grid))
+
+    # RGB: thumbnail must equal the shared luma+downsample pipeline —
+    # i.e. byte-identical to the same pixels arriving as PPM or BMP
+    # (the cross-format near-dup contract)
+    got = mm._decode_png(_png_bytes(rgb, 2, [0, 4, 2, 1, 3]))
+    np.testing.assert_array_equal(got, mm._downsample8(mm._luma(rgb)))
+    ppm = _ppm(w, h, lambda x, y: tuple(int(v) for v in rgb[y, x]))
+    np.testing.assert_array_equal(got, mm._decode_pnm(ppm))
+
+    # gray+alpha and RGBA: alpha ignored (PIL convert("L") parity)
+    ga = np.stack([grid, np.full_like(grid, 200)], axis=-1)
+    np.testing.assert_array_equal(
+        mm._decode_png(_png_bytes(ga, 4, [1, 2])), mm._downsample8(grid)
+    )
+    rgba = np.concatenate([rgb, np.full((h, w, 1), 9, np.uint8)], axis=-1)
+    np.testing.assert_array_equal(
+        mm._decode_png(_png_bytes(rgba, 6, [4])), mm._downsample8(mm._luma(rgb))
+    )
+
+    # split IDAT streams concatenate
+    np.testing.assert_array_equal(
+        mm._decode_png(_png_bytes(grid, 0, [2], split_idat=True)), mm._downsample8(grid)
+    )
+
+    # decode_image dispatches natively (no PIL in this sandbox)
+    np.testing.assert_array_equal(
+        decode_image(_png_bytes(grid, 0, [0])), mm._downsample8(grid)
+    )
+
+
+def test_native_png_rejects_unsupported():
+    """Palette / 16-bit / interlaced / truncated / corrupt PNGs return
+    None (PIL-or-error fallback), never a wrong thumbnail."""
+    import zlib
+
+    from rayrl import multimodal as mm
+
+    grid = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    good = _png_bytes(grid, 0, [0])
+    assert mm._decode_png(good) is not None
+    assert mm._decode_png(_png_bytes(grid, 0, [0], depth=16)) is None
+    assert mm._decode_png(_png_bytes(grid, 0, [0], interlace=1)) is None
+    # color type 3 (palette) — rebuild the IHDR byte in place
+    pal = bytearray(_png_bytes(grid, 0, [0]))
+    pal[8 + 8 + 9] = 3  # ctype byte inside IHDR data
+    assert mm._decode_png(bytes(pal)) is None
+    # truncated IDAT (cut mid-chunk)
+    assert mm._decode_png(good[:40]) is None
+    import struct
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr8 = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    # zlib garbage in IDAT
+    bad = sig + chunk(b"IHDR", ihdr8) + chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b"")
+    assert mm._decode_png(bad) is None
+    # short scanline stream (inflates clean but is missing rows)
+    short = sig + chunk(b"IHDR", ihdr8) + chunk(
+        b"IDAT", zlib.compress(b"\x00" + grid[0].tobytes())
+    ) + chunk(b"IEND", b"")
+    assert mm._decode_png(short) is None
+    # invalid filter byte
+    ihdr1 = struct.pack(">IIBBBBB", 8, 1, 8, 0, 0, 0, 0)
+    evil = sig + chunk(b"IHDR", ihdr1) + chunk(
+        b"IDAT", zlib.compress(b"\x09" + grid[0].tobytes())
+    ) + chunk(b"IEND", b"")
+    assert mm._decode_png(evil) is None
