@@ -54,6 +54,12 @@ def _pil_decode(payload: bytes) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+# Largest PNG raster the native decoder will inflate (scanline bytes,
+# per IHDR). Oversized-claim payloads return None instead of allocating
+# gigabytes inside a decode actor; raise if a pipeline really feeds
+# >256 MB single images.
+_MAX_RASTER_BYTES = 1 << 28
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -224,16 +230,22 @@ def _decode_png(payload: bytes) -> "np.ndarray | None":
     if w <= 0 or h <= 0:
         return None
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    if h * (w * nch + 1) > _MAX_RASTER_BYTES:
+        return None  # absurd IHDR dims: refuse rather than inflate GBs
     import zlib
 
+    stride = w * nch
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length caps the inflate at exactly the scanline bytes IHDR
+        # promises — a deflate bomb behind a tiny IHDR can never allocate
+        # more than the decode actor already budgeted for this image.
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None  # truncated scanlines
-    raw = np.frombuffer(raw, np.uint8)[: h * (stride + 1)].reshape(h, stride + 1)
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = raw[:, 0]
     rows = raw[:, 1:].copy()
     prev = np.zeros(stride, np.uint8)

@@ -464,7 +464,9 @@ def test_native_png_rejects_unsupported():
 
     from rayrl import multimodal as mm
 
-    grid = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    # NB: % 256 on a uint8 array NEP-50-promotes to int16 — force the
+    # dtype back or tobytes() silently doubles to 2 bytes per pixel
+    grid = ((np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256).astype(np.uint8)
     good = _png_bytes(grid, 0, [0])
     assert mm._decode_png(good) is not None
     assert mm._decode_png(_png_bytes(grid, 0, [0], depth=16)) is None
@@ -498,3 +500,16 @@ def test_native_png_rejects_unsupported():
         b"IDAT", zlib.compress(b"\x09" + grid[0].tobytes())
     ) + chunk(b"IEND", b"")
     assert mm._decode_png(evil) is None
+    # deflate bomb: tiny IHDR, IDAT inflating far past the promised
+    # raster — the inflate is capped at the IHDR byte count, the extra
+    # never allocates, and the promised pixels still decode
+    bomb = sig + chunk(b"IHDR", ihdr8) + chunk(
+        b"IDAT", zlib.compress(b"".join(b"\x00" + grid[y].tobytes() for y in range(8)) + b"\x00" * (1 << 22))
+    ) + chunk(b"IEND", b"")
+    np.testing.assert_array_equal(mm._decode_png(bomb), mm._downsample8(grid))
+    # absurd IHDR dims refuse before inflating (would claim a >256 MB raster)
+    huge = struct.pack(">IIBBBBB", 1 << 17, 1 << 12, 8, 6, 0, 0, 0)
+    bombhdr = sig + chunk(b"IHDR", huge) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 64)
+    ) + chunk(b"IEND", b"")
+    assert mm._decode_png(bombhdr) is None
