@@ -326,10 +326,10 @@ def entry() -> Any:
 # ~50 keys of queries() in insertion order. Round-5 curation (VERDICT
 # r4 #1/#2): the new SQL-checkable flagship invariant first, then four
 # er_* representatives (rows-only, clean in r01-r04; the other ten
-# er_* rotate behind the window to free slots), then the 16
+# er_* rotate behind the window to free slots), then the 17
 # oracle-backed queries that have never had a driver ★pass (with this
 # window every oracle-backed query is ★-verified cumulatively:
-# 71 in r3+r4 + 16 + er_invariant_check = 88/88), then ★r3 rows for
+# 71 in r3+r4 + 17 + er_invariant_check = 89/89), then ★r3 rows for
 # re-verification (oldest stars first).
 _WINDOW_FIRST = [
     # --- flagship: the ledger⇔data invariant, hash-checked in SQL ---
@@ -387,7 +387,6 @@ _WINDOW_FIRST = [
     "label_centroids",
     "embedding_norms",
     "embedding_outliers",
-    "sessionized_events",
 ]
 
 # Immediately after the 50-key window: the remaining ★r3 rows, then
