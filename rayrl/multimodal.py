@@ -147,13 +147,19 @@ def _decode_pnm(payload: bytes) -> "np.ndarray | None":
     # The spec says EXACTLY one whitespace byte separates maxval from
     # the raster, but CRLF-writing encoders emit two — with the spec
     # offset the pixel stream shifts by one byte and every luma is
-    # silently wrong (wrong dHash → false near-dup pairs). If the tail
-    # is exactly raster-sized after some all-whitespace separator, read
-    # it from the end; otherwise (trailing bytes after the raster) fall
-    # back to the spec's one-byte separator.
+    # silently wrong (wrong dHash → false near-dup pairs). Two rules,
+    # in order: (1) if the tail after some all-whitespace run is
+    # EXACTLY raster-sized, that run is the separator whatever its
+    # length (covers padded blank-line writers); (2) otherwise —
+    # trailing bytes follow the raster, so the end can't anchor it —
+    # "\r\n" is the one two-byte separator a CRLF encoder emits and any
+    # other whitespace byte is the spec's single separator. The only
+    # undecidable input under (2) — a lone-"\r" (old-Mac) separator
+    # whose first pixel is 0x0A — reads as CRLF; no real encoder
+    # emits it.
     start = len(payload) - need
     if start < i + 1 or not payload[i:start].isspace():
-        start = i + 1
+        start = i + 2 if payload[i : i + 2] == b"\r\n" else i + 1
         if start + need > len(payload):
             return None  # truncated raster
     raster = np.frombuffer(payload, np.uint8, count=need, offset=start)

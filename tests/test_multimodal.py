@@ -254,6 +254,10 @@ def test_native_decode_crlf_and_padded_separators():
     # engage (separator check fails) — spec one-byte offset still wins
     trailing = b"P5 8 8 255\n" + px + b"JUNK"
     np.testing.assert_array_equal(mm._decode_pnm(trailing), want)
+    # CRLF separator AND trailing bytes: neither end-anchoring nor the
+    # spec one-byte offset is right — the "\r\n" rule must engage
+    crlf_trailing = b"P5 8 8 255\r\n" + px + b"JUNK"
+    np.testing.assert_array_equal(mm._decode_pnm(crlf_trailing), want)
 
 
 def test_native_decode_rejects_malformed_payloads():
