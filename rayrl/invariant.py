@@ -84,11 +84,9 @@ def _chain_per_record(df: pd.DataFrame) -> pd.DataFrame:
             "record_id": rid[first],
             "first_before": before[first],
             "last_after": after[last],
-            # float on purpose: this column rides a LEFT join later and
-            # an int64 column with join-nulls would trip the pandas
-            # float-truncation hazard (CLAUDE.md rule 14); values are
-            # tiny counts, exactly representable
-            "n_breaks": np.add.reduceat(brk, seg).astype(np.float64),
+            # int64 is safe here: n_breaks is summed and then dropped
+            # before any join (no null-padding, so no rule-14 exposure)
+            "n_breaks": np.add.reduceat(brk, seg),
         }
     )
 
@@ -158,44 +156,7 @@ def er_invariant_check(sf_dir: str, specs=None, n_rows: int | None = None):
             }
         )
 
-    # --- text chain per record (excluding 'twin': it annotates the
-    # SOURCE record but rewrites a NEW row, checked separately below);
-    # sentinel-encoded like lang/ts so a future text op with a NULL
-    # before/after cannot diverge engine vs oracle
-    text_led = ledger.filter(expr="field == 'text' and error != 'twin'").map_batches(
-        _sentinel, batch_format="pandas"
-    )
-    chain = bucketed_group_apply(
-        text_led, ["record_id"], _chain_per_record, num_buckets=16
-    ).materialize()
-    n_text_touched = chain.count()
-    # zero-draw guard (CLAUDE.md rule 21): a no-text-error spec chain
-    # leaves ``chain`` schemaless — drop_columns/joins on it would
-    # raise, exactly like the guarded lang/ts siblings below
-    n_chain_breaks = int(chain.sum("n_breaks") or 0) if n_text_touched else 0
-
-    # --- lang chain per record (null-safe: make_missing's after is
-    # NULL)
-    lang_led = ledger.filter(expr="field == 'lang' and error != 'twin'").map_batches(
-        _sentinel, batch_format="pandas"
-    )
-    lchain_raw = bucketed_group_apply(
-        lang_led, ["record_id"], _chain_per_record, num_buckets=16
-    ).materialize()
-    n_lang_touched = lchain_raw.count()
-    n_lang_breaks = int(lchain_raw.sum("n_breaks") or 0) if n_lang_touched else 0
-    lchain = (
-        lchain_raw.drop_columns(["n_breaks"]).map_batches(
-            lambda df: df.rename(
-                columns={"first_before": "l_first", "last_after": "l_last"}
-            ),
-            batch_format="pandas",
-        )
-        if n_lang_touched
-        else None
-    )
-
-    # --- warc_ts chain per record: ledger holds ISO strings
+    # --- warc_ts ledger entries hold ISO strings
     # (np.datetime_as_string, 'T' separator + micros); normalize to
     # second-granularity '%Y-%m-%d %H:%M:%S' — the same form _slim
     # exports — so chain values compare exactly against table values
@@ -213,24 +174,36 @@ def er_invariant_check(sf_dir: str, specs=None, n_rows: int | None = None):
             }
         )
 
-    ts_led = ledger.filter(expr="field == 'warc_ts' and error != 'twin'").map_batches(
-        _ts_sentinel, batch_format="pandas"
-    )
-    tchain_raw = bucketed_group_apply(
-        ts_led, ["record_id"], _chain_per_record, num_buckets=16
-    ).materialize()
-    n_ts_touched = tchain_raw.count()
-    n_ts_breaks = int(tchain_raw.sum("n_breaks") or 0) if n_ts_touched else 0
-    tchain = (
-        tchain_raw.drop_columns(["n_breaks"]).map_batches(
+    def _field_chain(field: str, prep, prefix: str):
+        """One per-record mutation chain: ledger rows for ``field``
+        (excluding 'twin' — it annotates the SOURCE record but rewrites
+        a NEW row, checked separately below) → sentinel encode →
+        chained first/last/breaks per record. Returns (chain_ds | None,
+        n_touched, n_breaks); the chain carries {prefix}_first /
+        {prefix}_last only. Zero-draw guard (CLAUDE.md rule 21): an
+        empty filter result is SCHEMALESS — return None rather than
+        thread a schemaless Dataset into drop_columns/joins."""
+        led = ledger.filter(expr=f"field == '{field}' and error != 'twin'").map_batches(
+            prep, batch_format="pandas"
+        )
+        raw = bucketed_group_apply(
+            led, ["record_id"], _chain_per_record, num_buckets=16
+        ).materialize()
+        n_touched = raw.count()
+        if not n_touched:
+            return None, 0, 0
+        n_breaks = int(raw.sum("n_breaks") or 0)
+        ren = raw.drop_columns(["n_breaks"]).map_batches(
             lambda df: df.rename(
-                columns={"first_before": "t_first", "last_after": "t_last"}
+                columns={"first_before": f"{prefix}_first", "last_after": f"{prefix}_last"}
             ),
             batch_format="pandas",
         )
-        if n_ts_touched
-        else None
-    )
+        return ren, n_touched, n_breaks
+
+    xchain, n_text_touched, n_chain_breaks = _field_chain("text", _sentinel, "x")
+    lchain, n_lang_touched, n_lang_breaks = _field_chain("lang", _sentinel, "l")
+    tchain, n_ts_touched, n_ts_breaks = _field_chain("warc_ts", _ts_sentinel, "t")
 
     # --- record ids with ANY mutating ledger entry (duplicate/twin
     # entries do not mutate their source row)
@@ -275,59 +248,46 @@ def er_invariant_check(sf_dir: str, specs=None, n_rows: int | None = None):
     )
     clean_slim = clean.map_batches(_slim("c"), batch_format="pandas")
     j = bucketed_join(dirty_orig, clean_slim, ["record_id"], num_buckets=16)
-    if n_text_touched:
-        j = bucketed_join(
-            j, chain.drop_columns(["n_breaks"]), ["record_id"], num_buckets=16, how="left"
-        )
-    if lchain is not None:
-        j = bucketed_join(j, lchain, ["record_id"], num_buckets=16, how="left")
-    if tchain is not None:
-        j = bucketed_join(j, tchain, ["record_id"], num_buckets=16, how="left")
-    if n_any_touched:
-        j = bucketed_join(j, any_tbl, ["record_id"], num_buckets=16, how="left")
+    for side in (xchain, lchain, tchain, any_tbl if n_any_touched else None):
+        if side is not None:
+            j = bucketed_join(j, side, ["record_id"], num_buckets=16, how="left")
 
     def _flags(df: pd.DataFrame) -> pd.DataFrame:
-        text_diff = df["d_text"].fillna("\0") != df["c_text"].fillna("\0")
-        lang_diff = df["d_lang"].fillna("\0") != df["c_lang"].fillna("\0")
-        ts_diff = df["d_ts"] != df["c_ts"]
-        if "first_before" in df.columns:
-            touched_text = df["first_before"].notna()
-        else:  # no text errors drawn: every text diff is a violation
-            touched_text = pd.Series(False, index=df.index)
+        def field_bad(prefix: str, col: str, sentinel: bool):
+            """Per-field (untouched-diff, bad-before, bad-after) counts.
+            ``sentinel``: fill the table side's NULLs with NULL_S before
+            comparing against the sentinel-encoded chain values (d_ts /
+            c_ts are already sentinel-filled by _slim)."""
+            c, d = df[f"c_{col}"], df[f"d_{col}"]
+            diff = d.fillna("\0") != c.fillna("\0")
+            if f"{prefix}_first" not in df.columns:
+                # no errors drawn for this field: nothing is touched, so
+                # every diff is a violation and before/after are vacuous
+                return pd.Series(False, index=df.index), diff, int(diff.sum()), 0, 0
+            if sentinel:
+                c, d = c.fillna(NULL_S), d.fillna(NULL_S)
+            touched = df[f"{prefix}_first"].notna()
+            unt = int((~touched & diff).sum())
+            bef = int((touched & (df[f"{prefix}_first"] != c)).sum())
+            aft = int((touched & (df[f"{prefix}_last"] != d)).sum())
+            return touched, diff, unt, bef, aft
+
+        _, text_diff, bad_unt, bad_before, bad_after = field_bad(
+            "x", "text", sentinel=True
+        )
+        _, lang_diff, bad_l_unt, bad_l_bef, bad_l_aft = field_bad(
+            "l", "lang", sentinel=True
+        )
+        _, ts_diff, bad_t_unt, bad_t_bef, bad_t_aft = field_bad(
+            "t", "ts", sentinel=False
+        )
         if "any_mark" in df.columns:
             pristine = df["any_mark"].isna()
         else:  # no mutating errors drawn at all: every row is pristine
             pristine = pd.Series(True, index=df.index)
-        if "l_first" in df.columns:
-            touched_lang = df["l_first"].notna()
-            bad_l_unt = int((~touched_lang & lang_diff).sum())
-            bad_l_bef = int(
-                (touched_lang & (df["l_first"] != df["c_lang"].fillna(NULL_S))).sum()
-            )
-            bad_l_aft = int(
-                (touched_lang & (df["l_last"] != df["d_lang"].fillna(NULL_S))).sum()
-            )
-        else:  # no lang errors drawn at this scale
-            bad_l_unt, bad_l_bef, bad_l_aft = int(lang_diff.sum()), 0, 0
-        if "t_first" in df.columns:
-            touched_ts = df["t_first"].notna()
-            bad_t_unt = int((~touched_ts & ts_diff).sum())
-            bad_t_bef = int((touched_ts & (df["t_first"] != df["c_ts"])).sum())
-            bad_t_aft = int((touched_ts & (df["t_last"] != df["d_ts"])).sum())
-        else:  # no date errors drawn at this scale
-            bad_t_unt, bad_t_bef, bad_t_aft = int(ts_diff.sum()), 0, 0
-        if "first_before" in df.columns:
-            bad_before = int(
-                (touched_text & (df["first_before"] != df["c_text"].fillna(NULL_S))).sum()
-            )
-            bad_after = int(
-                (touched_text & (df["last_after"] != df["d_text"].fillna(NULL_S))).sum()
-            )
-        else:
-            bad_before = bad_after = 0
         return pd.DataFrame(
             {
-                "n_bad_untouched": [int((~touched_text & text_diff).sum())],
+                "n_bad_untouched": [bad_unt],
                 "n_bad_before": [bad_before],
                 "n_bad_after": [bad_after],
                 "n_bad_url": [int((df["d_url"] != df["c_url"]).sum())],

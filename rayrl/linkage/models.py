@@ -159,8 +159,11 @@ def _grow_tree(
             break
         n_slots = len(active)
         # node-id rng keying packs (tree, node) as tree_tag + id·stride;
-        # ids must stay under the stride or streams collide across trees
-        assert len(feat) < _NODE_STRIDE, "tree too large for rng keying"
+        # ids must stay under the stride or streams collide across
+        # trees. A real raise, not assert: python -O strips asserts and
+        # the failure mode is silent rng reuse, not a crash.
+        if len(feat) >= _NODE_STRIDE:
+            raise ValueError("tree too large for rng keying")
         slot_of = np.full(len(feat), -1, dtype=np.int64)
         slot_of[active] = np.arange(n_slots)
         # node_of == -1 marks retired (leaf) rows; guard it explicitly —

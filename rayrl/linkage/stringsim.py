@@ -300,6 +300,16 @@ def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
     if isinstance(col, list):
         col = pa.array([t if t is not None else "" for t in col], pa.string())
     data, offsets = string_view(col)
+    # ``data`` is the PARENT buffer (string_view is zero-copy): a
+    # sliced/offset Arrow array carries bytes outside
+    # [offsets[0], offsets[-1]) whose spaces would map to row -1 / n
+    # (ADVICE r4), and the prefix-hash cumsum below would pay
+    # O(parent) for an O(slice) input (r5 review). Compact to the
+    # slice window once — a view, no copy — so everything downstream
+    # is O(slice) and the positions line up by construction.
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(data)):
+        data = data[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
     n = len(offsets) - 1
     out = np.zeros((n, len(tags)), dtype=np.uint64)
     if n == 0 or len(data) == 0:
@@ -325,13 +335,9 @@ def word_bigram_minhash(col, tags: np.ndarray) -> np.ndarray:
         inv_heads = _poly_heads(nb, pinvb[_POLY_B])
         return pinvb[pos & (_POLY_B - 1)] * inv_heads[pos >> _POLY_SHIFT]
 
-    # ``data`` is the PARENT buffer (string_view is zero-copy): a
-    # sliced/offset Arrow array carries bytes outside
-    # [offsets[0], offsets[-1]) whose spaces would map to row -1 / n
-    # (ADVICE r4) — restrict the scan to the slice's byte range
+    # slice-window compaction above guarantees offsets[0] == 0 and
+    # offsets[-1] == len(data): every space found here is in-row
     sp = np.flatnonzero(data == 32)
-    if offsets[0] != 0 or offsets[-1] != len(data):
-        sp = sp[(sp >= offsets[0]) & (sp < offsets[-1])]
     # global token order: starts = row starts ∪ (space+1), ends =
     # spaces ∪ row ends; at position ties a previous row's trailing
     # token precedes the next row's first (lexsort flags)

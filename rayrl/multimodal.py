@@ -147,21 +147,19 @@ def _decode_pnm(payload: bytes) -> "np.ndarray | None":
     # The spec says EXACTLY one whitespace byte separates maxval from
     # the raster, but CRLF-writing encoders emit two — with the spec
     # offset the pixel stream shifts by one byte and every luma is
-    # silently wrong (wrong dHash → false near-dup pairs). Two rules,
-    # in order: (1) if the tail after some all-whitespace run is
-    # EXACTLY raster-sized, that run is the separator whatever its
-    # length (covers padded blank-line writers); (2) otherwise —
-    # trailing bytes follow the raster, so the end can't anchor it —
-    # "\r\n" is the one two-byte separator a CRLF encoder emits and any
-    # other whitespace byte is the spec's single separator. The only
-    # undecidable input under (2) — a lone-"\r" (old-Mac) separator
-    # whose first pixel is 0x0A — reads as CRLF; no real encoder
-    # emits it.
-    start = len(payload) - need
-    if start < i + 1 or not payload[i:start].isspace():
-        start = i + 2 if payload[i : i + 2] == b"\r\n" else i + 1
-        if start + need > len(payload):
-            return None  # truncated raster
+    # silently wrong (wrong dHash → false near-dup pairs). Deterministic
+    # rule: "\r\n" is the one two-byte separator a CRLF encoder emits;
+    # any other whitespace byte is the spec's single separator. No
+    # end-anchoring — raster bytes are indistinguishable from
+    # whitespace, so anchoring on the payload tail mis-decodes a
+    # spec-conformant file whose first pixel is whitespace-valued and
+    # that carries trailing bytes (the r5 review's repro). Writers that
+    # pad the separator beyond CRLF are out of contract. The only
+    # undecidable input — a lone-"\r" (old-Mac) separator whose first
+    # pixel is 0x0A — reads as CRLF; no real encoder emits it.
+    start = i + 2 if payload[i : i + 2] == b"\r\n" else i + 1
+    if start + need > len(payload):
+        return None  # truncated raster
     raster = np.frombuffer(payload, np.uint8, count=need, offset=start)
     if maxval != 255:
         raster = (raster.astype(np.uint32) * 255 // maxval).clip(0, 255).astype(np.uint8)

@@ -121,7 +121,10 @@ def bucketed_join(
     and pandas-merged inside each bucket — each side's rows ride the
     shuffle exactly once. Output columns = left columns + right's
     non-key columns; overlapping non-key names must be renamed by the
-    caller first."""
+    caller first. If one side is schemaless-empty (rule 21), the inner
+    join short-circuits to a typed empty carrying only the OTHER
+    side's columns (logged); non-inner joins raise — pass a typed
+    empty table when the full schema matters."""
     def _types(schema) -> dict:
         out = {}
         for name, typ in zip(schema.names, schema.types):
@@ -141,11 +144,28 @@ def bucketed_join(
         # schema when every block vanished). The inner join is exactly
         # empty; emit a TYPED empty table carrying every column we can
         # still name so downstream count()/to_pandas paths keep working.
+        # The schemaless side's columns are UNKNOWABLE here, so the
+        # typed empty carries only the known side's — selecting a
+        # missing-side column downstream KeyErrors. Warn loudly (r5
+        # review); callers needing the full inner schema in the empty
+        # case must pass a typed empty table instead.
         if lschema is None and rschema is None:
             return left
         known, missing_side = (
             (rschema, "left") if lschema is None else (lschema, "right")
         )
+        if how == "inner":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bucketed_join: %s side is schemaless-empty — the typed "
+                "empty result carries only the other side's columns "
+                "(%s); pass a typed empty table if downstream selects "
+                "the %s side's columns",
+                missing_side,
+                list(known.names),
+                missing_side,
+            )
         if how != "inner":
             # non-inner output schema is left ∪ right; a schemaless side
             # makes it unknowable — a right-only (or left-only) result

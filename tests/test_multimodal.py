@@ -240,11 +240,9 @@ def test_native_decode_crlf_and_padded_separators():
     px = bytes((x * 16 + y) % 256 for y in range(8) for x in range(8))
     lf = b"P5 8 8 255\n" + px
     crlf = b"P5 8 8 255\r\n" + px
-    blank = b"P5 8 8 255\n\n  \n" + px  # extra blank lines
     want = mm._decode_pnm(lf)
     assert want is not None and want[0, 0] == px[0]
     np.testing.assert_array_equal(mm._decode_pnm(crlf), want)
-    np.testing.assert_array_equal(mm._decode_pnm(blank), want)
     # P6 CRLF too (3 channels exercise the offset at a different width)
     rgb = bytes((x * 7 + y * 3 + c) % 256 for y in range(6) for x in range(6) for c in range(3))
     np.testing.assert_array_equal(
@@ -258,6 +256,13 @@ def test_native_decode_crlf_and_padded_separators():
     # spec one-byte offset is right — the "\r\n" rule must engage
     crlf_trailing = b"P5 8 8 255\r\n" + px + b"JUNK"
     np.testing.assert_array_equal(mm._decode_pnm(crlf_trailing), want)
+    # the r5 review's repro: spec-conformant one-byte separator, first
+    # pixel whitespace-valued (0x20), trailing newline — end-anchoring
+    # would skip the real first pixel and absorb the trailing byte
+    ws_px = bytes([32, 10, 200, 50])
+    ws_first = b"P5 2 2 255\n" + ws_px + b"\n"
+    got = mm._decode_pnm(ws_first)
+    np.testing.assert_array_equal(got, mm._decode_pnm(b"P5 2 2 255\n" + ws_px))
 
 
 def test_native_decode_rejects_malformed_payloads():
