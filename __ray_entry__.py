@@ -326,10 +326,10 @@ def entry() -> Any:
 # ~50 keys of queries() in insertion order. Round-5 curation (VERDICT
 # r4 #1/#2): the new SQL-checkable flagship invariant first, then four
 # er_* representatives (rows-only, clean in r01-r04; the other ten
-# er_* rotate behind the window to free slots), then the 17
+# er_* rotate behind the window to free slots), then the 18
 # oracle-backed queries that have never had a driver ★pass (with this
 # window every oracle-backed query is ★-verified cumulatively:
-# 71 in r3+r4 + 17 + er_invariant_check = 89/89), then ★r3 rows for
+# 71 in r3+r4 + 18 + er_invariant_check = 90/90), then ★r3 rows for
 # re-verification (oldest stars first).
 _WINDOW_FIRST = [
     # --- flagship: the ledger⇔data invariant, hash-checked in SQL ---
@@ -350,6 +350,7 @@ _WINDOW_FIRST = [
     "doc_bigram_surprisal",
     "duplicated_spans_exact",
     "kmeans_assign_exact",
+    "leakage_safe_splits",
     "merged_snapshot",
     "normalized_order_prices",
     "packed_texts",
@@ -386,13 +387,13 @@ _WINDOW_FIRST = [
     "ann_topk",
     "label_centroids",
     "embedding_norms",
-    "embedding_outliers",
 ]
 
 # Immediately after the 50-key window: the remaining ★r3 rows, then
 # (via the oracle-backed loop in queries()) every ★r4 row — all are
 # pytest-oracle-verified each run regardless (test_entry_oracles).
 _WINDOW_NEXT = [
+    "embedding_outliers",
     "last_touch_attribution",
     "error_click_window",
     "top_orders_per_customer",

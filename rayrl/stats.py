@@ -311,6 +311,108 @@ CORPUS_SPLITS_ORACLE = f"""
 """
 
 
+# ------------------------------ duplicate-aware (leakage-safe) split
+
+# re-keyed duplicate block for the leakage fixture: every 5th doc is
+# appended again under doc_id + SHIFT (disjoint from real ids, and
+# (id + SHIFT) % SAMPLE_MOD stays BIGINT-safe)
+LEAK_DUP_SHIFT = 1_000_000
+LEAK_DUP_MOD = 5
+
+
+def leakage_safe_splits(sf_dir: str):
+    """(doc_id, split): train/val/test assignment where every copy of a
+    duplicated text lands in the SAME split — the test-set leakage
+    guard `corpus_splits` lacks (a doc whose exact copy sits in train
+    silently inflates eval). The split verdict hangs off the text
+    GROUP, not the row: group by content, take the group's min doc_id
+    as representative, derive the split from the representative with
+    the same BIGINT-safe multiplicative hash as `corpus_splits`, and
+    join the verdict back to every member — duplicates inherit one
+    verdict, unique docs keep the uniform 96/2/2 marginal. The corpus
+    under test is documents ∪ a re-keyed copy of every 5th doc (the
+    driver table has no exact duplicates at small sf — the fixture
+    union makes the co-location property REAL in the oracle check,
+    not vacuous).
+
+    Scale shape: texts hash to 64-bit fingerprints in the read pass
+    (C-speed crc pair over the zero-copy Arrow byte view) and NEVER
+    shuffle; per-batch (fp, min id) partials feed one distinct-text-
+    sized bucketed min reduce; verdicts ride ONE int-only bucketed
+    join back to the (doc_id, fp) stream. Oracle parity: the SQL twin
+    groups by the text VALUE while the engine groups by crc64(text) —
+    identical partitions up to hash collisions (CLAUDE.md rule 17,
+    P ≤ C(n_distinct,2)·2⁻⁶⁴)."""
+    from .bytekernels import content_hash64
+    from .shuffle import bucketed_join, group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = content_hash64(batch.column("text"))
+        dup = ids % LEAK_DUP_MOD == 0
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([ids, ids[dup] + LEAK_DUP_SHIFT]),
+                "fp": np.concatenate([h, h[dup]]),
+            }
+        )
+
+    fps = ds.map_batches(
+        fp_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # int-only, consumed twice (reduce + probe join)
+
+    # per-batch combiner before the shuffle: one (fp, min id) partial
+    # per distinct fp per batch
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fp", sort=False, as_index=False).agg(rep=("doc_id", "min"))
+
+    reps = group_agg(
+        fps.map_batches(partial_min, batch_format="pandas"),
+        ["fp"],
+        {"rep": ("rep", "min")},
+    )
+
+    labels = np.array(["train", "val", "test"])
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df["rep"].to_numpy(np.int64)
+        h = (rep % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
+        split = labels[(h >= SPLIT_TRAIN_PCT).astype(np.int8) + (h >= SPLIT_VAL_PCT)]
+        return pd.DataFrame({"fp": df["fp"].to_numpy(np.int64), "split": split})
+
+    verdicts = reps.map_batches(verdict, batch_format="pandas")
+    return bucketed_join(fps, verdicts, ["fp"]).map_batches(
+        lambda df: df[["doc_id", "split"]], batch_format="pandas"
+    )
+
+
+LEAKAGE_SAFE_SPLITS_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {LEAK_DUP_SHIFT}, text FROM documents
+        WHERE doc_id % {LEAK_DUP_MOD} = 0
+    ),
+    lab AS (
+        SELECT text,
+               CASE WHEN h < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN h < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT text, ((rep % {SAMPLE_MOD}) * {SAMPLE_MUL})
+                             % {SAMPLE_PRIME} % 100 AS h
+            FROM (SELECT text, min(doc_id) AS rep FROM corpus GROUP BY text)
+        )
+    )
+    SELECT c.doc_id, l.split
+    FROM corpus c JOIN lab l ON c.text = l.text
+"""
+
+
 # --------------------------------------- deterministic global shuffle
 
 def shuffled_documents(sf_dir: str):
@@ -1026,6 +1128,7 @@ STATS_QUERIES = {
     "sampled_documents": sampled_documents,
     "shuffled_documents": shuffled_documents,
     "corpus_splits": corpus_splits,
+    "leakage_safe_splits": leakage_safe_splits,
     "table_quality_report": table_quality_report,
     "lang_top_terms": lang_top_terms,
     "weighted_sampled_documents": weighted_sampled_documents,
@@ -1044,6 +1147,7 @@ STATS_ORACLES = {
     "sampled_documents": SAMPLED_DOCUMENTS_ORACLE,
     "shuffled_documents": SHUFFLED_DOCUMENTS_ORACLE,
     "corpus_splits": CORPUS_SPLITS_ORACLE,
+    "leakage_safe_splits": LEAKAGE_SAFE_SPLITS_ORACLE,
     "table_quality_report": QUALITY_REPORT_ORACLE,
     "lang_top_terms": LANG_TOP_TERMS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,

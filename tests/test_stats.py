@@ -93,3 +93,38 @@ def test_shuffled_documents_is_exact_permutation(ray_session):
     h = (ids.astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
     order = np.lexsort((ids, h))
     assert list(got["doc_id"]) == list(ids[order])
+
+
+def test_leakage_safe_splits_colocates_duplicates(ray_session):
+    """Every copy of a duplicated text must land in the SAME split
+    (the leakage guard), the assignment must be invariant to input
+    block layout, and singleton docs must match corpus_splits' plain
+    per-id hash (the representative IS the doc)."""
+    from rayrl.stats import (
+        LEAK_DUP_MOD,
+        LEAK_DUP_SHIFT,
+        SAMPLE_MOD,
+        SAMPLE_MUL,
+        SAMPLE_PRIME,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        leakage_safe_splits,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = leakage_safe_splits(sf).to_pandas()
+    m = got.set_index("doc_id")["split"]
+    dup_ids = [i for i in m.index if i >= LEAK_DUP_SHIFT]
+    assert dup_ids, "fixture union produced no duplicate block"
+    # co-location: the re-keyed copy inherits its source's split
+    assert all(m[i] == m[i - LEAK_DUP_SHIFT] for i in dup_ids)
+    # determinism across runs (block layout is Ray's to choose; two
+    # executions must agree row-for-row)
+    again = leakage_safe_splits(sf).to_pandas().set_index("doc_id")["split"]
+    assert m.sort_index().equals(again.sort_index())
+    # singleton docs (not in the dup block) follow the plain rep-hash
+    labels = np.array(["train", "val", "test"])
+    singles = m[(m.index < LEAK_DUP_SHIFT) & (m.index % LEAK_DUP_MOD != 0)]
+    h = (singles.index.to_numpy(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
+    want = labels[(h >= SPLIT_TRAIN_PCT).astype(np.int8) + (h >= SPLIT_VAL_PCT)]
+    assert (singles.to_numpy() == want).all()
