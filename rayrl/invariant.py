@@ -246,7 +246,10 @@ def er_invariant_check(sf_dir: str, specs=None, n_rows: int | None = None):
     dirty_orig = dirty.filter(expr=f"row_uid < {DUP_UID_OFFSET}").map_batches(
         _slim("d"), batch_format="pandas"
     )
-    clean_slim = clean.map_batches(_slim("c"), batch_format="pandas")
+    # materialized: consumed by TWO joins (originals + duplicates) —
+    # unmaterialized, the full clean scan + projection would execute
+    # twice (r5 review)
+    clean_slim = clean.map_batches(_slim("c"), batch_format="pandas").materialize()
     j = bucketed_join(dirty_orig, clean_slim, ["record_id"], num_buckets=16)
     for side in (xchain, lchain, tchain, any_tbl if n_any_touched else None):
         if side is not None:

@@ -420,6 +420,13 @@ def batch_shingles(col) -> tuple[np.ndarray, np.ndarray, int]:
     if isinstance(col, list):
         col = pa.array([t if t is not None else "" for t in col], pa.string())
     data, offsets = string_view(col)
+    # ``data`` is the PARENT buffer: compact a sliced/offset view to its
+    # window once so the uint64 widening and the full-buffer shingle
+    # pass below cost O(slice), not O(parent) (r5 review — same fix as
+    # word_bigram_minhash; positions stay consistent by construction)
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(data)):
+        data = data[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
     n = len(offsets) - 1
     if n == 0 or len(data) == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64), n

@@ -309,18 +309,65 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
-def _decode_or_tile(payload: bytes, fake: bool) -> "tuple[np.ndarray, bool]":
+_ROW_OK, _ROW_FALLBACK, _ROW_MISSING = 0, 1, 2
+
+
+def _content_tile(payload: bytes) -> np.ndarray:
+    """Whole-payload fingerprint tile for undecodable rows: 64 bytes
+    expanded from a 64-bit content hash (two structurally independent
+    crc32 passes, splitmix stream), NOT the leading bytes. Same-encoder
+    headers must not make DISTINCT undecodable payloads alias — the
+    leading-byte tile gave every same-encoder JPEG an identical dHash
+    and emitted massive false near-dup sets (r5 review) — while
+    byte-identical payloads still collide exactly (a true exact dup)."""
+    import zlib
+
+    from . import rng
+
+    h = np.uint64(zlib.crc32(payload)) << np.uint64(32) | np.uint64(
+        zlib.crc32(payload[::-1])
+    )
+    return (rng._splitmix64(h ^ np.arange(64, dtype=np.uint64)) & np.uint64(0xFF)).astype(
+        np.uint8
+    ).reshape(8, 8)
+
+
+def _decode_or_tile(payload: bytes, fake: bool) -> "tuple[np.ndarray, int]":
     """Per-row decode with fallback: one corrupt payload in a 100 TB
-    corpus must NOT kill the whole map_batches task. Undecodable
-    payloads (truncated image, unknown format without PIL, PIL decode
-    error) fall back to the deterministic byte-tile fingerprint;
-    callers count the fallbacks and log. Returns (thumb, fell_back)."""
+    corpus must NOT kill the whole map_batches task. Returns
+    (thumb, status): _ROW_OK for a real decode (or the fake stand-in
+    the caller asked for), _ROW_MISSING for an empty/NULL payload (a
+    fetch failure, not a decode failure — zero tile, excluded from the
+    all-fallback guard and from fingerprint pairing), _ROW_FALLBACK for
+    an undecodable payload (content-hash tile; counted and logged)."""
     if fake:
-        return decode_image(payload, fake=True), False
+        return decode_image(payload, fake=True), _ROW_OK
+    if not payload:
+        return np.zeros((8, 8), np.uint8), _ROW_MISSING
     try:
-        return decode_image(payload), False
+        return decode_image(payload), _ROW_OK
     except Exception:  # noqa: BLE001 — any decoder failure, by design
-        return decode_image(payload, fake=True), True
+        return _content_tile(payload), _ROW_FALLBACK
+
+
+def _guard_fallbacks(op: str, n_fallback: int, n_decodable: int) -> None:
+    """EVERY non-empty payload of a non-trivial batch undecodable = a
+    systematic misconfiguration (e.g. JPEG corpus, no PIL in the prod
+    image) — fail loudly rather than emit a whole corpus of stand-in
+    fingerprints. Empty/NULL payloads are excluded from
+    ``n_decodable`` and never trip the guard (r5 review: a shard of
+    fetch failures is a legal shape at scale, not a misconfiguration)."""
+    if n_fallback and n_fallback == n_decodable and n_fallback >= 8:
+        raise RuntimeError(
+            f"{op}: all {n_fallback} non-empty payloads in a batch failed"
+            " to decode — wrong format for this environment? (PIL missing?)"
+        )
+    if n_fallback:
+        logger.warning(
+            "%s: %d undecodable payload(s) fell back to content-hash tiles",
+            op,
+            n_fallback,
+        )
 
 
 class MediaFeatures:
@@ -339,7 +386,7 @@ class MediaFeatures:
         payloads = batch.column("payload").to_pylist() if "payload" in batch.column_names else batch.column("html").to_pylist()
         ids = batch.column("media_id") if "media_id" in batch.column_names else batch.column("record_id")
         sizes, entropies, means, thumb_means = [], [], [], []
-        n_fallback = 0
+        n_fallback = n_decodable = 0
         for p in payloads:
             p = p or b""
             arr = np.frombuffer(p, dtype=np.uint8)
@@ -353,23 +400,11 @@ class MediaFeatures:
             else:
                 entropies.append(0.0)
                 means.append(0.0)
-            thumb, fell_back = _decode_or_tile(p, self.fake)
-            n_fallback += fell_back
+            thumb, status = _decode_or_tile(p, self.fake)
+            n_fallback += status == _ROW_FALLBACK
+            n_decodable += status != _ROW_MISSING
             thumb_means.append(round(float(thumb.mean()), 4))
-        if n_fallback and n_fallback == len(payloads) and n_fallback >= 8:
-            # EVERY payload of a non-trivial batch undecodable = a
-            # systematic misconfiguration (e.g. JPEG corpus, no PIL in
-            # the prod image) — fail loudly rather than emit a whole
-            # corpus of byte-tile stand-ins
-            raise RuntimeError(
-                f"MediaFeatures: all {n_fallback} payloads in a batch failed to"
-                " decode — wrong format for this environment? (PIL missing?)"
-            )
-        if n_fallback:
-            logger.warning(
-                "MediaFeatures: %d undecodable payload(s) fell back to byte-tile thumbnails",
-                n_fallback,
-            )
+        _guard_fallbacks("MediaFeatures", n_fallback, n_decodable)
         return pa.table(
             {
                 "media_id": ids,
@@ -420,25 +455,24 @@ class ImagePhash:
         idc = "media_id" if "media_id" in batch.column_names else "record_id"
         payloads = batch.column(col).to_pylist()
         decoded = [_decode_or_tile(p or b"", self.fake) for p in payloads]
-        n_fallback = sum(f for _, f in decoded)
-        if n_fallback and n_fallback == len(decoded) and n_fallback >= 8:
-            # see MediaFeatures: an all-fallback batch means the corpus
-            # format and the environment's decoders don't overlap —
-            # identical byte-tiles on same-encoder headers would emit
-            # massive false duplicate sets; fail loudly instead
-            raise RuntimeError(
-                f"ImagePhash: all {n_fallback} payloads in a batch failed to"
-                " decode — wrong format for this environment? (PIL missing?)"
-            )
-        if n_fallback:
-            logger.warning(
-                "ImagePhash: %d undecodable payload(s) fell back to byte-tile fingerprints",
-                n_fallback,
-            )
-        thumbs = np.stack([t for t, _ in decoded]) if decoded else np.zeros((0, 8, 8), np.uint8)
+        statuses = np.array([s for _, s in decoded], dtype=np.int8)
+        _guard_fallbacks(
+            "ImagePhash",
+            int((statuses == _ROW_FALLBACK).sum()),
+            int((statuses != _ROW_MISSING).sum()),
+        )
+        # empty/NULL payloads carry no fingerprint: drop them from the
+        # output rather than pair every fetch failure with every other
+        # (hamming-0 on the shared zero tile)
+        keep = statuses != _ROW_MISSING
+        thumbs = (
+            np.stack([t for (t, s) in decoded if s != _ROW_MISSING])
+            if keep.any()
+            else np.zeros((0, 8, 8), np.uint8)
+        )
         return pa.table(
             {
-                "media_id": batch.column(idc).cast(pa.int64()),
+                "media_id": batch.column(idc).cast(pa.int64()).filter(pa.array(keep)),
                 "phash": pa.array(dhash56(thumbs), pa.int64()),
             }
         )

@@ -149,33 +149,36 @@ def bucketed_join(
         # missing-side column downstream KeyErrors. Warn loudly (r5
         # review); callers needing the full inner schema in the empty
         # case must pass a typed empty table instead.
-        if lschema is None and rschema is None:
-            return left
-        known, missing_side = (
-            (rschema, "left") if lschema is None else (lschema, "right")
+        missing_side = (
+            "both" if lschema is None and rschema is None
+            else ("left" if lschema is None else "right")
         )
-        if how == "inner":
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "bucketed_join: %s side is schemaless-empty — the typed "
-                "empty result carries only the other side's columns "
-                "(%s); pass a typed empty table if downstream selects "
-                "the %s side's columns",
-                missing_side,
-                list(known.names),
-                missing_side,
-            )
         if how != "inner":
             # non-inner output schema is left ∪ right; a schemaless side
             # makes it unknowable — a right-only (or left-only) result
             # would KeyError downstream at the first select. Raise on
-            # BOTH sides, not just the row-producing one.
+            # ANY schemaless side, including both-empty (r5 review: the
+            # both-None case used to bypass this and return a schemaless
+            # Dataset whose first column access KeyErrors downstream).
             raise ValueError(
                 f"bucketed_join: {missing_side} side is schemaless-empty; "
                 f"a {how} join cannot synthesize its columns — pass a "
                 "typed empty table instead (pa.table with the schema)"
             )
+        if lschema is None and rschema is None:
+            return left
+        known = rschema if lschema is None else lschema
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bucketed_join: %s side is schemaless-empty — the typed "
+            "empty result carries only the other side's columns "
+            "(%s); pass a typed empty table if downstream selects "
+            "the %s side's columns",
+            missing_side,
+            list(known.names),
+            missing_side,
+        )
         known_types = {}
         for name, typ in zip(known.names, known.types):
             known_types[name] = typ if isinstance(typ, pa.DataType) else pa.null()

@@ -522,3 +522,49 @@ def test_native_png_rejects_unsupported():
         b"IDAT", zlib.compress(b"\x00" * 64)
     ) + chunk(b"IEND", b"")
     assert mm._decode_png(bombhdr) is None
+
+
+def test_fallback_tiles_are_content_hashes_not_headers():
+    """Real-decode fallback fingerprints must hang off the WHOLE
+    payload: two distinct undecodable payloads sharing a 64-byte
+    header (same-encoder JPEGs) must NOT alias, while byte-identical
+    undecodable payloads still collide exactly (a true exact dup).
+    Empty payloads are MISSING, not fallbacks."""
+    from rayrl import multimodal as mm
+
+    header = b"\xff\xd8\xff\xe0" + b"JFIF".ljust(60, b"\x00")  # 64 shared bytes
+    a = header + b"image-one-body"
+    b = header + b"image-two-body"
+    ta, sa = mm._decode_or_tile(a, fake=False)
+    tb, sb = mm._decode_or_tile(b, fake=False)
+    ta2, _ = mm._decode_or_tile(a, fake=False)
+    assert sa == sb == mm._ROW_FALLBACK
+    assert not np.array_equal(ta, tb)  # shared header must not alias
+    assert np.array_equal(ta, ta2)  # deterministic per payload
+    tz, sz = mm._decode_or_tile(b"", fake=False)
+    assert sz == mm._ROW_MISSING and not tz.any()
+
+
+def test_fallback_guard_ignores_missing_payloads(ray_session):
+    """A shard of >=8 empty/NULL payloads is a legal shape (fetch
+    failures), not a misconfiguration: the all-fallback guard must not
+    fire, and missing rows carry no fingerprint (dropped from the
+    phash output). A batch of >=8 NON-empty undecodable payloads still
+    raises."""
+    import pytest
+
+    from rayrl import multimodal as mm
+
+    ids = pa.array(range(10), pa.int64())
+    empties = pa.table({"media_id": ids, "payload": pa.array([b""] * 10, pa.binary())})
+    out = mm.ImagePhash(fake_decode=False)(empties)
+    assert out.num_rows == 0  # all missing -> no fingerprints, no raise
+
+    junk = pa.table(
+        {
+            "media_id": ids,
+            "payload": pa.array([b"not-an-image-%d" % i for i in range(10)], pa.binary()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="failed"):
+        mm.ImagePhash(fake_decode=False)(junk)

@@ -181,3 +181,7 @@ def test_bucketed_join_schemaless_sides(ray_session):
         bucketed_join(empty, full, ["k"], how="left")
     with pytest.raises(ValueError, match="schemaless-empty"):
         bucketed_join(full, empty, ["k"], how="left")
+    # BOTH sides schemaless must also raise for non-inner joins (r5
+    # review: this case used to slip past the one-side raises)
+    with pytest.raises(ValueError, match="schemaless-empty"):
+        bucketed_join(empty, empty, ["k"], how="left")

@@ -81,3 +81,36 @@ def test_read_any_csv_in_tsv_named_directory(ray_session, drops):
 def test_read_any_unknown_extension_raises(drops):
     with pytest.raises(ValueError, match="no reader"):
         read_any(os.path.join(drops, "t.xlsx"))
+
+
+def test_read_any_directory_dispatches_by_members(ray_session, drops, tmp_path):
+    """A directory dispatches on what's INSIDE it (r5 review: a CSV
+    drop directory used to be routed blindly to read_parquet): CSV
+    dirs parse as CSV, parquet dirs as parquet (metadata files
+    ignored), and empty or mixed dirs raise read_any's own ValueError."""
+    import shutil
+
+    csv_dir = tmp_path / "csv_drop"
+    csv_dir.mkdir()
+    shutil.copy(os.path.join(drops, "t.csv"), csv_dir / "part-0.csv")
+    df = read_any(str(csv_dir)).to_pandas().sort_values("record_id").reset_index(drop=True)
+    assert list(df["record_id"]) == [1, 2, 3]
+
+    pq_dir = tmp_path / "pq_drop"
+    pq_dir.mkdir()
+    shutil.copy(os.path.join(drops, "t.parquet"), pq_dir / "part-0.parquet")
+    (pq_dir / "_SUCCESS").write_text("")  # metadata files must not confuse the sniff
+    df = read_any(str(pq_dir), columns=["record_id"]).to_pandas()
+    assert sorted(df["record_id"]) == [1, 2, 3] and list(df.columns) == ["record_id"]
+
+    empty = tmp_path / "empty_drop"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no recognized data files"):
+        read_any(str(empty))
+
+    mixed = tmp_path / "mixed_drop"
+    mixed.mkdir()
+    shutil.copy(os.path.join(drops, "t.csv"), mixed / "a.csv")
+    shutil.copy(os.path.join(drops, "t.parquet"), mixed / "b.parquet")
+    with pytest.raises(ValueError, match="mixes"):
+        read_any(str(mixed))

@@ -169,3 +169,11 @@ def test_kmin_from_shingles_equals_per_row_batch():
     got = ss.kmin_from_shingles(codes, row_of, n, tags)
     want = ss.minhash_signatures_batch(texts, tags)
     assert np.array_equal(got, want)
+    # sliced/offset Arrow input: the slice-window compaction must hash
+    # identically to the compacted equivalent (and in O(slice))
+    import pyarrow as pa
+
+    parent = pa.array([t if t is not None else "" for t in texts], pa.string())
+    c2, r2, n2 = ss.batch_shingles(parent.slice(2, 5))
+    c3, r3, n3 = ss.batch_shingles([texts[i] or "" for i in range(2, 7)])
+    assert n2 == n3 and np.array_equal(c2, c3) and np.array_equal(r2, r3)
