@@ -92,3 +92,48 @@ def test_invariant_zero_draw_chains(ray_session):
         odf[sorted(odf.columns)].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_chain_per_record_matches_slow_mirror():
+    """_chain_per_record (the per-record first/last/breaks kernel the
+    whole invariant hangs off, refactored in r5) vs a row-by-row
+    mirror over hypothesis-random multi-entry ledgers, including ties
+    and out-of-order input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayrl.invariant import _chain_per_record
+
+    entry = st.tuples(
+        st.integers(0, 6),  # record_id (few ids → multi-entry chains)
+        st.integers(0, 20),  # seq
+        st.text("abc", min_size=0, max_size=2),  # before
+        st.text("abc", min_size=0, max_size=2),  # after
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(entry, min_size=1, max_size=40))
+    def run(rows):
+        # the bucketed caller never hands the kernel two entries of one
+        # record with the SAME seq (seq is the ledger's per-record
+        # mutation counter) — dedupe to honor that contract
+        seen = set()
+        rows = [r for r in rows if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+        df = pd.DataFrame(rows, columns=["record_id", "seq", "before", "after"])
+        got = (
+            _chain_per_record(df.sample(frac=1, random_state=1))
+            .sort_values("record_id")
+            .reset_index(drop=True)
+        )
+        want_rows = []
+        for rid, g in df.sort_values(["record_id", "seq"]).groupby("record_id"):
+            breaks = sum(
+                g["after"].iloc[i] != g["before"].iloc[i + 1] for i in range(len(g) - 1)
+            )
+            want_rows.append((rid, g["before"].iloc[0], g["after"].iloc[-1], breaks))
+        want = pd.DataFrame(
+            want_rows, columns=["record_id", "first_before", "last_after", "n_breaks"]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    run()

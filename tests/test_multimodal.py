@@ -568,3 +568,28 @@ def test_fallback_guard_ignores_missing_payloads(ray_session):
     )
     with pytest.raises(RuntimeError, match="failed"):
         mm.ImagePhash(fake_decode=False)(junk)
+
+
+def test_dhash56_matches_per_pixel_mirror():
+    """dhash56's vectorized bit packing vs a per-pixel loop over
+    hypothesis-random thumbnails."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayrl.multimodal import dhash56
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(0, 255), min_size=64, max_size=192).filter(lambda v: len(v) % 64 == 0))
+    def run(vals):
+        thumbs = np.array(vals, np.uint8).reshape(-1, 8, 8)
+        got = dhash56(thumbs)
+        for t, h in zip(thumbs, got):
+            bits = 0
+            k = 0
+            for r in range(8):
+                for c in range(7):
+                    bits |= int(t[r, c] < t[r, c + 1]) << k
+                    k += 1
+            assert bits == int(np.uint64(h))
+
+    run()
