@@ -326,10 +326,10 @@ def entry() -> Any:
 # ~50 keys of queries() in insertion order. Round-5 curation (VERDICT
 # r4 #1/#2): the new SQL-checkable flagship invariant first, then four
 # er_* representatives (rows-only, clean in r01-r04; the other ten
-# er_* rotate behind the window to free slots), then the 18
+# er_* rotate behind the window to free slots), then the 19
 # oracle-backed queries that have never had a driver ★pass (with this
 # window every oracle-backed query is ★-verified cumulatively:
-# 71 in r3+r4 + 18 + er_invariant_check = 90/90), then ★r3 rows for
+# 71 in r3+r4 + 19 + er_invariant_check = 91/91), then ★r3 rows for
 # re-verification (oldest stars first).
 _WINDOW_FIRST = [
     # --- flagship: the ledger⇔data invariant, hash-checked in SQL ---
@@ -356,6 +356,7 @@ _WINDOW_FIRST = [
     "packed_texts",
     "ranked_orders",
     "revenue_cube",
+    "source_dup_matrix",
     "stream_dedup_summary",
     "surprisal_weighted_sample",
     "url_canonical_dedup",
@@ -386,13 +387,13 @@ _WINDOW_FIRST = [
     "ngram_jaccard_exact",
     "ann_topk",
     "label_centroids",
-    "embedding_norms",
 ]
 
 # Immediately after the 50-key window: the remaining ★r3 rows, then
 # (via the oracle-backed loop in queries()) every ★r4 row — all are
 # pytest-oracle-verified each run regardless (test_entry_oracles).
 _WINDOW_NEXT = [
+    "embedding_norms",
     "embedding_outliers",
     "last_touch_attribution",
     "error_click_window",

@@ -413,6 +413,100 @@ LEAKAGE_SAFE_SPLITS_ORACLE = f"""
 """
 
 
+# ------------------------------------ cross-source duplication matrix
+
+def source_dup_matrix(sf_dir: str):
+    """(source_a, source_b, n_dup_pairs): how many exact-duplicate doc
+    PAIRS each source pair shares — the standard input for
+    source-mixing and dedup-policy decisions (a source whose content is
+    mostly mirrored elsewhere should be down-weighted or dropped before
+    training). Within-source rows (a == b) count C(c, 2) internal dup
+    pairs; cross rows count c_a·c_b. The corpus under test is
+    documents ∪ a 'mirror' source re-keying every 5th doc (and every
+    10th doc TWICE, so the within-source branch is exercised) — the
+    driver table has no exact duplicates at small sf.
+
+    Scale shape: texts hash to 64-bit fingerprints in the read pass and
+    never shuffle; (fp, source) count partials ride ONE bucketed
+    shuffle (distinct (text, source)-sized); the per-fp pairing is an
+    in-bucket self-merge whose group width is bounded by the number of
+    SOURCES (small by construction), and the output is the ≤ S²-row
+    matrix. Oracle parity: engine groups by crc64(text), the SQL twin
+    by the text value (CLAUDE.md rule 17; collision bound
+    C(n_distinct,2)·2⁻⁶⁴)."""
+    from .bytekernels import content_hash64
+    from .shuffle import bucketed_group_apply, group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def fp_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column("source").to_pandas().to_numpy()
+        h = content_hash64(batch.column("text"))
+        m5 = ids % LEAK_DUP_MOD == 0
+        m10 = ids % (2 * LEAK_DUP_MOD) == 0
+        return pd.DataFrame(
+            {
+                "fp": np.concatenate([h, h[m5], h[m10]]),
+                "source": np.concatenate(
+                    [src, np.repeat("mirror", m5.sum()), np.repeat("mirror", m10.sum())]
+                ),
+            }
+        )
+
+    counts = group_agg(
+        ds.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp", "source"],
+        {"c": ("source", "size")},
+    )
+
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        # per-fp cross products; group width ≤ #sources, so the
+        # self-merge is bounded per fp
+        m = df.merge(df, on="fp", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]
+        same = m["source_a"] == m["source_b"]
+        ca, cb = m["c_a"].to_numpy(np.int64), m["c_b"].to_numpy(np.int64)
+        n = np.where(same, ca * (ca - 1) // 2, ca * cb)
+        out = pd.DataFrame(
+            {"source_a": m["source_a"], "source_b": m["source_b"], "n": n}
+        )
+        out = out[out["n"] > 0]
+        return out.groupby(["source_a", "source_b"], sort=False, as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    matrix = group_agg(
+        bucketed_group_apply(counts, ["fp"], pair_up, num_buckets=64),
+        ["source_a", "source_b"],
+        {"n_dup_pairs": ("n", "sum")},
+    )
+    return matrix
+
+
+SOURCE_DUP_MATRIX_ORACLE = f"""
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror', text FROM documents WHERE doc_id % {LEAK_DUP_MOD} = 0
+        UNION ALL
+        SELECT 'mirror', text FROM documents WHERE doc_id % {2 * LEAK_DUP_MOD} = 0
+    ),
+    g AS (SELECT text, source, count(*) AS c FROM corpus GROUP BY text, source)
+    SELECT source_a, source_b, CAST(sum(n) AS BIGINT) AS n_dup_pairs
+    FROM (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2
+                    ELSE a.c * b.c END AS n
+        FROM g a JOIN g b ON a.text = b.text AND a.source <= b.source
+    )
+    WHERE n > 0
+    GROUP BY source_a, source_b
+"""
+
+
 # --------------------------------------- deterministic global shuffle
 
 def shuffled_documents(sf_dir: str):
@@ -1129,6 +1223,7 @@ STATS_QUERIES = {
     "shuffled_documents": shuffled_documents,
     "corpus_splits": corpus_splits,
     "leakage_safe_splits": leakage_safe_splits,
+    "source_dup_matrix": source_dup_matrix,
     "table_quality_report": table_quality_report,
     "lang_top_terms": lang_top_terms,
     "weighted_sampled_documents": weighted_sampled_documents,
@@ -1148,6 +1243,7 @@ STATS_ORACLES = {
     "shuffled_documents": SHUFFLED_DOCUMENTS_ORACLE,
     "corpus_splits": CORPUS_SPLITS_ORACLE,
     "leakage_safe_splits": LEAKAGE_SAFE_SPLITS_ORACLE,
+    "source_dup_matrix": SOURCE_DUP_MATRIX_ORACLE,
     "table_quality_report": QUALITY_REPORT_ORACLE,
     "lang_top_terms": LANG_TOP_TERMS_ORACLE,
     "weighted_sampled_documents": WEIGHTED_SAMPLE_ORACLE,

@@ -18,7 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_window_is_first_50_and_oracle_backed():
     """The driver verifies exactly the first ~50 queries() keys. The
     round-5 window: the SQL-checkable flagship invariant first, four
-    er_* representatives, then only oracle-backed keys (the 18
+    er_* representatives, then only oracle-backed keys (the 19
     never-★-verified rows ahead of ★r3 re-confirmations), nothing
     duplicated, nothing missing."""
     q = list(entry_mod.queries())

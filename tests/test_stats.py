@@ -128,3 +128,24 @@ def test_leakage_safe_splits_colocates_duplicates(ray_session):
     h = (singles.index.to_numpy(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
     want = labels[(h >= SPLIT_TRAIN_PCT).astype(np.int8) + (h >= SPLIT_VAL_PCT)]
     assert (singles.to_numpy() == want).all()
+
+
+def test_source_dup_matrix_counts(ray_session):
+    """Within-source pairs count C(c,2): the 'mirror' source holds one
+    copy of every 5th doc plus a second copy of every 10th, so
+    (mirror, mirror) = #(%10 docs) and each real source's cross count
+    equals its mirrored docs (doubled for %10 ones)."""
+    import pyarrow.parquet as pq
+
+    from rayrl.stats import LEAK_DUP_MOD, source_dup_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = source_dup_matrix(sf).to_pandas()
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    n10 = int((ids % (2 * LEAK_DUP_MOD) == 0).sum())
+    within = got[(got["source_a"] == "mirror") & (got["source_b"] == "mirror")]
+    assert int(within["n_dup_pairs"].iloc[0]) == n10
+    # cross totals: every %5 doc contributes c_mirror pairs to its source
+    cross = got[got["source_a"] != got["source_b"]]["n_dup_pairs"].sum()
+    n5 = int((ids % LEAK_DUP_MOD == 0).sum())
+    assert int(cross) == n5 + n10  # c=1 rows pair once, c=2 rows twice
