@@ -40,7 +40,11 @@ class JsonExtract:
                 v = json.loads(s).get(self.field) if s else None
             except (ValueError, AttributeError):
                 v = None
-            vals.append(int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None)
+            # round() not int(): SQL CAST(double AS BIGINT) rounds
+            # half-to-even (DuckDB: 2.5→2, 3.5→4, 3.7→4) — truncation
+            # would group k=3.7 under 3 while the oracle groups it
+            # under 4 (r5 review, verified against DuckDB)
+            vals.append(round(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None)
         out = batch.drop_columns([self.col])
         return out.append_column(self.field, pa.array(vals, pa.int64()))
 
@@ -61,15 +65,26 @@ def props_value_agg(ds: "ray.data.Dataset"):
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        out = df.groupby("k", sort=False, as_index=False, dropna=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
-        )
+        import pyarrow.compute as pc
+
         # malformed rows carry k = NULL; a null key would silently drop
         # out of the bucketed shuffle, so it rides as a sentinel and is
-        # decoded after the reduce (SQL GROUP BY keeps the NULL group)
-        out["k"] = out["k"].astype("Int64").fillna(NULL_K).astype("int64")
-        return out
+        # decoded after the reduce (SQL GROUP BY keeps the NULL group).
+        # The sentinel fill happens at the ARROW level: an int64 column
+        # with nulls through to_pandas() becomes float64 and silently
+        # rounds keys above 2^53 (CLAUDE.md rule 14 — r5 review,
+        # verified: 2^60+1 aliased to 2^60)
+        df = pd.DataFrame(
+            {
+                "k": pc.fill_null(batch.column("k"), NULL_K)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "value": batch.column("value").to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("k", sort=False, as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
 
     red = group_agg(
         parsed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
@@ -100,9 +115,14 @@ def export_jsonl(ds: "ray.data.Dataset", out_dir: str) -> dict:
     interchange format — one JSON object per line, one file per block,
     never one giant file, so a failed export reruns per shard and a
     trainer streams shards independently). Returns a manifest
-    {n_rows, n_files}."""
+    {n_rows, n_files}. The directory is cleared first: Ray names
+    shards uniquely per execution, so a rerun into a stale directory
+    would overcount n_files and read_jsonl would yield duplicated
+    training rows (r5 review)."""
     import os
+    import shutil
 
+    shutil.rmtree(out_dir, ignore_errors=True)
     ds = ds.materialize()
     ds.write_json(out_dir)
     files = [f for f in os.listdir(out_dir) if f.endswith(".json")]

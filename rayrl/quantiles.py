@@ -47,6 +47,18 @@ def _f2u(x: np.ndarray) -> np.ndarray:
     return np.where(b >= 0, b + np.int64(-(2**63)), ~b).view(np.uint64)
 
 
+def _u2f(u: int) -> float:
+    """Inverse of _f2u for one point — resolves a width-0 interval
+    directly (no data collect needed: the interval IS the value)."""
+    uu = np.uint64(u)
+    b = (
+        np.int64(uu - np.uint64(2**63))
+        if u >= 2**63
+        else np.array([~uu], dtype=np.uint64).view(np.int64)[0]
+    )
+    return float(np.array([b], dtype=np.int64).view(np.float64)[0])
+
+
 @dataclass
 class _Target:
     group: tuple
@@ -78,10 +90,23 @@ def distributed_quantiles(
     interpolation's last-ulp indeterminacy vs other engines)."""
     ds = ds.materialize()  # scanned once per refinement pass
 
-    # Pass A: per-group counts (bounded cardinality -> native groupby).
-    from ray.data.aggregate import Count
+    # Pass A: per-group counts of COUNTABLE values — the same
+    # NaN/null-excluding convention every later scan uses. A plain row
+    # Count() would include null/NaN rows, inflating n: the q=0.75 rank
+    # then points past the available order statistics (IndexError in
+    # the reduce) and disagrees with quantile_cont, which ignores NULLs
+    # (r5 review).
+    def _n_countable(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        out = df.loc[~np.isnan(vals), group_cols].copy()
+        out["n"] = 1
+        return out.groupby(group_cols, sort=False, as_index=False).agg(n=("n", "sum"))
 
-    counts = ds.groupby(group_cols).aggregate(Count(alias_name="n")).to_pandas()
+    counts = group_agg(
+        ds.map_batches(_n_countable, batch_format="pandas"),
+        group_cols,
+        {"n": ("n", "sum")},
+    ).to_pandas()
 
     targets: dict[int, _Target] = {}
     plan: list[tuple[tuple, float, int, int, float]] = []  # group, q, tid_lo, tid_hi, frac
@@ -114,11 +139,21 @@ def distributed_quantiles(
         active = {t: tg for t, tg in targets.items() if not tg.done}
         if not active:
             break
-        # direct-resolve targets whose interval or count is small
+        # width-0 intervals ARE their value — resolve with no collect.
+        # (A narrow-but-heavy interval keeps refining instead: the old
+        # `hi - lo < bins` collect gate pulled every matching row to
+        # the driver, unbounded for a value repeated 10⁸ times — r5
+        # review. One more histogram pass at width < bins collapses it
+        # to width 0 for free.)
+        for tg in active.values():
+            if tg.lo == tg.hi:
+                tg.value = _u2f(tg.lo)
+                tg.done = True
+        # bounded direct-resolve: only intervals whose COUNT fits the
+        # gate ever ship rows to the driver
         narrow = {
-            t: tg
-            for t, tg in active.items()
-            if tg.count <= collect_gate or tg.hi - tg.lo < bins
+            t: tg for t, tg in active.items()
+            if not tg.done and tg.count <= collect_gate
         }
         if narrow:
             _collect_resolve(ds, value_col, group_cols, narrow)

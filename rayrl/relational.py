@@ -121,12 +121,18 @@ def customers_without_finished_orders(sf_dir: str):
     customer keys — ≤ |customer| ≈ 150k·SF rows × 8 B (TPC-H shape), so
     ~1.2 GB even at SF=1000; a corpus without that bound would need the
     bucketed-join anti-join fallback (resolve_linkage's gated shape)."""
-    keys = np.unique(
-        np.asarray(
-            _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
-            .filter(expr="o_orderstatus == 'F'")
-            .unique("o_custkey")
-        )
+    finished = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .materialize()
+    )
+    # zero-draw guard (CLAUDE.md rule 21): with no finished orders the
+    # filtered Dataset is SCHEMALESS and unique() would raise; the
+    # anti-join's correct answer is then "every customer"
+    keys = (
+        np.unique(np.asarray(finished.unique("o_custkey")))
+        if finished.count()
+        else np.array([], np.int64)
     )
     keys_ref = ray.put(keys)
 
@@ -161,10 +167,13 @@ def token_frequencies(sf_dir: str, k: int = 50):
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        # empty/null texts contribute nothing (the old Counter loop's
-        # `if t:` guard); Arrow split of "" would otherwise emit [""]
-        col = batch.column("text").combine_chunks()
-        col = col.filter(pc.greater(pc.utf8_length(col), 0))
+        # NULL texts contribute nothing (SQL: string_split(NULL) →
+        # NULL, unnest yields no row) but EMPTY texts count one ''
+        # token, exactly like the oracle's string_split('', ' ') → ['']
+        # — and like the engine's own interior splits ('a  b' →
+        # ['a', '', 'b']), which already count '' (r5 review: the old
+        # length>0 filter silently diverged on blank-text corpora)
+        col = batch.column("text").combine_chunks().drop_null()
         toks = pc.list_flatten(pc.split_pattern(col, " "))
         g = pd.Series(np.ones(len(toks), dtype=np.int64)).groupby(
             toks.to_pandas(), sort=False

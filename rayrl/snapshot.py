@@ -32,13 +32,28 @@ MUT_MOD = 7  # re-crawl mutation: doc_id % 7 == 0 gets ' v2' appended
 def snapshot_diff(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    # NULL texts must hash DISTINCT from '' and from every real text:
+    # content_hash64 sees a null slot as the empty slice, so an
+    # unmutated NULL row would read 'unchanged' while SQL's equality
+    # says otherwise (r5 review). Sentinel-fill nulls before hashing;
+    # the oracle compares with IS NOT DISTINCT FROM so NULL==NULL is
+    # 'unchanged' on both engines. Collision bound: a real text equal
+    # to the two-byte control sentinel (negligible, rule-17 trade).
+    _NULL_TEXT = "\x01\x00"
+
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h_old = content_hash64(batch.column("text"))
-        texts = batch.column("text").to_pylist()
+        col = batch.column("text")
+        texts = col.to_pylist()
+        if col.null_count:
+            old_texts = [t if t is not None else _NULL_TEXT for t in texts]
+            h_old = content_hash64(pa.array(old_texts, pa.string()))
+        else:  # zero-copy fast path — the common all-non-null batch
+            h_old = content_hash64(col)
         mut = ids % MUT_MOD == 0
         new_texts = [
-            (t or "") + " v2" if m else t for t, m in zip(texts, mut)
+            ((t or "") + " v2") if m else (t if t is not None else _NULL_TEXT)
+            for t, m in zip(texts, mut)
         ]
         h_new = content_hash64(pa.array(new_texts, pa.string()))
         old_mask = ids % OLD_MOD == 0
@@ -85,13 +100,14 @@ SNAPSHOT_DIFF_ORACLE = f"""
         SELECT doc_id, text FROM documents WHERE doc_id % {OLD_MOD} = 0
     ), new AS (
         SELECT doc_id,
-               CASE WHEN doc_id % {MUT_MOD} = 0 THEN text || ' v2' ELSE text END AS text
+               CASE WHEN doc_id % {MUT_MOD} = 0
+                    THEN COALESCE(text, '') || ' v2' ELSE text END AS text
         FROM documents WHERE doc_id % {NEW_MOD} != 0
     )
     SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
            CASE WHEN old.doc_id IS NULL THEN 'added'
                 WHEN new.doc_id IS NULL THEN 'removed'
-                WHEN old.text = new.text THEN 'unchanged'
+                WHEN old.text IS NOT DISTINCT FROM new.text THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM old FULL JOIN new ON old.doc_id = new.doc_id
 """
@@ -129,6 +145,12 @@ def merge_upsert(
         return fn
 
     n_delta = delta.count()
+    if n_delta == 0:
+        # an incremental crawl with zero new/changed docs is a routine
+        # input, and its all-filtered delta is typically SCHEMALESS
+        # (CLAUDE.md rule 21) — selecting its key column would raise.
+        # The upsert is exactly "base, all rows tagged 'base'".
+        return base.map_batches(tag("base"), batch_format="pyarrow")
     if n_delta <= broadcast_gate:
         parts = [
             b.column(key).to_numpy()
@@ -199,11 +221,12 @@ MERGED_SNAPSHOT_ORACLE = f"""
         SELECT doc_id, text FROM documents WHERE doc_id % {OLD_MOD} = 0
     ), delta AS (
         SELECT doc_id,
-               CASE WHEN doc_id % {MUT_MOD} = 0 THEN text || ' v2' ELSE text END AS text
+               CASE WHEN doc_id % {MUT_MOD} = 0
+                    THEN COALESCE(text, '') || ' v2' ELSE text END AS text
         FROM documents WHERE doc_id % {NEW_MOD} != 0
     )
     SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
-           COALESCE(d.text, b.text) AS text,
+           CASE WHEN d.doc_id IS NULL THEN b.text ELSE d.text END AS text,
            CASE WHEN d.doc_id IS NULL THEN 'base' ELSE 'delta' END AS origin
     FROM base b FULL JOIN delta d ON b.doc_id = d.doc_id
 """

@@ -1,0 +1,171 @@
+"""Regression net for the r5 old-module review findings: exact int64
+JSON keys, SQL-cast rounding, rerun-safe exports, null-text snapshot
+parity, empty-delta upserts, zero-draw anti-joins, and blank-text
+token counts."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+
+def test_json_extract_keeps_big_int_keys_exact(ray_session):
+    """A null-k row in the same batch must not degrade other keys:
+    int64-with-null through pandas becomes float64 and 2^60+1 aliases
+    to 2^60 (CLAUDE.md rule 14 — the exact failure the review
+    reproduced)."""
+    from rayrl.jsonops import props_value_agg
+
+    big = 2**60 + 1
+    tbl = pa.table(
+        {
+            "props": pa.array(
+                ['{"k": %d}' % big, '{"k": %d}' % (2**60), "not json", '{"k": 7}'],
+                pa.string(),
+            ),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        }
+    )
+    got = props_value_agg(ray.data.from_arrow(tbl)).to_pandas()
+    by_k = {None if pd.isna(k) else int(k): n for k, n in zip(got["k"], got["n_events"])}
+    assert by_k.get(big) == 1 and by_k.get(2**60) == 1  # distinct, not aliased
+    assert by_k.get(7) == 1 and by_k.get(None) == 1
+
+
+def test_json_extract_rounds_like_sql_cast(ray_session):
+    """Float fields group under round-half-to-even (DuckDB CAST:
+    3.7→4, 2.5→2, 3.5→4), not truncation."""
+    from rayrl.jsonops import PROPS_VALUE_BY_K_ORACLE, props_value_agg
+
+    props = ['{"k": 3.7}', '{"k": 2.5}', '{"k": 3.5}', '{"k": -2.5}']
+    tbl = pa.table(
+        {
+            "props": pa.array(props, pa.string()),
+            "value": pa.array([1.0] * len(props), pa.float64()),
+        }
+    )
+    got = props_value_agg(ray.data.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(PROPS_VALUE_BY_K_ORACLE).df()
+    g = got.sort_values("k").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    assert list(g["k"].astype("Int64")) == list(w["k"].astype("Int64"))
+    assert list(g["n_events"]) == list(w["n_events"])
+
+
+def test_export_jsonl_rerun_does_not_duplicate(ray_session, tmp_path):
+    """Re-exporting into the same directory must not leave stale
+    shards behind (duplicated training rows on read-back)."""
+    from rayrl.jsonops import export_jsonl, read_jsonl
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(10), "text": ["x"] * 10}))
+    out = str(tmp_path / "jl")
+    m1 = export_jsonl(ds, out)
+    m2 = export_jsonl(ds, out)  # rerun into the same dir
+    assert m2["n_rows"] == 10 and m2["n_files"] == m1["n_files"]
+    assert read_jsonl(out).count() == 10
+
+
+def test_snapshot_diff_null_text_matches_oracle(ray_session, tmp_path):
+    """NULL texts: unmutated NULL→NULL reads 'unchanged' on BOTH
+    engines (IS NOT DISTINCT FROM), NULL→'...v2' mutation reads
+    'changed', and NULL never collides with '' (the old empty-slice
+    hash called both 'unchanged')."""
+    from rayrl.snapshot import SNAPSHOT_DIFF_ORACLE, snapshot_diff
+
+    n = 60
+    texts = [None if i % 4 == 0 else ("" if i % 4 == 1 else f"text {i}") for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts, pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        snapshot_diff(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(SNAPSHOT_DIFF_ORACLE).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_upsert_empty_delta_returns_base(ray_session):
+    """A zero-change incremental crawl (schemaless-empty delta) must
+    return base tagged 'base', not raise (CLAUDE.md rule 21)."""
+    from rayrl.snapshot import merge_upsert
+
+    base = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    )
+    empty = base.filter(lambda r: False).materialize()
+    assert empty.schema() is None  # precondition
+    out = merge_upsert(base, empty).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert (out["origin"] == "base").all()
+
+
+def test_customers_anti_join_zero_finished_orders(ray_session, tmp_path):
+    """No 'F' orders → the filtered key set is schemaless-empty; the
+    anti-join must return EVERY customer instead of raising."""
+    from rayrl.relational import customers_without_finished_orders
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderkey": pa.array([10, 20], pa.int64()),
+                "o_orderstatus": pa.array(["O", "P"], pa.string()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["x", "y", "z"], pa.string()),
+                "c_acctbal": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    got = customers_without_finished_orders(str(tmp_path)).to_pandas()
+    assert sorted(got["c_custkey"]) == [1, 2, 3]
+
+
+def test_token_frequencies_counts_empty_texts_like_sql(ray_session, tmp_path):
+    """'' texts count one '' token (string_split('', ' ') → ['']);
+    NULL texts count nothing — engine and DuckDB twin agree on a
+    blank-heavy corpus."""
+    from rayrl.relational import ORACLES, token_frequencies
+
+    texts = ["a b", "", "", None, "a", " "]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = token_frequencies(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(ORACLES["token_frequencies"]).df().reset_index(drop=True)
+    # '' appears from the two empty docs + the ' ' doc's two sides
+    assert int(got.loc[got["token"] == "", "n"].iloc[0]) == 4
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

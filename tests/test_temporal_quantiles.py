@@ -62,3 +62,55 @@ def test_quantiles_negative_and_parallelism_independent(ray_session):
     )
     for _, row in a.iterrows():
         assert row["value"] == pytest.approx(_expected(df["x"], row["q"]), abs=1e-4)
+
+
+def test_quantiles_exclude_nulls_like_sql(ray_session):
+    """NULL/NaN values must not inflate the rank base: quantile_cont
+    ignores NULLs, and the old row Count() pushed the q=0.75 rank past
+    the available order statistics (IndexError) — r5 review."""
+    rng = np.random.default_rng(5)
+    vals = rng.normal(100, 10, 300)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 450,
+            "v": np.concatenate([vals, np.full(150, np.nan)]),
+        }
+    )
+    got = distributed_quantiles(ray.data.from_pandas(df).repartition(4), "v", ["g"])
+    clean = np.sort(vals)
+    for q in (0.25, 0.5, 0.75):
+        r = q * (len(clean) - 1)
+        lo, hi = math.floor(r), math.ceil(r)
+        want = (1 - (r - lo)) * clean[lo] + (r - lo) * clean[hi]
+        assert abs(float(got.loc[got["q"] == q, "value"].iloc[0]) - round(want, 4)) < 1e-9
+
+
+def test_quantiles_heavy_hitter_resolves_without_driver_collect(ray_session, monkeypatch):
+    """A value repeated far beyond the collect gate must resolve by
+    width collapse, never by shipping its rows to the driver (the old
+    `hi - lo < bins` gate collected ALL matching rows — r5 review).
+    The monkeypatch asserts every collect honors the gate."""
+    from rayrl import quantiles as qmod
+
+    orig = qmod._collect_resolve
+    gate = 64
+
+    def guarded(ds, value_col, group_cols, targets):
+        for tg in targets.values():
+            assert tg.count <= gate, f"collect of {tg.count} rows breaches the gate"
+        return orig(ds, value_col, group_cols, targets)
+
+    monkeypatch.setattr(qmod, "_collect_resolve", guarded)
+    # 5000 copies of the median value + unique tails
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 7000,
+            "v": np.concatenate(
+                [np.full(5000, 42.5), np.arange(1000), 1000 + np.arange(1000.0)]
+            ),
+        }
+    )
+    got = distributed_quantiles(
+        ray.data.from_pandas(df).repartition(4), "v", ["g"], collect_gate=gate
+    )
+    assert float(got.loc[got["q"] == 0.5, "value"].iloc[0]) == 42.5
