@@ -93,7 +93,28 @@ def bloom_semi_join(
     keys = build.select_columns([build_key])
     if build_key != big_key:
         keys = keys.rename_columns({build_key: big_key})
-    bits = keys.aggregate(bloom_build_agg(big_key, m_bits, k))["bloom"]
+    # materialized: the key stream feeds BOTH the bitset aggregate and
+    # the exact-verify join — unmaterialized, the build-side read +
+    # filter would execute twice (r5 review)
+    keys = keys.materialize()
+    agg = keys.aggregate(bloom_build_agg(big_key, m_bits, k))
+    if agg is None:
+        # empty build side: Dataset.aggregate returns None, and the
+        # semi-join of anything against an empty key set is exactly
+        # empty — return a typed empty with big's schema (rule 21)
+        import pyarrow as _pa
+
+        schema = big.schema()
+        if schema is None:
+            return big  # big itself is schemaless-empty
+        types = {
+            n: (t if isinstance(t, _pa.DataType) else _pa.null())
+            for n, t in zip(schema.names, schema.types)
+        }
+        return ray.data.from_arrow(
+            _pa.table({c: _pa.array([], type=t) for c, t in types.items()})
+        )
+    bits = agg["bloom"]
     bits_ref = ray.put(bits)
 
     def prefilter(batch: pa.Table) -> pa.Table:

@@ -16,6 +16,30 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+
+def split_tokens(col: "pa.ChunkedArray | pa.Array") -> "tuple[pa.Array, np.ndarray]":
+    """Whitespace split with SQL NULL semantics: a NULL text yields
+    ZERO tokens — lens 0 and nothing in the flat stream — exactly like
+    ``unnest(string_split(NULL, ' '))``. Without the fill, a null
+    slot's length reads NaN, ``astype(int64)`` turns it INT64_MIN, and
+    ``np.repeat(ids, lens)`` crashes the whole stage on the first
+    null-text doc (r5 review — this hit every token stage in
+    tfidf/stats). ``pc.list_flatten`` skips null list slots, so
+    ``np.repeat(x, lens)`` stays aligned with the flat token stream by
+    construction. Returns (split_list_array, lens int64 ndarray)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    split = pc.split_pattern(col, " ")
+    lens = (
+        pc.fill_null(pc.list_value_length(split), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return split, lens
+
+
 def string_view(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy (data_bytes, offsets) view of a utf-8 string column.
     ``offsets`` has len(col)+1 int64 entries indexing into ``data``.
@@ -71,6 +95,23 @@ def content_hash64(col) -> np.ndarray:
         c2 = zlib.crc32(rmv[total - e : total - s])
         out[i] = ((c1 << 32) | c2) >> 1
     return out
+
+
+def content_hash64_nullsafe(col) -> np.ndarray:
+    """``content_hash64`` with SQL NULL semantics: a NULL slot hashes
+    to its OWN group, distinct from ``''`` and from every real text.
+    ``string_view`` sees a null slot as a zero-byte span, so the plain
+    hash silently merges NULL-text and empty-text docs — diverging
+    from a SQL twin that keeps them as separate groups (r5 review).
+    Collision bound: a real text equal to the two-control-byte
+    sentinel (negligible; document per CLAUDE.md rule 17)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "\x01\x00")
+    return content_hash64(col)
 
 
 def _per_row_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:

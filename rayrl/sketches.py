@@ -52,7 +52,6 @@ def _hll_accumulate(regs: np.ndarray, h: np.ndarray, p: int) -> np.ndarray:
     lead = np.zeros(len(r), dtype=np.uint8)
     shift = np.uint64(32)
     cur = r.copy()
-    width = np.full(len(r), 64, dtype=np.uint8)
     while shift >= 1:
         hi = cur >> shift
         is_lo = hi == 0

@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from .bytekernels import split_tokens
 from ray.data.aggregate import AggregateFn
 
 # ------------------------------------------------- corr / covar agg
@@ -208,14 +210,23 @@ SAMPLE_MUL = 2654435761  # Knuth multiplicative constant
 SAMPLE_PRIME = 1000000007
 
 
+def sample_rank(ids: np.ndarray) -> np.ndarray:
+    """The engine's ONE multiplicative-hash rank: (id mod 2^31-1) · K
+    mod p, BIGINT-safe (product < 2^63), bit-identical in numpy int64
+    and ANSI SQL — the single definition every sampling / shuffle /
+    mixing op derives from (r5 review: the formula was hand-copied at
+    8+ sites; one drifted constant silently breaks the cross-engine
+    reproducibility contract)."""
+    return (np.asarray(ids).astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+
+
 def hash_sample_mask(ids: np.ndarray, pct: int) -> np.ndarray:
     """Deterministic keep-mask over integer ids: pure BIGINT-safe
     arithmetic ((id mod 2^31-1) · K mod p mod 100 < pct), identical in
     numpy int64 and ANSI-SQL BIGINT — so the sample an engine takes is
     reproducible by any other engine, which is what makes sampled
     pipelines auditable."""
-    h = (ids.astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
-    return h < pct
+    return sample_rank(ids) % 100 < pct
 
 
 def sampled_documents(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
@@ -266,7 +277,7 @@ def corpus_splits(sf_dir: str):
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.int64) % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
+        h = sample_rank(ids) % 100
         split = labels[(h >= SPLIT_TRAIN_PCT).astype(np.int8) + (h >= SPLIT_VAL_PCT)]
         df = pd.DataFrame(
             {
@@ -343,7 +354,7 @@ def leakage_safe_splits(sf_dir: str):
     groups by the text VALUE while the engine groups by crc64(text) —
     identical partitions up to hash collisions (CLAUDE.md rule 17,
     P ≤ C(n_distinct,2)·2⁻⁶⁴)."""
-    from .bytekernels import content_hash64
+    from .bytekernels import content_hash64_nullsafe
     from .shuffle import bucketed_join, group_agg
 
     ds = ray.data.read_parquet(
@@ -352,7 +363,7 @@ def leakage_safe_splits(sf_dir: str):
 
     def fp_rows(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = content_hash64(batch.column("text"))
+        h = content_hash64_nullsafe(batch.column("text"))
         dup = ids % LEAK_DUP_MOD == 0
         return pd.DataFrame(
             {
@@ -380,7 +391,7 @@ def leakage_safe_splits(sf_dir: str):
 
     def verdict(df: pd.DataFrame) -> pd.DataFrame:
         rep = df["rep"].to_numpy(np.int64)
-        h = (rep % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME % 100
+        h = sample_rank(rep) % 100
         split = labels[(h >= SPLIT_TRAIN_PCT).astype(np.int8) + (h >= SPLIT_VAL_PCT)]
         return pd.DataFrame({"fp": df["fp"].to_numpy(np.int64), "split": split})
 
@@ -409,7 +420,7 @@ LEAKAGE_SAFE_SPLITS_ORACLE = f"""
         )
     )
     SELECT c.doc_id, l.split
-    FROM corpus c JOIN lab l ON c.text = l.text
+    FROM corpus c JOIN lab l ON c.text IS NOT DISTINCT FROM l.text
 """
 
 
@@ -434,7 +445,7 @@ def source_dup_matrix(sf_dir: str):
     matrix. Oracle parity: engine groups by crc64(text), the SQL twin
     by the text value (CLAUDE.md rule 17; collision bound
     C(n_distinct,2)·2⁻⁶⁴)."""
-    from .bytekernels import content_hash64
+    from .bytekernels import content_hash64_nullsafe
     from .shuffle import bucketed_group_apply, group_agg
 
     ds = ray.data.read_parquet(
@@ -444,7 +455,7 @@ def source_dup_matrix(sf_dir: str):
     def fp_rows(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         src = batch.column("source").to_pandas().to_numpy()
-        h = content_hash64(batch.column("text"))
+        h = content_hash64_nullsafe(batch.column("text"))
         m5 = ids % LEAK_DUP_MOD == 0
         m10 = ids % (2 * LEAK_DUP_MOD) == 0
         return pd.DataFrame(
@@ -500,7 +511,7 @@ SOURCE_DUP_MATRIX_ORACLE = f"""
         SELECT a.source AS source_a, b.source AS source_b,
                CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2
                     ELSE a.c * b.c END AS n
-        FROM g a JOIN g b ON a.text = b.text AND a.source <= b.source
+        FROM g a JOIN g b ON a.text IS NOT DISTINCT FROM b.text AND a.source <= b.source
     )
     WHERE n > 0
     GROUP BY source_a, source_b
@@ -530,7 +541,7 @@ def shuffled_documents(sf_dir: str):
 
     def key(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+        h = sample_rank(ids)
         return batch.append_column("shuffle_key", pa.array(h, pa.int64()))
 
     keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
@@ -582,7 +593,7 @@ def cap_per_group(ds, k: int = CAP_K):
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        df = df.assign(hrank=(ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+        df = df.assign(hrank=sample_rank(ids))
         df = df.sort_values(["source", "hrank", "doc_id"], kind="mergesort")
         return df[df.groupby("source", sort=False).cumcount() < k]
 
@@ -639,7 +650,7 @@ def mixed_corpus(
 
     def _ranked(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        df = df.assign(hrank=(ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+        df = df.assign(hrank=sample_rank(ids))
         return df.sort_values(["lang", "hrank", "doc_id"], kind="mergesort")
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -722,7 +733,7 @@ def token_budget_mix_ds(ds, quotas: "dict[str, int] | None" = None):
 
     def _ranked(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        df = df.assign(hrank=(ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME)
+        df = df.assign(hrank=sample_rank(ids))
         return df.sort_values(["lang", "hrank", "doc_id"], kind="mergesort")
 
     def local_prefix(df: pd.DataFrame) -> pd.DataFrame:
@@ -792,8 +803,7 @@ def lang_top_terms(sf_dir: str, k: int = LANG_TOP_K) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         terms = pc.list_flatten(split).to_pandas()
         langs = np.repeat(batch.column("lang").to_numpy(zero_copy_only=False), lens)
         df = pd.DataFrame({"lang": langs, "term": terms})
@@ -925,7 +935,7 @@ def weighted_sampled_documents(sf_dir: str, k: int = ES_SAMPLE_K) -> pd.DataFram
     def local_topk(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        h = (ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+        h = sample_rank(ids)
         u = (h + 1.0) / (SAMPLE_PRIME + 1.0)  # in (0, 1]
         w = df["n_chars"].to_numpy().astype(np.float64)
         df["sample_key"] = np.round(np.log(u) / np.maximum(w, 1.0), 10)
@@ -971,17 +981,10 @@ def host_stats_ds(pages: "ray.data.Dataset") -> "ray.data.Dataset":
         chars = pc.utf8_length(batch.column("text").combine_chunks()).to_numpy(
             zero_copy_only=False
         )
-        df = pd.DataFrame(
-            {
-                "host": host,
-                "chars": chars.astype(np.int64),
-                "lang": batch.column("lang").to_pandas(),
-            }
-        )
-        g = df.groupby("host", sort=False, as_index=False).agg(
+        df = pd.DataFrame({"host": host, "chars": chars.astype(np.int64)})
+        return df.groupby("host", sort=False, as_index=False).agg(
             n=("chars", "size"), chars=("chars", "sum")
         )
-        return g
 
     def lang_partial(batch: pa.Table) -> pd.DataFrame:
         host = pc.list_element(
@@ -1087,8 +1090,7 @@ def _distinct_source_terms(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
 
     def emit(batch: pa.Table) -> pd.DataFrame:
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         src = batch.column("source").to_pandas().to_numpy()
         df = pd.DataFrame(
             {"source": np.repeat(src, lens), "term": pc.list_flatten(split).to_pandas()}
@@ -1112,8 +1114,7 @@ def source_vocab_stats(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
 
     def totals(batch: pa.Table) -> pd.DataFrame:
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         df = pd.DataFrame({"source": batch.column("source").to_pandas(), "n": lens})
         return df.groupby("source", sort=False, as_index=False)["n"].sum()
 
@@ -1180,12 +1181,24 @@ def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
         out = m.groupby(["source_x", "source_y"], sort=False, as_index=False).size()
         return out.rename(columns={"source_x": "src_a", "source_y": "src_b", "size": "i"})
 
-    inter = group_agg(
+    inter_ds = group_agg(
         bucketed_group_apply(v, ["term"], pair_partial),
         ["src_a", "src_b"],
         {"i": ("i", "sum")},
         num_buckets=8,
-    ).to_pandas()  # ≤ C(|sources|, 2) rows
+    )
+    # zero-draw guard (CLAUDE.md rule 21): a single-source corpus has
+    # no pairs at all — every pair_partial is empty, the reduce comes
+    # back SCHEMALESS, and the column access below would KeyError
+    if inter_ds.schema() is None or inter_ds.count() == 0:
+        return pd.DataFrame(
+            {
+                "src_a": pd.Series([], dtype=object),
+                "src_b": pd.Series([], dtype=object),
+                "jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+    inter = inter_ds.to_pandas()  # ≤ C(|sources|, 2) rows
     na = inter["src_a"].map(size_of).to_numpy(dtype=np.float64)
     nb = inter["src_b"].map(size_of).to_numpy(dtype=np.float64)
     i = inter["i"].to_numpy(dtype=np.float64)

@@ -29,7 +29,19 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .bytekernels import split_tokens
+
 TOP_K = 3
+
+
+def _flat_token_hashes(batch: pa.Table):
+    """(per-doc token lens, flat 64-bit token hashes) — the shared
+    tokenize-and-hash prelude of doc_surprisal and dsir_logratio (r5
+    review: the two copies had to be kept in sync by hand)."""
+    from .bytekernels import content_hash64
+
+    split, lens = split_tokens(batch.column("text"))
+    return lens, content_hash64(pc.list_flatten(split))
 
 
 def _tf_rows(sf_dir: str):
@@ -38,8 +50,7 @@ def _tf_rows(sf_dir: str):
 
     def tf(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         terms = pc.list_flatten(split).to_pandas()
         df = pd.DataFrame({"doc_id": np.repeat(ids, lens), "term": terms})
         out = df.groupby(["doc_id", "term"], sort=False, as_index=False).size()
@@ -76,8 +87,7 @@ class _FusedTfidfStage:
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         terms = pc.list_flatten(split).to_pandas()
         g = (
             pd.DataFrame({"doc_id": np.repeat(ids, lens), "term": terms})
@@ -177,12 +187,20 @@ def bigram_counts(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         flat = pc.list_flatten(split).to_pandas().to_numpy()
         n_bi = np.maximum(lens - 1, 0)
         if not n_bi.sum():
-            return pd.DataFrame({"t1": [], "t2": [], "n": pd.Series([], dtype=np.int64)})
+            # TYPED empty: bare [] columns materialize float64 and the
+            # bucketed shuffle cannot unify double with the string
+            # blocks other batches emit (r5 review)
+            return pd.DataFrame(
+                {
+                    "t1": pd.Series([], dtype=object),
+                    "t2": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
         starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
         idx = np.repeat(starts, n_bi) + (
             np.arange(int(n_bi.sum())) - np.repeat(np.cumsum(n_bi) - n_bi, n_bi)
@@ -237,11 +255,7 @@ def doc_surprisal(sf_dir: str, broadcast_gate: int = SURPRISAL_BROADCAST_MAX):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def _flat_hashes(batch: pa.Table):
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = content_hash64(pc.list_flatten(split))
-        return lens, h
+    _flat_hashes = _flat_token_hashes
 
     def freq_partial(batch: pa.Table) -> pd.DataFrame:
         _, h = _flat_hashes(batch)
@@ -278,13 +292,17 @@ def doc_surprisal(sf_dir: str, broadcast_gate: int = SURPRISAL_BROADCAST_MAX):
             )
             with np.errstate(invalid="ignore"):
                 sup = np.round(-sums / np.maximum(lens, 1), 4)
-            return pa.table(
+            out = pa.table(
                 {
                     "doc_id": batch.column("doc_id"),
                     "n_toks": pa.array(lens, pa.int64()),
                     "surprisal": pa.array(sup, pa.float64()),
                 }
             )
+            # zero-token (NULL-text) docs have no surprisal: the SQL
+            # twin's token join and the unbounded fallback both omit
+            # them — so must the broadcast path
+            return out.filter(pa.array(lens > 0)) if (lens == 0).any() else out
 
         return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -419,13 +437,13 @@ def surprisal_weighted_sample(sf_dir: str, k: int = SURPRISAL_SAMPLE_K) -> pd.Da
     surprisal pass (vocab broadcast, no token shuffle) feeds a
     stateless key computation + LOCAL mergeable top-k per batch, so
     the driver merges ≤ k·n_blocks id rows and nothing shuffles."""
-    from .stats import SAMPLE_MOD, SAMPLE_MUL, SAMPLE_PRIME
+    from .stats import SAMPLE_PRIME, sample_rank
 
     ds = doc_surprisal(sf_dir)
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy().astype(np.int64)
-        h = (ids % SAMPLE_MOD) * SAMPLE_MUL % SAMPLE_PRIME
+        h = sample_rank(ids)
         u = (h + 1.0) / (SAMPLE_PRIME + 1.0)  # in (0, 1]
         w = np.maximum(batch["surprisal"].to_numpy(np.float64), 1e-4)
         batch = batch.copy()
@@ -497,11 +515,7 @@ def dsir_logratio(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
 
-    def _flat(batch: pa.Table):
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = content_hash64(pc.list_flatten(split))
-        return lens, h
+    _flat = _flat_token_hashes
 
     def freq_partial(batch: pa.Table) -> pd.DataFrame:
         lens, h = _flat(batch)
@@ -550,13 +564,16 @@ def dsir_logratio(
             )
             with np.errstate(invalid="ignore"):
                 mean_lr = np.round(sums / np.maximum(lens, 1), 4)
-            return pa.table(
+            out = pa.table(
                 {
                     "doc_id": batch.column("doc_id"),
                     "n_toks": pa.array(lens, pa.int64()),
                     "logratio": pa.array(mean_lr, pa.float64()),
                 }
             )
+            # zero-token (NULL-text) docs: omitted, matching the token
+            # join of the SQL twin and the unbounded fallback
+            return out.filter(pa.array(lens > 0)) if (lens == 0).any() else out
 
         return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -649,8 +666,7 @@ def doc_bigram_surprisal(
 
     def _bigrams(batch: pa.Table):
         """per-doc bigram streams: (n_bigrams per doc, h1 flat, h12 flat)."""
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         h = content_hash64(pc.list_flatten(split)).view(np.uint64)
         n_bi = np.maximum(lens - 1, 0)
         if not n_bi.sum():
@@ -877,8 +893,7 @@ def inverted_index_ds(ds, min_df: int = INDEX_MIN_DF, cap: int = INDEX_POSTINGS_
         from .bytekernels import content_hash64
 
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         flat = pc.list_flatten(split)
         h = content_hash64(flat)
         docids = np.repeat(ids, lens)
@@ -980,8 +995,7 @@ def bm25_topk(sf_dir: str, n_query_terms: int = BM25_QUERY_TERMS, k_top: int = B
 
     def df_partial(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         terms = pc.list_flatten(split).to_pandas()
         occ = pd.DataFrame(
             {"doc_id": np.repeat(ids, lens), "term": terms}
@@ -1023,8 +1037,7 @@ def bm25_topk(sf_dir: str, n_query_terms: int = BM25_QUERY_TERMS, k_top: int = B
     def score(batch: pa.Table) -> pd.DataFrame:
         qt, idf_, adl = ray.get(ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        split, lens = split_tokens(batch.column("text"))
         flat = pc.list_flatten(split)
         doc_idx = np.repeat(np.arange(len(ids)), lens)
         s = np.zeros(len(ids), dtype=np.float64)

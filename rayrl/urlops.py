@@ -53,8 +53,16 @@ def canonicalize_urls(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
         col = col.combine_chunks()
     u = pc.utf8_lower(col)
     u = pc.list_element(pc.split_pattern(u, "#", max_splits=1), 0)
-    u = pc.if_else(pc.starts_with(u, "https://"), pc.utf8_slice_codeunits(u, 8, _BIG), u)
-    u = pc.if_else(pc.starts_with(u, "http://"), pc.utf8_slice_codeunits(u, 7, _BIG), u)
+    # ONE scheme strip, first match wins — nested if_else over the SAME
+    # input, exactly like the oracle's CASE. Sequential reassignment
+    # would double-strip a chained scheme ('https://http://x' → 'x'
+    # instead of the CASE's 'http://x') and break the byte-for-byte
+    # parity claim (r5 review).
+    u = pc.if_else(
+        pc.starts_with(u, "https://"),
+        pc.utf8_slice_codeunits(u, 8, _BIG),
+        pc.if_else(pc.starts_with(u, "http://"), pc.utf8_slice_codeunits(u, 7, _BIG), u),
+    )
     u = pc.if_else(pc.starts_with(u, "www."), pc.utf8_slice_codeunits(u, 4, _BIG), u)
     return pc.utf8_rtrim(u, characters="/")
 

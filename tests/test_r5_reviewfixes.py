@@ -169,3 +169,115 @@ def test_token_frequencies_counts_empty_texts_like_sql(ray_session, tmp_path):
     # '' appears from the two empty docs + the ' ' doc's two sides
     assert int(got.loc[got["token"] == "", "n"].iloc[0]) == 4
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_stages_survive_null_texts(ray_session, tmp_path):
+    """NULL-text docs contribute zero tokens instead of crashing
+    np.repeat with an INT64_MIN length (the split_tokens contract) —
+    across tf-idf, bigrams, surprisal, bm25 and vocab stats."""
+    texts = ["alpha beta", None, "alpha", None, "beta gamma delta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s1", "s1", "s2", "s2", "s1"], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    from rayrl.stats import lang_top_terms, source_vocab_stats
+    from rayrl.tfidf import bigram_counts, doc_surprisal, tfidf_top_terms
+
+    tf = tfidf_top_terms(sf).to_pandas()
+    assert set(tf["doc_id"]) == {0, 2, 4}  # null docs emit no terms
+    assert doc_surprisal(sf).to_pandas()["doc_id"].tolist() == [0, 2, 4]
+    bc = bigram_counts(sf, min_count=1)
+    bc = bc if isinstance(bc, pd.DataFrame) else bc.to_pandas()
+    assert bc["n"].sum() == 3  # 1 + 2 bigrams
+    lt = lang_top_terms(sf, k=10)
+    lt = lt if isinstance(lt, pd.DataFrame) else lt.to_pandas()
+    assert int(lt["n"].sum()) == 6  # six non-null tokens total
+    sv = source_vocab_stats(sf)
+    sv = (sv if isinstance(sv, pd.DataFrame) else sv.to_pandas()).set_index("source")
+    assert int(sv.loc["s1", "n_tokens"]) == 5 and int(sv.loc["s2", "n_tokens"]) == 1
+
+
+def test_leakage_split_null_text_matches_oracle(ray_session, tmp_path):
+    """NULL texts form their OWN dedup group (nullsafe fingerprint +
+    IS NOT DISTINCT FROM join): engine and oracle agree row-for-row on
+    a corpus mixing NULL, '' and real texts."""
+    import duckdb as ddb
+
+    from rayrl.stats import LEAKAGE_SAFE_SPLITS_ORACLE, leakage_safe_splits
+
+    texts = [None, "", "alpha", None, "", "beta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        leakage_safe_splits(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(LEAKAGE_SAFE_SPLITS_ORACLE).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # NULL docs co-locate with each other, not with the '' docs
+    m = got.set_index("doc_id")["split"]
+    assert m[0] == m[3] and m[1] == m[4]
+
+
+def test_bloom_semi_join_empty_build_side(ray_session):
+    """An empty build side yields a typed empty result (rule 21), not
+    a TypeError from Dataset.aggregate returning None."""
+    from rayrl.bloom import bloom_semi_join
+
+    big = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+    build = ray.data.from_pandas(pd.DataFrame({"bk": pd.Series([], dtype="int64")}))
+    out = bloom_semi_join(big, build, "k", "bk")
+    assert out.count() == 0 and "v" in out.schema().names
+
+
+def test_url_canonicalize_single_scheme_strip():
+    """A chained scheme strips exactly ONE prefix, like the oracle's
+    CASE — 'https://http://x' canonicalizes to 'http://x', not 'x'."""
+    from rayrl.urlops import canonicalize_urls
+
+    got = canonicalize_urls(
+        pa.array(["https://http://evil.example/x", "https://www.ok.example/a/"], pa.string())
+    ).to_pylist()
+    assert got == ["http://evil.example/x", "ok.example/a"]
+
+
+def test_source_vocab_jaccard_single_source(ray_session, tmp_path):
+    """One source → zero pairs: typed-empty frame, not a schemaless
+    KeyError (rule 21)."""
+    from rayrl.stats import source_vocab_jaccard
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b", "b c"], pa.string()),
+                "source": pa.array(["only", "only"], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = source_vocab_jaccard(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == ["src_a", "src_b", "jaccard"]
