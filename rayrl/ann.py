@@ -30,6 +30,48 @@ def _read_emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize in place with the zero-norm guard: an all-zero
+    embedding (the hygiene case embedding_norms flags) must yield a
+    zero row, not a 0/0 NaN row that poisons every comparison
+    downstream (r5 review — the IVF/PQ paths already guarded, the
+    brute/LSH paths did not)."""
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat
+
+
+def _topk_head(k: int):
+    """Per-query global head: (sim desc, vec_id asc), rank 1..k — the
+    ONE tie-break every exact-twin oracle depends on (r5 review: three
+    verbatim copies risked drifting)."""
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    return head
+
+
+def _train_sample(emb_ds, n: int, max_n: int, seed: int, tag: int):
+    """Deterministic hash-gated training sample, collected, id-sorted
+    and L2-normalized — the shared prelude of the IVF and PQ trainers
+    (r5 review: two hand copies)."""
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        if n <= max_n:
+            return batch
+        cut = np.uint64(int(max_n / n * 2**64))
+        h = rng.hash_u64(batch["vec_id"].to_numpy(), seed, tag)
+        return batch[h < cut]
+
+    df = emb_ds.map_batches(gate, batch_format="pandas").to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return df, _l2_normalize(X)
+
+
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     q = (
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -38,7 +80,7 @@ def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
         .sort_values("vec_id")
     )
     qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    _l2_normalize(qm)
     return q["vec_id"].to_numpy(), qm
 
 
@@ -53,33 +95,30 @@ def ann_topk(sf_dir: str, k: int = 10, n_queries: int = 5):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         ids, mat = ray.get(ref)
         emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        _l2_normalize(emb)
         vids = batch["vec_id"].to_numpy()
         sims = mat @ emb.T  # (nq, batch)
         rows = []
         for qi in range(len(ids)):
-            s = sims[qi].copy()
-            mask = vids == ids[qi]
-            s[mask] = -2.0  # exclude self
+            # DROP the self row rather than down-ranking it with a
+            # sentinel sim: on a corpus with <= k vectors the sentinel
+            # row reached the global head while the oracle's
+            # `vec_id <> qid` excludes it (r5 review)
+            valid = vids != ids[qi]
+            s, vv = sims[qi][valid], vids[valid]
             take = min(k, len(s))
             # deterministic at any batching: order the kept subset by
             # (sim desc, vec_id asc) so ties at the k boundary always
             # resolve the same way the global head (and the SQL
             # oracle) resolves them
-            top = np.lexsort((vids, -s))[:take]
+            top = np.lexsort((vv, -s))[:take]
             for j in top:
-                rows.append((int(ids[qi]), int(vids[j]), float(s[j])))
+                rows.append((int(ids[qi]), int(vv[j]), float(s[j])))
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
 
     partials = _read_emb(sf_dir).map_batches(partial, batch_format="pandas", batch_size=4096)
 
-    def head(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id"]]
-
-    return partials.groupby("query_id").map_groups(head, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_topk_head(k), batch_format="pandas")
 
 
 ANN_TOPK_ORACLE = """
@@ -139,7 +178,7 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 6
                                  "rank": pd.Series([], dtype="int64"),
                                  "vec_id": pd.Series([], dtype="int64")})
         emb = np.stack(group["embedding"].to_numpy()).astype(np.float64)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        _l2_normalize(emb)
         vids = group["vec_id"].to_numpy()
         rows = []
         for qi in qsel:
@@ -179,17 +218,7 @@ def train_ivf_centroids(
     n = emb_ds.count()
     tag = rng.tag_for("ann.ivf_train")
 
-    def gate(batch: pd.DataFrame) -> pd.DataFrame:
-        if n <= _IVF_TRAIN_MAX:
-            return batch
-        cut = np.uint64(int(_IVF_TRAIN_MAX / n * 2**64))
-        h = rng.hash_u64(batch["vec_id"].to_numpy(), seed, tag)
-        return batch[h < cut]
-
-    df = emb_ds.map_batches(gate, batch_format="pandas").to_pandas()
-    df = df.sort_values("vec_id").reset_index(drop=True)
-    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    df, X = _train_sample(emb_ds, n, _IVF_TRAIN_MAX, seed, tag)
     order = np.argsort(rng.hash_u64(df["vec_id"].to_numpy(), seed, rng.tag_for("ann.ivf_init")), kind="stable")
     C = X[order[:n_centroids]].copy()
     for _ in range(iters):
@@ -264,13 +293,7 @@ def ann_ivf_topk(
 
     partials = _read_emb(sf_dir).map_batches(partial, batch_format="pandas", batch_size=4096)
 
-    def head(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id"]]
-
-    return partials.groupby("query_id").map_groups(head, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_topk_head(k), batch_format="pandas")
 
 
 def label_centroids(sf_dir: str):
@@ -488,17 +511,7 @@ def train_pq_codebooks(
     n = emb_ds.count()
     tag = rng.tag_for("ann.pq_train")
 
-    def gate(batch: pd.DataFrame) -> pd.DataFrame:
-        if n <= _PQ_TRAIN_MAX:
-            return batch
-        cut = np.uint64(int(_PQ_TRAIN_MAX / n * 2**64))
-        h = rng.hash_u64(batch["vec_id"].to_numpy(), seed, tag)
-        return batch[h < cut]
-
-    df = emb_ds.map_batches(gate, batch_format="pandas").to_pandas()
-    df = df.sort_values("vec_id").reset_index(drop=True)
-    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    df, X = _train_sample(emb_ds, n, _PQ_TRAIN_MAX, seed, tag)
     dim = X.shape[1]
     assert dim % m_sub == 0, "m_sub must divide the embedding dim"
     dsub = dim // m_sub
@@ -614,13 +627,7 @@ def ann_pq_topk(
         partial, batch_format="pandas", batch_size=batch_size
     )
 
-    def head(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id"]]
-
-    return partials.groupby("query_id").map_groups(head, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_topk_head(k), batch_format="pandas")
 
 
 def ann_recall_report(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:

@@ -141,7 +141,9 @@ def char_class_counts(col) -> dict[str, np.ndarray]:
 def token_count_kernels(col) -> dict[str, np.ndarray]:
     """Per-row token/char counts matching the round-1 Python semantics:
 
-    - ``n_tokens``  = len(text.split(" ")) (0 for empty/null)
+    - ``n_tokens``  = spaces + 1 for non-empty text; 0 for empty/null
+      (deliberately NOT Python's len("".split(" ")) == 1 — the SQL
+      twin carries the matching CASE)
     - ``n_bpe_tokens`` = len(findall([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]))
       with ASCII ``\\s`` ([ \\t\\n\\r\\f\\v]) — the DuckDB/RE2 oracle
       semantics, not Python's unicode ``\\s``

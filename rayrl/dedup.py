@@ -223,6 +223,14 @@ class _MinHashBands:
     band folding. Tags built once per actor."""
 
     def __init__(self, k: int, bands: int, seed: int):
+        # A real raise: bands > k makes r = 0 and every band hash
+        # identical (one global bucket — recall silently collapses to
+        # the bucket-cap skips, or O(n²) uncapped); a non-divisible k
+        # silently ignores trailing signature lanes (r5 review).
+        if bands > k or k % bands:
+            raise ValueError(
+                f"minhash bands ({bands}) must divide the signature width ({k})"
+            )
         self.tags = minhash_tags(k, seed)
         self.bands = bands
         self.r = k // bands
@@ -802,14 +810,14 @@ def embedding_near_dups(
     if method == "brute":
         corpus = ds.to_pandas()
         mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         ids = corpus["vec_id"].to_numpy()
         ref = ray.put((ids, mat))
 
         def pairs(batch: pd.DataFrame) -> pd.DataFrame:
             cids, cmat = ray.get(ref)
             q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             sims = q @ cmat.T
             qa, qb, qs = [], [], []
             for i, qid in enumerate(batch["vec_id"]):
@@ -835,7 +843,7 @@ def embedding_near_dups(
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
         # int-only rows: (seg, half-value, full signature, vec_id)
         emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         sig = stage.bucket_of(emb).astype(np.int64)
         vids = batch["vec_id"].to_numpy()
         seg = np.tile(np.array([0, 1], dtype=np.int32), len(vids))
@@ -850,7 +858,7 @@ def embedding_near_dups(
             }
         )
 
-    popcount8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    popcount8 = _POPCOUNT8  # shared module table (r5 review: was a second copy)
 
     def near_sig_pairs(df: pd.DataFrame) -> pd.DataFrame:
         all_ids = df["vec_id"].to_numpy()
@@ -918,8 +926,8 @@ def embedding_near_dups(
         n = len(batch)
         ea = np.frombuffer(b"".join(batch["emb_a"]), np.float32).reshape(n, -1).astype(np.float64)
         eb = np.frombuffer(b"".join(batch["emb_b"]), np.float32).reshape(n, -1).astype(np.float64)
-        ea /= np.linalg.norm(ea, axis=1, keepdims=True)
-        eb /= np.linalg.norm(eb, axis=1, keepdims=True)
+        ea /= np.maximum(np.linalg.norm(ea, axis=1, keepdims=True), 1e-12)
+        eb /= np.maximum(np.linalg.norm(eb, axis=1, keepdims=True), 1e-12)
         cos = np.einsum("ij,ij->i", ea, eb)
         keep = cos >= threshold
         return pd.DataFrame(
@@ -971,7 +979,9 @@ def ngram_jaccard_exact(sf_dir: str, n: int = 3, threshold: float = 0.5):
         emit_shingles, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    nsh = group_agg(shingles, ["doc_id"], {"nsh": ("code", "size")})
+    # materialized: consumed as BOTH hydration sides (a_n / b_n) —
+    # unmaterialized, the doc-count shuffle would run twice (r5 review)
+    nsh = group_agg(shingles, ["doc_id"], {"nsh": ("code", "size")}).materialize()
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="code", suffixes=("_a", "_b"))

@@ -80,6 +80,12 @@ def kmeans_fit(
     Returns the (k, dim) float64 centroid matrix (rounded 6dp)."""
     ds = ds.materialize()  # scanned once per iteration
     centroids = _seed_centroids(ds, k, seed)
+    if centroids.shape[0] == 0:
+        raise ValueError("kmeans_fit: empty embedding dataset")
+    # fewer vectors than k (a small shard — the degenerate-input
+    # contract, r5 review): fit with k_eff = n centroids rather than
+    # crash the shape assert; callers see the actual centroid count
+    k = centroids.shape[0]
     dim = centroids.shape[1]
 
     for _ in range(iters):
@@ -233,6 +239,18 @@ def semantic_dedup_ds(
     max_cluster_pairs: "int | None" = MAX_CLUSTER_PAIRS,
 ):
     ds = ds.materialize()
+    if ds.count() == 0:
+        # empty shard (rule 21): the dedup result is exactly empty —
+        # return typed, and never reach kmeans_fit's empty-input raise
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "rep": pa.array([], pa.int64()),
+                }
+            )
+        )
     centroids = kmeans_fit(ds, k=k, iters=iters, seed=seed)
     ref = ray.put(centroids)
 

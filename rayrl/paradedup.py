@@ -98,7 +98,10 @@ def _occurrence_cols(batch: pa.Table, min_len: int):
     ords = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
         np.cumsum(lens) - lens, lens
     )
-    cand = pc.binary_length(flat).to_numpy(zero_copy_only=False) >= min_len
+    # CHARACTER length, not byte length: the oracle gates on SQL
+    # length(para), and a multibyte paragraph near the boundary would
+    # otherwise be a candidate on one side only (r5 review)
+    cand = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= min_len
     h = content_hash64(flat.filter(pa.array(cand)))
     return ids, ords, h, flat, lens, starts, cand
 
@@ -156,7 +159,11 @@ def paragraph_deduped(
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
-    winners = _dup_winners(docs, min_len)
+    # materialized: winners is consumed by count() AND the broadcast /
+    # join path below — unmaterialized, the whole pass-1 corpus scan
+    # would execute twice (r5 review; same rule as dedup_minhash's
+    # narrow-stream barriers)
+    winners = _dup_winners(docs, min_len).materialize()
     n_dup = winners.count()
 
     if n_dup <= broadcast_gate:

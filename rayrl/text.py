@@ -1102,7 +1102,10 @@ TEXT_ORACLES = {
     "lang_id": _lang_id_oracle(),
     "token_counts": r"""
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               -- empty/NULL text counts ZERO tokens (the engine
+               -- kernel's contract; bare string_split('') is [''])
+               CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+                         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
                     + length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                     + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_tokens,

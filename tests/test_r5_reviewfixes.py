@@ -281,3 +281,63 @@ def test_source_vocab_jaccard_single_source(ray_session, tmp_path):
     )
     out = source_vocab_jaccard(str(tmp_path))
     assert len(out) == 0 and list(out.columns) == ["src_a", "src_b", "jaccard"]
+
+
+def test_kmeans_fit_fewer_vectors_than_k(ray_session):
+    """n < k fits with k_eff = n centroids instead of crashing the
+    shape assert; semantic_dedup on an empty shard returns a typed
+    empty (rule 21)."""
+    from rayrl.kmeans import kmeans_fit, semantic_dedup_ds
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": pd.Series(range(5), dtype="int64"),
+            "embedding": [list(np.eye(4)[i % 4] + 0.01 * i) for i in range(5)],
+        }
+    )
+    c = kmeans_fit(ray.data.from_pandas(rows), k=8)
+    assert c.shape == (5, 4)
+    out = semantic_dedup_ds(ray.data.from_pandas(rows), k=8).to_pandas()
+    assert len(out) == 5 and (out["rep"] == out["vec_id"]).all()  # all distinct
+
+    empty = ray.data.from_pandas(rows).filter(lambda r: False).materialize()
+    z = semantic_dedup_ds(empty, k=8)
+    assert z.count() == 0 and "rep" in z.schema().names
+
+
+def test_minhash_bands_must_divide_signature():
+    """bands > k (r=0 → one global bucket) and non-divisible k must be
+    hard errors, not a silent recall collapse."""
+    from rayrl.dedup import _MinHashBands
+
+    with pytest.raises(ValueError, match="divide"):
+        _MinHashBands(k=8, bands=16, seed=0)
+    with pytest.raises(ValueError, match="divide"):
+        _MinHashBands(k=10, bands=4, seed=0)
+    _MinHashBands(k=8, bands=4, seed=0)  # valid
+
+
+def test_ann_topk_excludes_self_on_tiny_corpus(ray_session, tmp_path):
+    """Corpus with n <= k: the query itself must not appear in its own
+    top-k (the oracle's vec_id <> qid), and a zero-norm embedding must
+    not NaN-poison the similarities."""
+    import pyarrow.parquet as pq2
+
+    from rayrl.ann import ann_topk
+
+    vecs = [list(np.eye(4)[i % 4] + 0.1 * i) for i in range(6)]
+    vecs[5] = [0.0, 0.0, 0.0, 0.0]  # zero-norm hygiene case
+    pq2.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = ann_topk(str(tmp_path), k=10, n_queries=2).to_pandas()
+    for q in (0, 1):
+        mine = out[out["query_id"] == q]
+        assert q not in set(mine["vec_id"])  # self excluded
+        assert len(mine) == 5  # all others, ranked
