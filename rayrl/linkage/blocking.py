@@ -254,13 +254,16 @@ def band_rows_from_payload(payload_ds, cfg: LinkageConfig):
     def emit(batch: pa.Table) -> pa.Table:
         nodes = batch.column("node").to_numpy()
         block_key = folded_block_keys(batch, cfg).reshape(-1)
-        bucket = (block_key.view(np.uint64) % np.uint64(cfg.num_buckets)).astype(np.int32)
+        # band rows carry ONLY what the pair scan reads: the shuffle
+        # recomputes its own bucket from block_key, so a precomputed
+        # bucket column was ~4 dead bytes per row through the
+        # pipeline's one wide shuffle (r5 review)
+        rep_nodes = np.repeat(nodes, b_count)
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.int32()),
                 "block_key": pa.array(block_key, pa.int64()),
-                "node": pa.array(np.repeat(nodes, b_count), pa.int64()),
-                "side": pa.array((np.repeat(nodes, b_count) & 1).astype(np.int8), pa.int8()),
+                "node": pa.array(rep_nodes, pa.int64()),
+                "side": pa.array((rep_nodes & 1).astype(np.int8), pa.int8()),
             }
         )
 

@@ -141,7 +141,13 @@ def _propagate_distributed(edges, max_rounds: int) -> "ray.data.Dataset":
         ).select_columns(["dst", "label"]).map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
-        labels = group_agg(labels.union(msgs), ["node"], {"label": ("label", "min")})
+        # materialized: consumed as BOTH the pointer-jump join's left
+        # side and (renamed) the label_map — unmaterialized, the
+        # min-label shuffle (plus the union/msgs join feeding it) would
+        # execute twice per round (r5 review)
+        labels = group_agg(
+            labels.union(msgs), ["node"], {"label": ("label", "min")}
+        ).materialize()
         # pointer jumping (label ← label[label]): every label value is
         # itself a node (self-rows are seeded), so one self-join hop
         # doubles the propagation distance — rounds scale with

@@ -83,18 +83,33 @@ def pair_fields(ds, side: int):
         fnames = extract_major_token(texts)
         lnames = [t.split(" ")[-1] if t else "" for t in texts]
         snapshot = pd.Timestamp("2017-01-01") if side == 0 else pd.Timestamp("2017-06-30")
-        age_days = (snapshot - ts).dt.days.to_numpy()
+        # NaT-safe date features (r5 review: a make_missing spec on
+        # warc_ts — the reference's dob-missing analogue — made
+        # strftime raise ArrowTypeError and year/age cast NaN to
+        # INT64_MIN). Sentinels: '' / -1 / -10^6, none of which a real
+        # 20xx capture can produce; two missing dates compare equal to
+        # each other (deterministic, documented) rather than R's NA.
+        valid = ts.notna()
+        age_days = (snapshot - ts).dt.days
         return pa.table(
             {
                 "node": pa.array(uids * 2 + side, pa.int64()),
                 "truth": batch.column("record_id"),
                 "fname": pa.array(fnames, pa.string()),
                 "lname": pa.array(lnames, pa.string()),
-                "date_s": pa.array(ts.dt.strftime("%Y-%m-%d").tolist(), pa.string()),
-                "year": pa.array(ts.dt.year.to_numpy().astype(np.int64), pa.int64()),
-                "month": pa.array(ts.dt.month.to_numpy().astype(np.int64), pa.int64()),
-                "day": pa.array(ts.dt.day.to_numpy().astype(np.int64), pa.int64()),
-                "age_days": pa.array(age_days.astype(np.int64), pa.int64()),
+                "date_s": pa.array(
+                    ts.dt.strftime("%Y-%m-%d").where(valid, "").tolist(), pa.string()
+                ),
+                "year": pa.array(
+                    ts.dt.year.where(valid, -1).astype(np.int64), pa.int64()
+                ),
+                "month": pa.array(
+                    ts.dt.month.where(valid, -1).astype(np.int64), pa.int64()
+                ),
+                "day": pa.array(ts.dt.day.where(valid, -1).astype(np.int64), pa.int64()),
+                "age_days": pa.array(
+                    age_days.where(valid, -(10**6)).astype(np.int64), pa.int64()
+                ),
                 "lang": batch.column("lang"),
                 "host": pa.array([_host_of(u) for u in urls], pa.string()),
             }
@@ -217,8 +232,19 @@ def _cheap_features(batch: pd.DataFrame) -> pd.DataFrame:
         (1.0 - jaro_winkler(a or "", b or "") for a, b in zip(batch["fname_a"], batch["fname_b"])),
         dtype=np.float64, count=len(batch),
     )
+    # banded fast path, exact on clamp: the reference's lname metric is
+    # the RAW lv distance (utils.R:596/614) — clamping at k+1=5 made
+    # thresh_weight's (1 - lv) term read -4 for any ≥5-edit pair (r5
+    # review). Distances ≤ 4 (nearly every candidate pair) stay on the
+    # O(n·k) band; only clamped ones pay the full O(nm) recompute.
+    def _lv_exact(a: str, b: str) -> int:
+        d = levenshtein_banded(a, b, 4)
+        if d <= 4:
+            return d
+        return levenshtein_banded(a, b, max(len(a), len(b)))
+
     lj = np.fromiter(
-        (levenshtein_banded(a or "", b or "", 4) for a, b in zip(batch["lname_a"], batch["lname_b"])),
+        (_lv_exact(a or "", b or "") for a, b in zip(batch["lname_a"], batch["lname_b"])),
         dtype=np.float64, count=len(batch),
     )
     day_match = (batch["day_a"] == batch["day_b"]).to_numpy()
@@ -251,7 +277,7 @@ def _equality_band_rows(fields_ds, cfg: LinkageConfig):
     def emit(batch: pa.Table) -> pa.Table:
         nodes = batch.column("node").to_numpy()
         n = len(nodes)
-        keys, buckets, out_nodes = [], [], []
+        keys, out_nodes = [], []
         for fam, col in enumerate(_EQ_BLOCK_KEYS):
             vals = batch.column(col).to_pylist()
             h = np.fromiter(
@@ -259,13 +285,12 @@ def _equality_band_rows(fields_ds, cfg: LinkageConfig):
             )
             mixed = rng._splitmix64(h ^ np.uint64(0xEB1F_55AA + fam))
             keys.append((mixed >> np.uint64(1)).astype(np.int64))
-            buckets.append((mixed % np.uint64(cfg.num_buckets)).astype(np.int32))
             out_nodes.append(nodes)
         block_key = np.concatenate(keys)
         node = np.concatenate(out_nodes)
+        # no bucket column: the shuffle derives its own (r5 review)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(buckets), pa.int32()),
                 "block_key": pa.array(block_key, pa.int64()),
                 "node": pa.array(node, pa.int64()),
                 "side": pa.array((node & 1).astype(np.int8), pa.int8()),
@@ -494,6 +519,8 @@ def top2_hosts(fields_ds) -> tuple[str, str]:
     freq = group_agg(fields_ds.select_columns(["host"]), ["host"], {"n": ("host", "size")}).to_pandas()
     freq = freq.sort_values(["n", "host"], ascending=[False, True])
     hosts = freq["host"].tolist()
+    if not hosts:  # zero-row fields table (rule 21): no host to rank
+        return ("", "")
     return (hosts[0], hosts[1] if len(hosts) > 1 else hosts[0])
 
 

@@ -109,10 +109,14 @@ def find_best_links(edges, odds_threshold: float = 0.4, num_buckets: int = 64):
         second = g.nth(1)
         if len(second):
             second = second.set_index("node_a")["score"]
-            gap = top["score"] - second.reindex(top.index).fillna(-1.0)
+            gap = top["score"] - second.reindex(top.index)
         else:
-            gap = pd.Series(np.inf, index=top.index)
-        keep = top[(gap > odds_threshold) | gap.isna()]
+            gap = pd.Series(np.nan, index=top.index)
+        # a group with no runner-up has NA odds and is DROPPED — the
+        # reference's filter silently removes NA rows (utils.R:457-470),
+        # exactly like find_best_links_aggregated; the old fillna(-1)
+        # kept every singleton instead (r5 review). NaN > t is False.
+        keep = top[gap > odds_threshold]
         return keep.reset_index()
 
     return bucketed_group_apply(edges, ["node_a"], best, num_buckets)
@@ -207,8 +211,18 @@ def calc_review_pct(truth: np.ndarray, prob: np.ndarray, ppv: float = 1.0, npv: 
     t1 = None
     if n_neg_side:
         idx = np.arange(n_neg_side)
-        ok = cum_tn[idx] / (idx + 1) >= npv
-        hits = np.nonzero(ok)[0]
+        # thresholds are VALUES: `match_prob <= t` includes the WHOLE
+        # tied run at t (utils.R:1052-1081), so NPV is only evaluated
+        # at run-END indices — a partial prefix of a tie run qualified
+        # spuriously before (r5 review; scores quantize to ~128
+        # distinct values, so tie runs are the norm and the old
+        # per-element test was also tie-order/parallelism sensitive)
+        run_end = np.concatenate(
+            [p[1:n_neg_side] != p[: n_neg_side - 1], [True]]
+        )
+        cand = idx[run_end]
+        ok = cum_tn[cand] / (cand + 1) >= npv
+        hits = cand[ok]
         # reference walks candidate thresholds DESCENDING and stops at
         # the first satisfying one → the largest qualifying threshold;
         # if none qualifies the loop falls through to the smallest
@@ -219,12 +233,16 @@ def calc_review_pct(truth: np.ndarray, prob: np.ndarray, ppv: float = 1.0, npv: 
     t2 = None
     if pos_mask.any():
         pos_start = int(np.argmax(pos_mask))
-        # suffix PPV over ascending thresholds (share of true-match at ≥ p[i])
+        # suffix PPV over ascending thresholds (share of true-match at ≥ p[i]);
+        # `match_prob >= t` includes the whole tied run, so only
+        # run-START indices are candidates
         suf_tp = np.cumsum(m[::-1] == 1)[::-1]
         idx = np.arange(pos_start, len(p))
-        ok = suf_tp[idx] / (len(p) - idx) >= ppv
-        hits = np.nonzero(ok)[0]
-        t2 = p[pos_start + hits[0]] if len(hits) else p[-1]
+        run_start = np.concatenate([[True], p[pos_start + 1 :] != p[pos_start:-1]])
+        cand = idx[run_start]
+        ok = suf_tp[cand] / (len(p) - cand) >= ppv
+        hits = cand[ok]
+        t2 = p[hits[0]] if len(hits) else p[-1]
     else:
         t2 = np.inf
     return float(np.mean((prob > t1) & (prob < t2)))
@@ -260,14 +278,25 @@ def _grid_metric_select(k_range, tp, pred_pos, n_pos, metric, value, lowest):
     """Pick the threshold from per-grid-point confusion counts (shared
     by the driver and distributed scans)."""
     with np.errstate(divide="ignore", invalid="ignore"):
+        # zero-prediction grid points are NaN, not precision 1.0: the
+        # reference computes tp/(tp+fp) = NaN there and filter() drops
+        # the row (utils.R:1121-1160) — treating them as 1.0 returned a
+        # vacuous empty-prediction threshold whenever no real
+        # threshold reached the target (r5 review)
         if metric == "precision":
-            vals = np.where(pred_pos > 0, tp / np.maximum(pred_pos, 1), 1.0)
+            vals = np.where(pred_pos > 0, tp / np.maximum(pred_pos, 1), np.nan)
         elif metric == "recall":
             vals = tp / max(n_pos, 1)
         elif metric == "f1":
-            prec = np.where(pred_pos > 0, tp / np.maximum(pred_pos, 1), 1.0)
+            prec = np.where(pred_pos > 0, tp / np.maximum(pred_pos, 1), np.nan)
             rec = tp / max(n_pos, 1)
-            vals = np.where(prec + rec > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-12), 0.0)
+            vals = np.where(
+                np.isnan(prec),
+                np.nan,  # np.where's False branch would swallow the NaN
+                np.where(
+                    prec + rec > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-12), 0.0
+                ),
+            )
         else:
             raise ValueError(f"unknown metric {metric}")
     if lowest:

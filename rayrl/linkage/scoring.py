@@ -63,7 +63,7 @@ def candidate_pairs(band_ds, cfg: LinkageConfig):
         return df.drop_duplicates()  # local dedup before the global one
 
     raw = bucketed_group_apply(
-        band_ds.select_columns(["bucket", "block_key", "node", "side"]),
+        band_ds.select_columns(["block_key", "node", "side"]),
         ["block_key"],
         pairs,
         num_buckets=cfg.num_buckets,
@@ -95,10 +95,25 @@ def payload_arrays(payload: "pa.Table | pd.DataFrame") -> dict[str, np.ndarray]:
     else:
         node = payload["node"].to_numpy()
         truth = payload["truth"].to_numpy()
+        # null lang → -1, matching the Arrow branch's fill_null
+        # sentinel: crc32('') == 0 is the EMPTY string's code, and a
+        # (null, '') pair must not read lang_eq across one path but
+        # not the others (r5 review — make_missing on lang is in the
+        # default benchmark specs)
         lang_codes = np.array(
-            [zlib.crc32((x or "").encode()) for x in payload["lang"]], dtype=np.int64
+            [
+                -1
+                if x is None or (isinstance(x, float) and np.isnan(x))
+                else zlib.crc32(x.encode())
+                for x in payload["lang"]
+            ],
+            dtype=np.int64,
         )
-        sig = np.frombuffer(b"".join(payload["sig"]), dtype=np.uint8).reshape(len(node), -1)
+        sig = (
+            np.frombuffer(b"".join(payload["sig"]), dtype=np.uint8).reshape(len(node), -1)
+            if len(node)
+            else np.zeros((0, 0), np.uint8)  # reshape(0, -1) raises (rule 21)
+        )
     order = np.argsort(node)
     return {
         "node": node[order],

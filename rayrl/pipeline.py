@@ -15,6 +15,7 @@ from __future__ import annotations
 import csv
 import json
 import os
+import shutil
 from dataclasses import dataclass
 from typing import Any
 
@@ -155,6 +156,12 @@ def checkpoint_combined(out: DirtyOutput, path: str) -> dict:
     Returns the manifest (also written to ``path/_MANIFEST.json``) —
     the reference's file-existence resume pattern
     (benchmarking/standard_n.R:12-40), Parquet-native."""
+    # clean first: Ray's write_parquet APPENDS uuid-named files, so a
+    # rerun (or a crash-retry that left partial files without a
+    # manifest) would double the data and the manifest row count (r5
+    # review). The manifest is only written after a complete write, so
+    # removing a manifest-less directory never loses a valid checkpoint.
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     out.combined.write_parquet(path)
     n = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows

@@ -251,8 +251,11 @@ def best_event_per_user(sf_dir: str, gap: float = 5.0):
     """Per user: the top event by value, kept only when it beats the
     runner-up by > ``gap`` — the find_best_links odds filter
     (utils.R:457-470) re-expressed over the events table so a SQL
-    oracle can check it. Bucketed per-user groupby; tie-break on
-    event_id."""
+    oracle can check it. Deliberate divergence from the linkage
+    operator: a user with a SINGLE event is kept here (v2 IS NULL in
+    the oracle) — every user should surface a best event — whereas
+    find_best_links drops NA-odds groups like the reference. Bucketed
+    per-user groupby; tie-break on event_id."""
     from .shuffle import bucketed_group_apply
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])

@@ -125,9 +125,11 @@ def test_distributed_clustering_deep_chain(ray_session, monkeypatch):
 def test_find_best_links_gap(edges_ds):
     out = find_best_links(edges_ds, odds_threshold=0.2).to_pandas()
     kept = set(map(tuple, out[["node_a", "node_b"]].to_numpy()))
-    # node 1: gap 0.9-0.55=0.35 > 0.2 → keep (1,10); node 3: gap 0.05 → drop
-    assert (1, 10) in kept and (2, 10) in kept and (4, 14) in kept
-    assert not any(a == 3 for a, _ in kept)
+    # node 1: gap 0.9-0.55=0.35 > 0.2 → keep (1,10); node 3: gap 0.05 →
+    # drop; nodes 2 and 4 have NO runner-up → NA odds → dropped, the
+    # reference's silent NA filter (utils.R:457-470; r5 review — the
+    # old fillna(-1) kept every singleton)
+    assert kept == {(1, 10)}
 
 
 def test_resolve_linkage_flags(edges_ds):

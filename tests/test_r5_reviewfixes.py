@@ -341,3 +341,95 @@ def test_ann_topk_excludes_self_on_tiny_corpus(ray_session, tmp_path):
         mine = out[out["query_id"] == q]
         assert q not in set(mine["vec_id"])  # self excluded
         assert len(mine) == 5  # all others, ranked
+
+
+def test_checkpoint_combined_rerun_does_not_double(ray_session, tmp_path):
+    """write_parquet APPENDS uuid-named files: a rerun into the same
+    checkpoint dir must not double the data or the manifest count."""
+    from rayrl import pipeline, synth
+
+    clean = synth.pages_dataset(300)
+    out = pipeline.mess_dataset(clean, pipeline.benchmark_specs(0.10), seed=7)
+    p = str(tmp_path / "ck")
+    m1 = pipeline.checkpoint_combined(out, p)
+    m2 = pipeline.checkpoint_combined(out, p)  # rerun, same dir
+    assert m2["rows"] == m1["rows"]
+    assert pipeline.read_checkpoint(p).count() == m1["rows"]
+
+
+def test_calc_review_pct_value_level_thresholds():
+    """Thresholds are VALUES: NPV/PPV qualification must include the
+    whole tied run (utils.R:1052-1081) — the review's repro reads
+    0.667, not the per-element 0.333."""
+    from rayrl.linkage.resolve import calc_review_pct
+
+    truth = np.array([0, 0, 1, 1, 0, 1])
+    prob = np.array([0.1, 0.2, 0.2, 0.8, 0.8, 0.9])
+    assert abs(calc_review_pct(truth, prob, ppv=1.0, npv=1.0) - 2 / 3) < 1e-12
+    # order invariance under permutation (tie-order independence)
+    rng_ = np.random.default_rng(3)
+    perm = rng_.permutation(len(prob))
+    assert abs(calc_review_pct(truth[perm], prob[perm], 1.0, 1.0) - 2 / 3) < 1e-12
+
+
+def test_threshold_grid_rejects_vacuous_precision():
+    """When no real threshold reaches the target, the selector returns
+    None — zero-prediction grid points are NaN (the reference drops
+    them), not precision 1.0."""
+    from rayrl.linkage.resolve import calc_threshold_for_metric_value
+
+    truth = np.array([0, 0, 0, 0])
+    prob = np.array([0.6, 0.7, 0.8, 0.9])  # every prediction is wrong
+    got = calc_threshold_for_metric_value(truth, prob, "precision", 0.99)
+    assert got is None
+
+
+def test_pair_fields_null_warc_ts(ray_session):
+    """A make_missing spec on warc_ts (the reference's dob-missing
+    analogue) must produce sentinel date features, not ArrowTypeError
+    or INT64_MIN garbage."""
+    from rayrl.linkage.features import pair_fields
+
+    tbl = pa.table(
+        {
+            "row_uid": pa.array([1, 2], pa.int64()),
+            "record_id": pa.array([1, 2], pa.int64()),
+            "url": pa.array(["https://a.example/x", "https://b.example/y"], pa.string()),
+            "warc_ts": pa.array(
+                [pd.Timestamp("2016-03-01").to_pydatetime(), None],
+                pa.timestamp("us"),
+            ),
+            "text": pa.array(["alice smith", "bob jones"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    out = pair_fields(ray.data.from_arrow(tbl), side=0).to_pandas().sort_values("node")
+    good, missing = out.iloc[0], out.iloc[1]
+    assert good["date_s"] == "2016-03-01" and good["year"] == 2016
+    assert missing["date_s"] == "" and missing["year"] == -1
+    assert missing["month"] == -1 and missing["day"] == -1
+    assert missing["age_days"] == -(10**6)
+
+
+def test_payload_arrays_lang_null_paths_agree():
+    """The pandas branch must give NULL lang the same -1 sentinel as
+    the Arrow branch — crc32('') == 0 is the EMPTY string's code."""
+    from rayrl.linkage.scoring import payload_arrays
+
+    sig = [bytes(range(8)), bytes(range(8))]
+    arrow = pa.table(
+        {
+            "node": pa.array([2, 4], pa.int64()),
+            "truth": pa.array([1, 2], pa.int64()),
+            "lang": pa.array([None, ""], pa.string()),
+            "sig": pa.array(sig, pa.binary()),
+        }
+    )
+    pdf = pd.DataFrame({"node": [2, 4], "truth": [1, 2], "lang": [None, ""], "sig": sig})
+    a = payload_arrays(arrow)
+    p = payload_arrays(pdf)
+    assert list(a["lang_code"]) == list(p["lang_code"])
+    assert a["lang_code"][0] == -1 and a["lang_code"][1] == 0
+    # empty frame: typed-empty, not a reshape crash
+    empty = payload_arrays(pdf.iloc[0:0])
+    assert len(empty["node"]) == 0
