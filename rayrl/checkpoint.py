@@ -95,6 +95,28 @@ class Run:
                 n = pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
                 parts.append({"file": f, "rows": n})
                 rows += n
+        if not parts:
+            # zero-row stage: Ray writes NO files, and the sealed
+            # checkpoint would read back SCHEMALESS forever — every
+            # resume's first column access would raise (CLAUDE.md rule
+            # 21, r5 review). Persist one typed empty file when the
+            # build's schema is known; a schemaless build is an
+            # upstream bug worth failing loudly on.
+            schema = ds.schema()
+            if schema is None:
+                raise ValueError(
+                    f"stage {name!r} produced a schemaless empty Dataset — "
+                    "build() must return typed empties (rule 21)"
+                )
+            import pyarrow as _pa
+
+            types = {
+                nm: (t if isinstance(t, _pa.DataType) else _pa.null())
+                for nm, t in zip(schema.names, schema.types)
+            }
+            empty = _pa.table({c: _pa.array([], type=t) for c, t in types.items()})
+            pq.write_table(empty, os.path.join(tmp, "empty-0.parquet"))
+            parts.append({"file": "empty-0.parquet", "rows": 0})
         if callable(counters):
             counters = counters()
         mf = {

@@ -107,7 +107,10 @@ def main(argv=None) -> int:
                 "budget": args.budget,
                 "range_bits": args.range_bits,
             }
-            resumed = run.manifest("assignments") is not None
+            # resumed means "the cached stage was actually REUSED":
+            # a manifest written under different params hash-mismatches
+            # and forces a full rebuild (r5 review)
+            resumed = run.load("assignments", params) is not None
             assign = run.stage(
                 "assignments",
                 params,
@@ -132,7 +135,7 @@ def main(argv=None) -> int:
 
             run = Run(args.out)
             params = {"sf_dir": args.sf_dir, "redact": bool(args.redact)}
-            resumed = run.manifest("scores") is not None
+            resumed = run.load("scores", params) is not None  # params-hash aware
             scores = run.stage(
                 "scores",
                 params,

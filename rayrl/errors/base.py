@@ -70,7 +70,13 @@ class BatchCtx:
         self.cols: dict[str, np.ndarray] = {}
         for name in active_cols:
             if name not in batch.column_names:
-                continue
+                # a spec CSV targeting a column the table lacks used to
+                # skip here and die later with a bare KeyError inside a
+                # task (r5 review) — fail with the actual problem
+                raise ValueError(
+                    f"error spec targets unknown column {name!r}; batch has "
+                    f"{sorted(batch.column_names)}"
+                )
             col = batch.column(name)
             if pa.types.is_timestamp(col.type):
                 self.cols[name] = col.to_numpy(zero_copy_only=False).astype("datetime64[us]")
@@ -124,25 +130,39 @@ class ErrorOp:
 
     name: str = ""
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
         self.spec = spec
         self.seed = seed
         self.asset_seed = asset_seed
+        # spec_idx keys every rng stream: two same-named specs on the
+        # same column (keyboard + ocr repl; the three date_replace
+        # tokens) must draw INDEPENDENT gates and positions — with
+        # name-only tags their Bernoulli gates were fully correlated
+        # (verified: every ocr hit was a keyboard hit, union coverage
+        # 15.4% → 11%) and stacked errors reused the same character
+        # position (r5 review).
+        self.spec_idx = spec_idx
 
     def gate(self, ctx: BatchCtx, col: str, eligible: np.ndarray) -> np.ndarray:
         """Per-row Bernoulli(col_rate) ∧ eligible → selected indices."""
-        tag = rng.tag_for(f"gate:{self.name}:{col}")
+        tag = rng.tag_for(f"gate:{self.spec_idx}:{self.name}:{col}")
         hit = rng.bernoulli(ctx.record_ids, self.spec.col_rate(), self.seed, tag)
         return np.nonzero(hit & eligible)[0]
 
     def draw_u64(self, ctx: BatchCtx, idx: np.ndarray, purpose: str) -> np.ndarray:
-        return rng.hash_u64(ctx.record_ids[idx], self.seed, rng.tag_for(f"{self.name}:{purpose}"))
+        return rng.hash_u64(
+            ctx.record_ids[idx], self.seed, rng.tag_for(f"{self.spec_idx}:{self.name}:{purpose}")
+        )
 
     def draw_int(self, ctx: BatchCtx, idx: np.ndarray, n, purpose: str) -> np.ndarray:
-        return rng.randint(ctx.record_ids[idx], n, self.seed, rng.tag_for(f"{self.name}:{purpose}"))
+        return rng.randint(
+            ctx.record_ids[idx], n, self.seed, rng.tag_for(f"{self.spec_idx}:{self.name}:{purpose}")
+        )
 
     def draw_uniform(self, ctx: BatchCtx, idx: np.ndarray, purpose: str) -> np.ndarray:
-        return rng.uniform(ctx.record_ids[idx], self.seed, rng.tag_for(f"{self.name}:{purpose}"))
+        return rng.uniform(
+            ctx.record_ids[idx], self.seed, rng.tag_for(f"{self.spec_idx}:{self.name}:{purpose}")
+        )
 
     def apply(self, ctx: BatchCtx, seq: int) -> None:
         raise NotImplementedError

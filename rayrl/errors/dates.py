@@ -130,8 +130,19 @@ class DateReplace(_DateOp):
         if token == "month":
             new_m = m.copy()
             r = self.draw_u64(ctx, idx, "month")
+            # per-row month-length table without array churn: 12
+            # scalars from a static table + one leap test (r5 review:
+            # the old listcomp built 24 single-element arrays per row)
+            base_dim = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
             for k in range(len(idx)):
-                valid = [mm for mm in range(1, 13) if mm != m[k] and d[k] <= days_in_month(np.array([mm]), np.array([y[k]]))[0]]
+                yk = int(y[k])
+                leap = yk % 4 == 0 and (yk % 100 != 0 or yk % 400 == 0)
+                valid = [
+                    mm
+                    for mm in range(1, 13)
+                    if mm != m[k]
+                    and d[k] <= (29 if (mm == 2 and leap) else base_dim[mm - 1])
+                ]
                 new_m[k] = valid[int(r[k] % np.uint64(len(valid)))]
             return y, new_m, d
         # day

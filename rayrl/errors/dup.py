@@ -41,8 +41,8 @@ class TwinsGenerate(ErrorOp):
 
     name = "twins_generate"
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
-        super().__init__(spec, seed, asset_seed)
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
+        super().__init__(spec, seed, asset_seed, spec_idx)
         self.index = assets.twins_index(asset_seed)
 
     @staticmethod

@@ -67,8 +67,8 @@ class Repl(ErrorOp):
 
     name = "repl"
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
-        super().__init__(spec, seed, asset_seed)
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
+        super().__init__(spec, seed, asset_seed, spec_idx)
         self.table = assets.CHARSETS.get(spec.kwargs.get("table", "uniform"))
 
     def apply(self, ctx: BatchCtx, seq: int) -> None:

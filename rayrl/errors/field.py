@@ -6,6 +6,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 
 from .base import BatchCtx, ErrorOp, ErrorSpec, nonnull_nonempty, register
 
@@ -39,8 +40,8 @@ class Ch1ToCh2(ErrorOp):
 
     name = "ch1_to_ch2"
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
-        super().__init__(spec, seed, asset_seed)
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
+        super().__init__(spec, seed, asset_seed, spec_idx)
         self.ch1 = spec.kwargs.get("ch1", " ")
         self.ch2 = spec.kwargs.get("ch2", "-")
         self.all = bool(spec.kwargs.get("all", False))
@@ -70,9 +71,9 @@ class BlanksToHyphens(Ch1ToCh2):
 
     name = "blanks_to_hyphens"
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
         spec = ErrorSpec(spec.error, spec.amount, spec.cols, {**spec.kwargs, "ch1": " ", "ch2": "-"})
-        super().__init__(spec, seed, asset_seed)
+        super().__init__(spec, seed, asset_seed, spec_idx)
 
 
 @register
@@ -81,9 +82,9 @@ class HyphensToBlanks(Ch1ToCh2):
 
     name = "hyphens_to_blanks"
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
         spec = ErrorSpec(spec.error, spec.amount, spec.cols, {**spec.kwargs, "ch1": "-", "ch2": " "})
-        super().__init__(spec, seed, asset_seed)
+        super().__init__(spec, seed, asset_seed, spec_idx)
 
 
 @register
@@ -98,7 +99,14 @@ class MakeMissing(ErrorOp):
     def apply(self, ctx: BatchCtx, seq: int) -> None:
         for col in self.spec.cols:
             arr = ctx.cols[col]
-            not_null = np.fromiter((v is not None for v in arr), dtype=bool, count=ctx.n)
+            # pd.isna, not `is None`: datetime64 columns carry NaT
+            # scalars that are never None, so already-null timestamps
+            # stayed eligible, got "nulled" again, and were ledgered as
+            # errors that changed nothing — skewing calibrate_rate's
+            # realized-rate estimate (r5 review)
+            not_null = np.fromiter(
+                (not pd.isna(v) for v in arr), dtype=bool, count=ctx.n
+            )
             eligible = not_null & ~ctx.erred_mask(col)
             idx = self.gate(ctx, col, eligible)
             if len(idx) == 0:

@@ -44,10 +44,11 @@ class PerturbFlow:
         self.seed = seed
         self.col = col
         self.keep_original = keep_original
-        # one always-fire op instance per error type
+        # one always-fire op instance per error type; spec_idx keys the
+        # rng streams apart (same rule as the Injector chain)
         self.ops = {
-            name: REGISTRY[name](ErrorSpec(name, 1.0, (col,)), seed, asset_seed)
-            for name in err_types
+            name: REGISTRY[name](ErrorSpec(name, 1.0, (col,)), seed, asset_seed, spec_idx=ix)
+            for ix, name in enumerate(err_types)
         }
 
     def _assignment(self, record_ids: np.ndarray, k: int) -> np.ndarray:
@@ -96,21 +97,10 @@ class PerturbFlow:
 
 
 def _assemble_simple(ctx: BatchCtx) -> pa.Table:
-    out = ctx.batch
-    for name, arr in ctx.cols.items():
-        ix = out.schema.get_field_index(name)
-        if isinstance(arr.dtype, np.dtype) and arr.dtype.kind == "M":
-            col = pa.array(arr, type=pa.timestamp("us"))
-        else:
-            col = pa.array(list(arr), type=out.schema.field(name).type)
-        out = out.set_column(ix, name, col)
-    per_row: list[list[dict]] = [[] for _ in range(ctx.n)]
-    for row_ix, rid, field, error, before, after, seq in ctx.ledger:
-        per_row[row_ix].append(
-            {"record_id": rid, "field": field, "error": error,
-             "before": before, "after": after, "seq": seq}
-        )
-    return out.append_column(LEDGER_COL, pa.array(per_row, type=pa.list_(LEDGER_ITEM)))
+    from .injector import ledger_list_column, writeback_columns
+
+    out = writeback_columns(ctx.batch, ctx.cols)
+    return out.append_column(LEDGER_COL, ledger_list_column(ctx.ledger, ctx.n))
 
 
 def perturb_dataset(ds, err_types: list[str], n_dup: int, seed: int = 7, col: str = "text"):
@@ -147,7 +137,13 @@ def share_value_within_groups(ds, group_keys: list[str], value_col: str, num_buc
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("row_uid").reset_index(drop=True)
-        df[value_col] = df.groupby(group_keys, sort=False)[value_col].transform("first")
+        # POSITIONAL first (iloc[0]) with dropna=False: pandas'
+        # transform('first') skips null leaders (sharing the next
+        # non-null value instead of the min row's) and NaNs out rows
+        # whose group KEY is null, destroying their value (r5 review)
+        df[value_col] = df.groupby(group_keys, sort=False, dropna=False)[
+            value_col
+        ].transform(lambda s: s.iloc[0])
         return df
 
     return bucketed_group_apply(ds, group_keys, assign, num_buckets)

@@ -42,6 +42,33 @@ LEDGER_ITEM = pa.struct(
 LEDGER_COL = "_ledger"
 
 
+def writeback_columns(batch: pa.Table, cols: "dict[str, 'np.ndarray']") -> pa.Table:
+    """Replace mutated columns in ``batch`` (timestamps via the numpy
+    datetime64 fast path, everything else through the object array) —
+    shared by Injector._assemble and flow._assemble_simple (r5 review:
+    they were copy-paste twins)."""
+    out = batch
+    for name, arr in cols.items():
+        ix = out.schema.get_field_index(name)
+        if isinstance(arr.dtype, np.dtype) and arr.dtype.kind == "M":
+            col = pa.array(arr, type=pa.timestamp("us"))
+        else:
+            col = pa.array(list(arr), type=batch.schema.field(name).type)
+        out = out.set_column(ix, name, col)
+    return out
+
+
+def ledger_list_column(ledger, n: int) -> pa.Array:
+    """Per-row list<LEDGER_ITEM> column from the flat ledger tuples."""
+    per_row: list[list[dict]] = [[] for _ in range(n)]
+    for row_ix, rid, field, error, before, after, seq in ledger:
+        per_row[row_ix].append(
+            {"record_id": rid, "field": field, "error": error,
+             "before": before, "after": after, "seq": seq}
+        )
+    return pa.array(per_row, type=pa.list_(LEDGER_ITEM))
+
+
 class Injector:
     """Callable class for ``map_batches`` actor pools — ops and their
     lookup assets are built once per actor in ``__init__``."""
@@ -49,7 +76,10 @@ class Injector:
     def __init__(self, specs: list[ErrorSpec], seed: int = 42, asset_seed: int = 42):
         self.seed = seed
         self.specs = list(specs)
-        self.ops = [REGISTRY[s.error](s, seed, asset_seed) for s in self.specs]
+        self.ops = [
+            REGISTRY[s.error](s, seed, asset_seed, spec_idx=ix)
+            for ix, s in enumerate(self.specs)
+        ]
         active: list[str] = []
         for s in self.specs:
             for c in s.cols:
@@ -66,25 +96,8 @@ class Injector:
     def _assemble(self, ctx: BatchCtx) -> pa.Table:
         batch = ctx.batch
         # dirty originals: replace the mutated columns, keep the rest zero-copy
-        dirty = batch
-        for name, arr in ctx.cols.items():
-            ix = dirty.schema.get_field_index(name)
-            if isinstance(arr.dtype, np.dtype) and arr.dtype.kind == "M":
-                col = pa.array(arr, type=pa.timestamp("us"))
-            else:
-                col = pa.array(list(arr), type=batch.schema.field(name).type)
-            dirty = dirty.set_column(ix, name, col)
-
-        # per-row ledger lists
-        per_row: list[list[dict] | None] = [None] * ctx.n
-        for row_ix, rid, field, error, before, after, seq in ctx.ledger:
-            entry = {"record_id": rid, "field": field, "error": error,
-                     "before": before, "after": after, "seq": seq}
-            if per_row[row_ix] is None:
-                per_row[row_ix] = []
-            per_row[row_ix].append(entry)
-        ledger_col = pa.array([e if e is not None else [] for e in per_row], type=pa.list_(LEDGER_ITEM))
-        dirty = dirty.append_column(LEDGER_COL, ledger_col)
+        dirty = writeback_columns(batch, ctx.cols)
+        dirty = dirty.append_column(LEDGER_COL, ledger_list_column(ctx.ledger, ctx.n))
 
         parts = [dirty]
         if ctx.dup_rows:

@@ -24,8 +24,8 @@ class _TokenLookupOp(ErrorOp):
     """Shared machinery: find tokens present in the lookup, substitute
     one with a random alternate (group_by + sample_n(1) at R/3:18-20)."""
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
-        super().__init__(spec, seed, asset_seed)
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
+        super().__init__(spec, seed, asset_seed, spec_idx)
         self.lookup = assets.nicknames(asset_seed)
 
     def apply(self, ctx: BatchCtx, seq: int) -> None:
@@ -116,8 +116,8 @@ class MarriedNameChange(ErrorOp):
 
     name = "married_name_change"
 
-    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42):
-        super().__init__(spec, seed, asset_seed)
+    def __init__(self, spec: ErrorSpec, seed: int, asset_seed: int = 42, spec_idx: int = 0):
+        super().__init__(spec, seed, asset_seed, spec_idx)
         self.vocab, _ = assets.vocab(asset_seed)
         self.sex_of = assets.sex_of(asset_seed) if spec.kwargs.get("sex_gate", True) else None
 
@@ -136,10 +136,22 @@ class MarriedNameChange(ErrorOp):
             if len(idx) == 0:
                 continue
             r = self.draw_u64(ctx, idx, f"name:{col}")
-            new_vals = []
+            new_vals, kept_idx = [], []
+            nv = len(self.vocab)
             for k, i in enumerate(idx):
                 parts = arr[i].rsplit(" ", 1)
-                newname = self.vocab[int(r[k] % np.uint64(len(self.vocab)))]
+                newname = self.vocab[int(r[k] % np.uint64(nv))]
+                if newname == parts[-1]:
+                    # the draw landed on the CURRENT surname: advance
+                    # one slot (deterministic redraw) — a before==after
+                    # "change" would still be ledgered and counted
+                    # toward the realized error rate (r5 review; the
+                    # reference's new≠old contract, like Repl's)
+                    newname = self.vocab[int((r[k] + np.uint64(1)) % np.uint64(nv))]
+                    if newname == parts[-1]:
+                        continue  # single-entry vocab: nothing to change
                 parts[-1] = newname
                 new_vals.append(" ".join(parts))
-            ctx.mutate(col, idx, new_vals, self.name, seq)
+                kept_idx.append(i)
+            if kept_idx:
+                ctx.mutate(col, kept_idx, new_vals, self.name, seq)

@@ -36,7 +36,18 @@ def load_specs(path: str) -> list[ErrorSpec]:
         for row in csv.DictReader(f):
             kwargs = json.loads(row.get("arguments") or "{}")
             cols = tuple(c.strip() for c in row["col_names"].split(",") if c.strip())
-            specs.append(ErrorSpec(row["error"], float(row["amount"]), cols, kwargs))
+            amount = float(row["amount"])
+            if amount >= 1:
+                # the reference's amount >= 1 means "N ROWS"
+                # (R/1_error.R:78-80); this engine's gate is a RATE and
+                # would silently clamp to 100%-corruption (r5 review) —
+                # convert counts to a rate (count / table rows) first
+                raise ValueError(
+                    f"spec {row['error']!r}: amount {amount} >= 1 — this engine "
+                    "takes a RATE (<1); the reference's count semantics must be "
+                    "converted to count/n_rows before loading"
+                )
+            specs.append(ErrorSpec(row["error"], amount, cols, kwargs))
     return specs
 
 

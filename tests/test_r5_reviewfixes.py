@@ -433,3 +433,34 @@ def test_payload_arrays_lang_null_paths_agree():
     # empty frame: typed-empty, not a reshape crash
     empty = payload_arrays(pdf.iloc[0:0])
     assert len(empty["node"]) == 0
+
+
+def test_same_named_specs_draw_independent_gates():
+    """Two same-named specs on the same column must select
+    INDEPENDENT row sets: with name-only rng tags every ocr-repl hit
+    was a keyboard-repl hit (fully correlated gates, union coverage
+    collapsed — r5 review). Requires some rows hit by the second spec
+    alone."""
+    from rayrl.errors.base import REGISTRY, BatchCtx, ErrorSpec
+
+    n = 20000
+    tbl = pa.table(
+        {
+            "row_uid": pa.array(range(n), pa.int64()),
+            "record_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["hello world"] * n, pa.string()),
+        }
+    )
+    ctx = BatchCtx(tbl, seed=7, active_cols=("text",))
+    kb = REGISTRY["repl"](
+        ErrorSpec("repl", 0.11, ("text",), {"style": "keyboard"}), 7, spec_idx=0
+    )
+    ocr = REGISTRY["repl"](
+        ErrorSpec("repl", 0.05, ("text",), {"style": "ocr"}), 7, spec_idx=1
+    )
+    eligible = np.ones(n, dtype=bool)
+    a = set(kb.gate(ctx, "text", eligible).tolist())
+    b = set(ocr.gate(ctx, "text", eligible).tolist())
+    assert len(b - a) > 0.02 * n  # ocr-only rows exist (was 0 before)
+    # overlap ≈ independent product, not containment
+    assert len(a & b) < 0.5 * len(b)
