@@ -143,7 +143,10 @@ def boilerplate_cleaned(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     lines = _line_rows(docs, min_len).materialize()  # narrow ints; scanned once more below
-    boiler = _boiler_hashes(lines, k_docs)
+    # materialized: count() + the broadcast iter / fallback join each
+    # consume it — unmaterialized, the distinct-line count shuffle ran
+    # twice per call (r5 review; the double-scan barrier rule)
+    boiler = _boiler_hashes(lines, k_docs).materialize()
     n_boiler = boiler.count()
 
     if n_boiler <= broadcast_gate:
@@ -223,7 +226,11 @@ def boilerplate_cleaned(
             {
                 "doc_id": batch.column("doc_id"),
                 "text": batch.column("text"),
-                "ord": pa.nulls(n, pa.int64()),
+                # -1 sentinel, NOT null: a null-padded int64 through the
+                # in-bucket pandas frame turns float64 (CLAUDE.md rule
+                # 14); the doc side's ord is never read — same contract
+                # as bucketed_join's zero-pad
+                "ord": pa.array(np.full(n, -1, np.int64)),
                 "side": pa.array(np.zeros(n, np.int8)),
             }
         )

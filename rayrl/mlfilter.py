@@ -125,6 +125,12 @@ def gd_fit(
 
     w = np.zeros(dim, dtype=np.float64) if w is None else np.asarray(w, np.float64)
     losses = [] if losses is None else list(losses)
+    if n_total == 0:
+        # empty featurized corpus (rule 21 — an upstream filter can
+        # legally drop every doc): zero gradient, weights unchanged —
+        # the schemaless partials frame would KeyError and the bias
+        # update divide by zero (r5 review)
+        return {"w": w, "bias": bias, "n_bits": n_bits, "losses": losses}
 
     for _ in range(iters):
         ref = ray.put((w, bias))
@@ -256,14 +262,25 @@ def train_filter_run(
 
     feats = run.stage("features", params, build_feats)
 
-    # ---- per-iteration weight checkpoints (npz + sidecar manifest)
-    wpath = os.path.join(out_dir, "weights.npz")
+    # ---- per-iteration weight checkpoints. Crash-safe ordering (r5
+    # review: weights.npz + weights.json written back-to-back meant a
+    # crash between them resumed iter-(k+1) weights with iters_done=k,
+    # re-applying an iteration — silently non-bit-exact): the npz name
+    # CARRIES its iteration, the manifest is the single commit point
+    # (tmp + os.replace), and resume only loads the npz the manifest
+    # names — an orphaned newer npz is never read, and re-running the
+    # lost iteration from the manifest's weights is deterministic.
     mpath = os.path.join(out_dir, "weights.json")
     w, bias, losses, done = None, 0.0, [], 0
-    if os.path.exists(wpath) and os.path.exists(mpath):
+    if os.path.exists(mpath):
         with open(mpath) as f:
             meta = json.load(f)
-        if meta.get("params_hash") == params_hash(params) and meta["iters_done"] <= iters:
+        wpath = os.path.join(out_dir, meta.get("weights_file", "weights.npz"))
+        if (
+            meta.get("params_hash") == params_hash(params)
+            and meta["iters_done"] <= iters
+            and os.path.exists(wpath)
+        ):
             state = np.load(wpath)
             w, bias = state["w"], float(meta["bias"])
             losses, done = list(meta["losses"]), int(meta["iters_done"])
@@ -274,17 +291,24 @@ def train_filter_run(
     for it in range(done, iters):
         res = gd_fit(feats_mat, n_bits=n_bits, iters=1, lr=lr, w=w, bias=bias, losses=losses)
         w, bias, losses = res["w"], res["bias"], res["losses"]
-        np.savez(wpath, w=w)
-        with open(mpath, "w") as f:
+        wname = f"weights_{it + 1}.npz"
+        np.savez(os.path.join(out_dir, wname), w=w)
+        tmp_m = mpath + ".tmp"
+        with open(tmp_m, "w") as f:
             json.dump(
                 {
                     "params_hash": params_hash(params),
                     "iters_done": it + 1,
+                    "weights_file": wname,
                     "bias": bias,
                     "losses": losses,
                 },
                 f,
             )
+        os.replace(tmp_m, mpath)  # atomic commit of (weights, iter)
+        prev = os.path.join(out_dir, f"weights_{it}.npz")
+        if it and os.path.exists(prev):
+            os.remove(prev)  # keep only the committed iteration
 
     params_scored = {**params, "iters": iters}
     scored = run.stage(

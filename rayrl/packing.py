@@ -73,6 +73,18 @@ def pack_assignments_ds(narrow_ds: "ray.data.Dataset", budget: int = PACK_BUDGET
 
     narrow = narrow_ds.materialize()  # ints only, reused twice
 
+    if narrow.count() == 0:
+        # every doc filtered upstream (rule 21): the schemaless reduce
+        # would KeyError on 'range_key' — the assignment set is empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                }
+            )
+        )
     sums = group_agg(
         narrow, ["range_key"], {"s": ("n_tokens", "sum")}, num_buckets=16
     ).to_pandas()  # one row per id-range
@@ -101,7 +113,8 @@ def pack_assignments_ds(narrow_ds: "ray.data.Dataset", budget: int = PACK_BUDGET
 
 PACK_ASSIGNMENTS_ORACLE = f"""
     WITH t AS (SELECT doc_id,
-                      CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                      CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+                                ELSE length(string_split(text, ' ')) END AS BIGINT) AS n_tokens
                FROM documents)
     SELECT doc_id, n_tokens,
            CAST(floor(coalesce(sum(n_tokens) OVER
@@ -135,7 +148,20 @@ def packed_texts(
 
     sums = group_agg(
         narrow, ["range_key"], {"s": ("n_tokens", "sum")}, num_buckets=16
-    ).to_pandas().sort_values("range_key").reset_index(drop=True)
+    ).to_pandas()
+    if len(sums) == 0:
+        # empty corpus (rule 21): no ranges, no packs — typed empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pack_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+    sums = sums.sort_values("range_key").reset_index(drop=True)
     starts = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())])
     off = pd.Series(starts[:-1], index=sums["range_key"].to_numpy())
     off_end = pd.Series(starts[1:], index=sums["range_key"].to_numpy())
@@ -188,12 +214,16 @@ def packed_texts(
                 out.append(g[["pack_id", "range_key", "n_docs", "n_tokens", "text", "final"]])
         return pd.concat(out, ignore_index=True)
 
+    # materialized: BOTH filter legs below consume it — and either
+    # leg can be legally empty (all-interior corpora have no boundary
+    # pieces; tiny corpora have no interior packs), coming back
+    # schemaless (rule 21, r5 review)
     assembled = bucketed_group_apply(
         docs.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True),
         ["range_key"],
         assemble,
         num_buckets=32,
-    )
+    ).materialize()
 
     def merge_pieces(df: pd.DataFrame) -> pd.DataFrame:
         # boundary pieces arrive (pack_id, range_key)-keyed; ranges are
@@ -207,15 +237,35 @@ def packed_texts(
         )
         return g[["pack_id", "n_docs", "n_tokens", "text"]]
 
-    final = assembled.filter(expr="final == 1").drop_columns(["range_key", "final"])
-    pieces = assembled.filter(expr="final == 0").drop_columns(["final"])
-    merged = bucketed_group_apply(pieces, ["pack_id"], merge_pieces, num_buckets=8)
-    return final.union(merged)
+    final = assembled.filter(expr="final == 1").materialize()
+    pieces = assembled.filter(expr="final == 0").materialize()
+    parts = []
+    if final.count():
+        parts.append(final.drop_columns(["range_key", "final"]))
+    if pieces.count():
+        parts.append(
+            bucketed_group_apply(
+                pieces.drop_columns(["final"]), ["pack_id"], merge_pieces, num_buckets=8
+            )
+        )
+    if not parts:  # empty corpus: typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pack_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
 
 
 PACKED_TEXTS_ORACLE = f"""
     WITH t AS (SELECT doc_id, text,
-                      CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                      CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+                                ELSE length(string_split(text, ' ')) END AS BIGINT) AS n_tokens
                FROM documents),
     a AS (SELECT doc_id, text, n_tokens,
                  CAST(floor(coalesce(sum(n_tokens) OVER

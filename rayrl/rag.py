@@ -88,11 +88,21 @@ def rag_topk(
     chunk itself is excluded."""
     emb = chunk_embeddings(sf_dir, chunk_tokens, overlap).materialize()
 
-    q = (
-        emb.filter(expr=f"doc_id < {n_queries} and chunk_id == 0")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+    q = emb.filter(expr=f"doc_id < {n_queries} and chunk_id == 0").to_pandas()
+    if len(q) == 0:
+        # ids need not start at 0 (the single-doc degenerate corpus
+        # uses doc_id 7): no query chunk exists — empty result, not an
+        # np.stack crash (r5 review)
+        return pd.DataFrame(
+            {
+                "query_doc": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    q = q.sort_values("doc_id")
     qids = q["doc_id"].to_numpy().astype(np.int64)
     qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
     ref = ray.put((qids, qm))
@@ -178,12 +188,25 @@ def contrastive_pairs(
         # h stays uint64: an int64 view would sign-flip the merge order
         return pd.DataFrame({"h": h[take], "doc_id": d[take]})
 
+    _EMPTY_PAIRS = pd.DataFrame(
+        {
+            "anchor_doc": pd.Series([], dtype="int64"),
+            "pos_chunk_id": pd.Series([], dtype="int64"),
+            "neg_doc": pd.Series([], dtype="int64"),
+            "neg_chunk_id": pd.Series([], dtype="int64"),
+            "neg_sim": pd.Series([], dtype="float64"),
+        }
+    )
     cand_a = (
         emb.filter(expr="chunk_id == 1")
         .select_columns(["doc_id"])
         .map_batches(best_anchors, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
+    if len(cand_a) == 0:
+        # no doc has a second chunk: nothing to anchor (rule 21 — the
+        # schemaless frame has no columns to sort)
+        return _EMPTY_PAIRS
     anchor_ids = np.sort(
         cand_a.sort_values(["h", "doc_id"], kind="stable")["doc_id"].to_numpy()[:n_anchors]
     ).astype(np.int64)
@@ -208,6 +231,11 @@ def contrastive_pairs(
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    if len(a) == 0:
+        # no doc has a second chunk (every doc shorter than the chunk
+        # stride): nothing to anchor — typed empty, not an np.stack
+        # crash (r5 review)
+        return _EMPTY_PAIRS
     qm = np.stack(a["embedding"].to_numpy()).astype(np.float64)
     ref = ray.put((anchor_ids, qm))
 
@@ -242,6 +270,13 @@ def contrastive_pairs(
         .sort_values("anchor_doc")
         .reset_index(drop=True)
     )
+    # an anchor with NO cross-document chunk at all (single-doc corpus)
+    # only ever saw its own sentinel-masked rows — a same-doc
+    # "negative" violates the cross-document contract; drop it (r5
+    # review)
+    best = best[best["neg_doc"] != best["anchor_doc"]].reset_index(drop=True)
+    if len(best) == 0:
+        return _EMPTY_PAIRS
     best["pos_chunk_id"] = 1  # the overlapping window of the anchor doc
     return best[["anchor_doc", "pos_chunk_id", "neg_doc", "neg_chunk_id", "neg_sim"]]
 

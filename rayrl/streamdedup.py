@@ -60,11 +60,22 @@ class FingerprintShard:
         self._live: set = set()
         self._frozen: list[np.ndarray] = []  # sorted uint64, disjoint
         self._compact_above = max(1, compact_above)
+        # replay cache: Ray Data RETRIES a failed map task, and the
+        # retry would find its own fingerprints already registered —
+        # every first-occurrence of that batch silently flips to
+        # is_first=False (r5 review). The stage sends an idempotency
+        # token per call; a replayed token returns the ORIGINAL mask.
+        # Bound: retries arrive close in time → small FIFO suffices.
+        self._replay: "dict[int, np.ndarray]" = {}
+        self._replay_order: list[int] = []
 
-    def check_and_add(self, fps: np.ndarray) -> np.ndarray:
+    def check_and_add(self, fps: np.ndarray, token: "int | None" = None) -> np.ndarray:
         """Register fingerprints; mask[i] = True iff fps[i] is the
         first occurrence ever seen by this shard (within-call dups
-        resolve in array order)."""
+        resolve in array order). ``token`` makes the call idempotent
+        under task retries."""
+        if token is not None and token in self._replay:
+            return self._replay[token]
         fps = np.ascontiguousarray(fps, dtype=np.uint64)
         in_frozen = np.zeros(len(fps), dtype=bool)
         for arr in self._frozen:  # vectorized pre-screen per tier
@@ -90,6 +101,11 @@ class FingerprintShard:
             if len(self._frozen) > _MAX_FROZEN_TIERS:
                 # tiers are disjoint by construction — concat+sort merges
                 self._frozen = [np.sort(np.concatenate(self._frozen))]
+        if token is not None:
+            self._replay[token] = out
+            self._replay_order.append(token)
+            if len(self._replay_order) > 128:  # FIFO bound
+                self._replay.pop(self._replay_order.pop(0), None)
         return out
 
     def size(self) -> int:
@@ -115,13 +131,33 @@ class _StreamDedupStage:
         from .bytekernels import content_hash64
 
         fps = content_hash64(batch.column("text")).view(np.uint64)
+        # idempotency token base: the batch's UNIQUE row ids when the
+        # table has them (two different batches can carry identical
+        # text content — a content-only token would replay the wrong
+        # mask); falls back to the fp stream for id-less tables, where
+        # the collision needs two batches with the same multiset.
+        from . import rng as _rng
+
+        id_col = next(
+            (c for c in ("doc_id", "row_uid", "record_id") if c in batch.column_names),
+            None,
+        )
+        base = (
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            if id_col
+            else fps
+        )
+        batch_tag = np.bitwise_xor.reduce(_rng._splitmix64(base)) if len(base) else np.uint64(0)
         shard_of = (fps % np.uint64(len(self._shards))).astype(np.int64)
         mask = np.empty(len(fps), dtype=bool)
         refs, slots = [], []
         for s in range(len(self._shards)):
             ix = np.flatnonzero(shard_of == s)
             if len(ix):
-                refs.append(self._shards[s].check_and_add.remote(fps[ix]))
+                # a retried task replays the same token and reads the
+                # original mask back instead of re-registering
+                token = int(batch_tag ^ np.uint64(s * 2 + 1))
+                refs.append(self._shards[s].check_and_add.remote(fps[ix], token))
                 slots.append(ix)
         for ix, res in zip(slots, ray.get(refs)):
             mask[ix] = res

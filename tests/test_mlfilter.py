@@ -108,11 +108,12 @@ def test_train_filter_run_resumes_bit_exact(ray_session, tmp_path):
 
     out_b = str(tmp_path / "runB")
     s4b = train_filter_run(out_b, str(sf), iters=4)
-    wa = np.load(os.path.join(out_a, "weights.npz"))["w"]
-    wb = np.load(os.path.join(out_b, "weights.npz"))["w"]
-    assert np.array_equal(wa, wb)
     ma = json.load(open(os.path.join(out_a, "weights.json")))
     mb = json.load(open(os.path.join(out_b, "weights.json")))
+    # the manifest names its committed npz (atomic-commit scheme, r5)
+    wa = np.load(os.path.join(out_a, ma["weights_file"]))["w"]
+    wb = np.load(os.path.join(out_b, mb["weights_file"]))["w"]
+    assert np.array_equal(wa, wb)
     assert ma["losses"] == mb["losses"] and ma["bias"] == mb["bias"]
     assert s4["kept"] == s4b["kept"] == 40
 

@@ -464,3 +464,88 @@ def test_same_named_specs_draw_independent_gates():
     assert len(b - a) > 0.02 * n  # ocr-only rows exist (was 0 before)
     # overlap ≈ independent product, not containment
     assert len(a & b) < 0.5 * len(b)
+
+
+def test_packing_degenerate_corpora(ray_session, tmp_path):
+    """Empty corpus: typed-empty assignments and packs, no schemaless
+    KeyError; tiny corpus (< budget tokens, no interior packs): the
+    boundary-piece leg alone carries the output (rule 21)."""
+    from rayrl.packing import pack_assignments, packed_texts
+
+    for name, texts in (("empty", []), ("tiny", ["a b c", "d e"])):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        a_ds = pack_assignments(str(d))
+        p_ds = packed_texts(str(d))
+        a, p = a_ds.to_pandas(), p_ds.to_pandas()
+        if name == "empty":
+            assert len(a) == 0 and len(p) == 0
+            # typed at the Dataset level (Ray's to_pandas drops cols
+            # on 0-row frames; downstream Dataset ops see the schema)
+            assert "pack_id" in a_ds.schema().names
+            assert "text" in p_ds.schema().names
+        else:
+            assert len(a) == 2 and set(a["pack_id"]) == {0}
+            assert len(p) == 1 and p["text"].iloc[0] == "a b c d e"
+
+
+def test_rag_degenerate_corpora(ray_session, tmp_path):
+    """Short docs (no second chunk) and non-zero-based ids: empty
+    results, not np.stack crashes; single-doc corpora never emit a
+    same-document 'negative'."""
+    from rayrl.rag import contrastive_pairs, rag_topk
+
+    short = tmp_path / "short"
+    short.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),  # non-zero-based
+                "text": pa.array(["only a few tokens here"], pa.string()),
+            }
+        ),
+        short / "documents.parquet",
+    )
+    assert len(rag_topk(str(short), n_queries=3)) == 0
+    assert len(contrastive_pairs(str(short))) == 0
+
+    single_long = tmp_path / "single_long"
+    single_long.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([" ".join(f"w{i}" for i in range(200))], pa.string()),
+            }
+        ),
+        single_long / "documents.parquet",
+    )
+    cp = contrastive_pairs(str(single_long))
+    assert len(cp) == 0  # no cross-document negative exists
+
+
+def test_streamdedup_replay_token_is_idempotent(ray_session):
+    """A retried shard call with the same token must return the
+    ORIGINAL mask (first occurrences preserved), not all-False."""
+    import ray as _ray
+
+    from rayrl.streamdedup import FingerprintShard
+
+    shard = FingerprintShard.remote()
+    fps = np.array([11, 22, 11, 33], np.uint64)
+    m1 = _ray.get(shard.check_and_add.remote(fps, 777))
+    m2 = _ray.get(shard.check_and_add.remote(fps, 777))  # retry replay
+    assert list(m1) == [True, True, False, True]
+    assert list(m2) == list(m1)
+    # a DIFFERENT batch with the same content is new work, not a replay
+    m3 = _ray.get(shard.check_and_add.remote(fps, 778))
+    assert list(m3) == [False, False, False, False]
