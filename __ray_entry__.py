@@ -34,10 +34,26 @@ def _clean_pages(sf_dir: str):
     return synth.pages_dataset(_n_pages(sf_dir))
 
 
+# Single-entry cache like _LINKAGE_CACHE below: er_dirty_pages,
+# er_ledger and er_error_rate are ADJACENT in the driver window and
+# each used to rebuild the full synth + injection pipeline from
+# scratch (r5 review). The cached combined is materialized once; the
+# dirty/ledger views derive from it without re-running injection.
+_DIRTY_CACHE: list = []
+
+
 def _dirty_combined(sf_dir: str, rate: float = 0.10):
     from rayrl import pipeline
 
-    return pipeline.mess_dataset(_clean_pages(sf_dir), pipeline.benchmark_specs(rate), seed=7)
+    key = (sf_dir, rate)
+    if _DIRTY_CACHE and _DIRTY_CACHE[0][0] == key:
+        return _DIRTY_CACHE[0][1]
+    out = pipeline.mess_dataset(
+        _clean_pages(sf_dir), pipeline.benchmark_specs(rate), seed=7
+    )
+    out = pipeline.DirtyOutput(combined=out.combined.materialize())
+    _DIRTY_CACHE[:] = [(key, out)]
+    return out
 
 
 def er_dirty_pages(sf_dir: str):

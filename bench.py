@@ -173,12 +173,12 @@ def run_scaling() -> dict:
     # minutes-long steal windows dominate the 32-cpu time and the
     # efficiency ratio measures noise, not the engine. 2 in-session
     # reps per level (min) keep the wall-clock sane.
-    def run_once(ncpu: int) -> dict:
+    def run_once(ncpu: int, reps: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "2000000"),
-            GRAFT_BENCH_REPS=os.environ.get("GRAFT_SCALING_REPS", "2"),
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_SCALING_REPS", str(reps)),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
@@ -203,8 +203,14 @@ def run_scaling() -> dict:
     # BASELINE.md.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # CLAUDE.md rule-5 steal-escape protocol, now the code's default
+    # (r5 review — it used to be lo-first / 2 reps, relying on the
+    # operator to override): HI leg FIRST (a steal window starting
+    # mid-run then lands on the slower lo leg, where its relative
+    # damage is smaller), min-of-3 reps @ hi, min-of-2 @ lo (lo reps
+    # are 4× the wall-clock each; GRAFT_SCALING_REPS overrides both).
+    r_hi = run(hi, 3)
+    r_lo = run(lo, 2)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",

@@ -45,8 +45,24 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
     # band rows become broadcast probe-index shards and dirty payload
     # rows fold+probe them (no shuffle at all — the per-batch unique is
     # the exact distinct); above it every band row shuffles (cluster
-    # scale).
-    n_clean_bands = (n_payload // 2) * (cfg.char_bands + cfg.word_bands)
+    # scale). The CLEAN side is counted exactly (one narrow int scan):
+    # n_payload // 2 assumed equal sides and mis-routed the gate when
+    # clean and dirty differ — e.g. a 2M-clean / 20M-dirty linkage fell
+    # to the all-shuffle path the 534 s → 187 s rule exists to avoid
+    # (r5 review).
+    def _clean_count(batch):
+        import pandas as _pd
+
+        n = int((batch.column("node").to_numpy() % 2 == 0).sum())
+        return _pd.DataFrame({"n": [n]})
+
+    n_clean = int(
+        payload.select_columns(["node"])
+        .map_batches(_clean_count, batch_format="pyarrow")
+        .sum("n")
+        or 0
+    )
+    n_clean_bands = n_clean * (cfg.char_bands + cfg.word_bands)
     if n_clean_bands <= cfg.broadcast_index_max_entries:
         from .scoring import candidate_pairs_broadcast
 
@@ -119,8 +135,14 @@ def link_datasets(clean, dirty, cfg: LinkageConfig | None = None) -> dict:
 
             truth_pairs = float(_ray.get(truth_pairs_ref))
         else:
-            truth_pairs = _pairs_local(
-                payload.select_columns(["node", "truth"]).to_pandas(), ["truth"]
+            # this branch means payload > broadcast_payload_max_rows:
+            # NEVER collect it driver-side (CLAUDE.md rule 4, r5
+            # review) — Σ C(n,2) per truth group reduces to
+            # num_buckets scalars distributed
+            from ..shuffle import group_sizes_pair_sum
+
+            truth_pairs = group_sizes_pair_sum(
+                payload.select_columns(["truth"]), ["truth"]
             )
         cluster_pairs = _pairs_local(lwt_df, ["label"])
         tp = _pairs_local(lwt_df, ["label", "truth"])

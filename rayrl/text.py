@@ -473,7 +473,12 @@ def duplicated_spans(
         rep = b.column("rep").to_numpy(zero_copy_only=False)
         return b.select(["fp"]).filter(pa.array(_is_dup(nd, rep)))
 
-    dup_tbl = freq.map_batches(dup_only, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: count() gates the plan and iter_batches/join then
+    # consume it — unmaterialized, the dup filter over the freq table
+    # ran twice (r5 review; the double-scan barrier rule)
+    dup_tbl = freq.map_batches(
+        dup_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     if dup_tbl.count() <= broadcast_gate:
         parts = [
@@ -622,14 +627,21 @@ def chunk_documents(
         import numpy as np
         import pyarrow.compute as pc
 
-        split = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        from .bytekernels import split_tokens
+
+        # null-safe split: a NULL doc has ZERO tokens and emits NO
+        # chunks — the old all-ones j=0 mask let the NaN length through
+        # and emitted a spurious (chunk_id=0, NULL, NULL) row the
+        # oracle's generate_series never produces (r5 review). Real
+        # docs always have lens ≥ 1 ('' splits to ['']), so the
+        # uniform `lens > start` gate changes nothing for them.
+        split, lens = split_tokens(batch.column("text"))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         out = []
         j = 0
         while True:
             start = j * stride
-            mask = lens > start if j else np.ones(len(lens), dtype=bool)
+            mask = lens > start
             if not mask.any():
                 break
             sel = pa.array(np.nonzero(mask)[0])
@@ -663,7 +675,11 @@ def _chunk_oracle() -> str:
     s = CHUNK_TOKENS - CHUNK_OVERLAP
     return f"""
     WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        -- NULL docs chunk to NOTHING (engine: zero tokens, no
+        -- windows); without the guard, greatest(NULL-1, 0) = 0 emits
+        -- a spurious all-NULL chunk-0 row
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
     ), c AS (
         SELECT doc_id, toks,
                unnest(generate_series(0, greatest(len(toks) - 1, 0), {s})) AS start
@@ -826,6 +842,20 @@ def score_corpus_ds(ds: "ray.data.Dataset", redact: bool = False):
     )
 
 
+def _normalize_text(col):
+    """lowercase → collapse space runs → trim — the ONE normalization
+    expression; `normalized_documents` and `canonical_documents` (and
+    their SQL oracle mirrors) must stay in lockstep, so both call this
+    (r5 review: two inline copies risked drifting). utf8_trim(" ")
+    matches SQL trim() — spaces only, not \\n/\\t."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(col), pattern=" +", replacement=" "),
+        characters=" ",
+    )
+
+
 def normalized_documents(sf_dir: str):
     """Text normalization entirely in Arrow compute kernels — zero
     Python per row: lowercase, collapse whitespace runs, trim. The
@@ -837,13 +867,7 @@ def normalized_documents(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def norm(batch: pa.Table) -> pa.Table:
-        # utf8_trim(" ") matches SQL trim() (spaces only — not \n/\t)
-        t = pc.utf8_trim(
-            pc.replace_substring_regex(
-                pc.utf8_lower(batch.column("text")), pattern=" +", replacement=" "
-            ),
-            characters=" ",
-        )
+        t = _normalize_text(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -873,20 +897,22 @@ def canonical_documents(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
 
-    from .bytekernels import content_hash64
+    from .bytekernels import content_hash64_nullsafe
     from .shuffle import group_agg
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        t = pc.utf8_trim(
-            pc.replace_substring_regex(
-                pc.utf8_lower(batch.column("text")), pattern=" +", replacement=" "
-            ),
-            characters=" ",
+        t = _normalize_text(batch.column("text"))
+        # nullsafe: the plain hash merges NULL texts with '' while the
+        # oracle's md5(NULL) partitions them separately (r5 review);
+        # len0 for a NULL doc fills 0, so the group winner is still the
+        # min doc_id — exactly the oracle's NULLS-tied order
+        h = content_hash64_nullsafe(t)
+        len0 = (
+            pc.fill_null(pc.utf8_length(batch.column("text")), 0)
+            .to_numpy(zero_copy_only=False)
         )
-        h = content_hash64(t)
-        len0 = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         assert ids.max(initial=0) < 2**33, "doc_id exceeds the pack bound"
         pack = len0.astype(np.int64) * 2**33 - (ids + 1)
@@ -960,13 +986,22 @@ def c4_filtered(sf_dir: str):
     def gate(batch: pa.Table) -> pa.Table:
         text = batch.column("text").combine_chunks()
         k = token_count_kernels(text)
+        # fill_null(False) before the numpy hop: match_substring(NULL)
+        # is null, its object-array to_numpy holds None, and unary ~
+        # raises TypeError (r5 review). A NULL doc is dropped — exactly
+        # the oracle's NULL LIKE semantics (and its n_tokens is 0
+        # anyway, below the gate).
+        no_brace = pc.fill_null(
+            pc.invert(pc.match_substring(text, "{")), False
+        ).to_numpy(zero_copy_only=False)
+        no_lorem = pc.fill_null(
+            pc.invert(pc.match_substring(pc.utf8_lower(text), "lorem ipsum")), False
+        ).to_numpy(zero_copy_only=False)
         keep = (
             (k["n_tokens"] >= C4_MIN_TOKENS)
             & (k["n_chars"] >= C4_MIN_CHARS)
-            & ~pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
-            & ~pc.match_substring(
-                pc.utf8_lower(text), "lorem ipsum"
-            ).to_numpy(zero_copy_only=False)
+            & no_brace
+            & no_lorem
         )
         return pa.table(
             {
@@ -1106,10 +1141,12 @@ TEXT_ORACLES = {
                -- kernel's contract; bare string_split('') is [''])
                CAST(CASE WHEN text IS NULL OR text = '' THEN 0
                          ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+               -- NULL text: 0 on every column, like the engine's
+               -- zero-byte view (bare SQL would read NULL — r5 review)
+               CAST(coalesce(len(regexp_extract_all(text, '[a-zA-Z]+'))
                     + length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-                    + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars
+                    + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')), 0) AS BIGINT) AS n_bpe_tokens,
+               CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars
         FROM documents
     """,
     "char_class_counts": """

@@ -549,3 +549,58 @@ def test_streamdedup_replay_token_is_idempotent(ray_session):
     # a DIFFERENT batch with the same content is new work, not a replay
     m3 = _ray.get(shard.check_and_add.remote(fps, 778))
     assert list(m3) == [False, False, False, False]
+
+
+def test_text_stages_null_corpus_matches_oracles(ray_session, tmp_path):
+    """canonical_documents, c4_filtered, chunk_documents and
+    token_counts on a NULL/''-mixed corpus: engine == DuckDB twin
+    (batch-7 review: NULL merged with '', unary ~ crashed, spurious
+    chunk rows, NULL bpe/chars columns)."""
+    from rayrl.text import TEXT_ORACLES, c4_filtered, canonical_documents, chunk_documents, token_counts
+
+    texts = [
+        None,
+        "",
+        "Alpha  beta",
+        "alpha beta",
+        None,
+        "lorem ipsum " * 30,
+        "x { y",
+        " ".join(f"word{i}" for i in range(80)),  # passes the C4 gate
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    def df_of(r):
+        return r if isinstance(r, pd.DataFrame) else r.to_pandas()
+
+    for fn, key in (
+        (canonical_documents, "canonical_documents"),
+        (c4_filtered, "c4_filtered"),
+        (chunk_documents, "chunk_documents"),
+        (token_counts, "token_counts"),
+    ):
+        got = df_of(fn(sf))
+        want = con.execute(TEXT_ORACLES[key]).df()
+        assert len(got) == len(want), key
+        assert len(want) > 0, f"{key}: vacuous fixture"
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), key
+        g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(str)
+        assert g.equals(w), f"{key}:\n{g}\nvs\n{w}"
+    # the two NULL docs formed ONE canonical group, '' its own
+    cd = df_of(canonical_documents(sf)).set_index("doc_id")["n_variants"]
+    assert cd[0] == 2 and cd[1] == 1  # min-id winners: 0 (nulls), 1 ('')
